@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every module's named operators; each key has a
+  * DuckDB oracle in `oracleSql` (same column names, deterministic values —
+  * money math is integer-exact on both sides, see graft.ext.Relational).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count — the reference's flagship app (`src/mrapps/wc.go`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    apps.MrApps.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.5 ext). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    apps.MrApps.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
+        "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
+        "q3_top_orders" -> (ext.Relational.q3TopOrders _),
+        "q5_region_volume" -> (ext.Relational.q5RegionVolume _),
+        "top_orders_per_customer" -> (ext.Relational.topOrdersPerCustomer _),
+        "orders_rollup" -> (ext.Relational.ordersRollup _),
+        "customers_without_orders" -> (ext.Relational.customersWithoutOrders _),
+        "nations_with_customers" -> (ext.Relational.nationsWithCustomers _),
+        "events_windowed_agg" -> (ext.Events.windowedAgg _),
+        "events_sessionize" -> (ext.Events.sessionize _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    apps.MrApps.oracles ++ Map(
+      "kv_replay" -> kv.KvReplay.oracleSql,
+      "q1_pricing_summary" -> ext.Relational.q1Sql,
+      "q3_top_orders" -> ext.Relational.q3Sql,
+      "q5_region_volume" -> ext.Relational.q5Sql,
+      "top_orders_per_customer" -> ext.Relational.topOrdersSql,
+      "orders_rollup" -> ext.Relational.ordersRollupSql,
+      "customers_without_orders" -> ext.Relational.customersWithoutOrdersSql,
+      "nations_with_customers" -> ext.Relational.nationsWithCustomersSql,
+      "events_windowed_agg" -> ext.Events.windowedAggSql,
+      "events_sessionize" -> ext.Events.sessionizeSql)
 }

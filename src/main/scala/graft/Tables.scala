@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+  *
+  * All tables are read lazily; at cluster scale the parquet reader gets
+  * predicate pushdown + column pruning from Catalyst for free, so callers
+  * should `select`/`filter` as early as possible and let the optimizer
+  * reach the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * the nanosAsLong legacy flag. Normalize it to timestamp_ntz micros
+    * (the driver data is micro-precision, so `div 1000` is lossless) to
+    * align with every other timestamp column and with DuckDB's naive
+    * TIMESTAMP semantics. Session timezone is UTC everywhere.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(spark, sfDir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics on the `events` table (batch renditions; the
+  * streaming twins live in graft.streaming). */
+object Events {
+
+  /** Tumbling-hour aggregation per event type. `value` has 2 decimals in
+    * the data; summed exactly in integer cents (see Relational's note on
+    * cross-engine double determinism). */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+
+  val windowedAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: per user, a new session starts after a >30 min gap.
+    * One shuffle on user_id serves both window functions and the final
+    * per-user rollup (Catalyst reuses the partitioning). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+}

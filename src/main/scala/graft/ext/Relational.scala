@@ -1,0 +1,205 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** North-star relational layer (SURVEY.md §7.5): TPC-H-shaped analytics on
+  * the driver's star schema. Beyond-reference (the reference has no joins,
+  * SURVEY.md §2.6) but first-class for the 100 TB posture.
+  *
+  * Scale notes baked into every query:
+  *  - dimension tables (region/nation/supplier/part, and customer where it
+  *    qualifies) are explicitly `broadcast()`ed — no shuffle of the fact
+  *    side for dim joins;
+  *  - fact⋈fact joins (lineitem⋈orders) stay key-partitioned sort-merge
+  *    joins, the right default at 100 TB (AQE can still downgrade to
+  *    broadcast at small SF);
+  *  - money math is integer-exact: prices quantized to cents / basis
+  *    points and summed as Long. This is deliberate, for two reasons:
+  *    (1) double sums are order-dependent — non-deterministic across
+  *    partitionings and across engines (the DuckDB oracle would
+  *    hash-mismatch); (2) at 100 TB, Long sum is cheaper than Decimal and
+  *    never loses precision for 2-decimal money columns. Final outputs are
+  *    cast to double with a single deterministic division.
+  */
+object Relational {
+
+  /** Exact integer quantization of a k-decimal double column. */
+  private def quant(c: Column, factor: Int): Column =
+    round(c * factor).cast("long")
+
+  /** price*(1-discount) in exact integer micro-units (cents × basis
+    * points): l_extendedprice has 2 decimals, l_discount has 2. */
+  private def discPriceE6(price: Column, discount: Column): Column =
+    quant(price, 100) * (lit(10000L) - quant(discount, 10000))
+
+  private def e6ToDouble(c: Column): Column = (c.cast("double") / 1e6)
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy single-pass aggregation.
+    * Plan shape: parquet scan (shipdate pushed down, 6 columns pruned) →
+    * partial hash agg → exchange on 2 low-cardinality keys → final agg.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    l.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(quant(col("l_quantity"), 100)).cast("double") / 100.0).as("sum_qty"),
+        (sum(quant(col("l_extendedprice"), 100)).cast("double") / 100.0).as("sum_base_price"),
+        e6ToDouble(sum(discPriceE6(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        (sum(quant(col("l_quantity"), 100)).cast("double") /
+          (count(lit(1)) * 100).cast("double")).as("avg_qty"),
+        (sum(quant(col("l_extendedprice"), 100)).cast("double") /
+          (count(lit(1)) * 100).cast("double")).as("avg_price"),
+        (sum(quant(col("l_discount"), 10000)).cast("double") /
+          (count(lit(1)) * 10000).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*100 AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*100 AS DOUBLE) AS avg_price,
+      |  CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*10000 AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped: segment filter on the customer dim (broadcast), join
+    * orders⋈lineitem on orderkey, top-10 orders by exact integer revenue.
+    * Deterministic top-k: ordering key is the exact Long revenue with
+    * o_orderkey tiebreak; only the final output casts to double.
+    */
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-06-15").cast("timestamp_ntz")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_e6")).as("rev_e6"))
+      .orderBy(col("rev_e6").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), e6ToDouble(col("rev_e6")).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, CAST(rev_e6 AS DOUBLE)/1e6 AS revenue, o_orderdate, o_orderpriority
+      |FROM (
+      |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |    SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS rev_e6
+      |  FROM customer, orders, lineitem
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |    AND o_orderdate < TIMESTAMP '1998-06-15' AND l_shipdate > TIMESTAMP '1998-06-15'
+      |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |  ORDER BY rev_e6 DESC, o_orderkey LIMIT 10)""".stripMargin
+
+  /** TPC-H Q5-shaped: revenue by nation for one region. All four dims
+    * broadcast; the only shuffles are lineitem⋈orders and the final
+    * 25-key aggregation. */
+  def q5RegionVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === regionFilter)
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(e6ToDouble(sum(col("rev_e6"))).as("revenue"))
+  }
+
+  private val regionFilter = "ASIA"
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = '$regionFilter'
+       |GROUP BY n_name""".stripMargin
+
+  /** Window ranking: top-3 orders per customer by totalprice.
+    * At scale: single hash-partition on o_custkey feeds both the window
+    * sort and nothing else — one shuffle total. */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  val topOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Multi-level aggregate (ROLLUP) over order status/priority. */
+  def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(quant(col("o_totalprice"), 100)).cast("double") / 100.0).as("sum_total"))
+
+  val ordersRollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_total
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Anti join: customers with no order since 2001. At scale this is a
+    * shuffled left-anti against the orders key projection (the orders side
+    * is pruned to one column + a pushed-down date filter before the
+    * exchange). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin
+
+  /** Semi join twin: nations that have at least one customer. */
+  def nationsWithCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select("c_nationkey")
+    n.join(c, col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .select("n_nationkey", "n_name")
+  }
+
+  val nationsWithCustomersSql: String =
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)""".stripMargin
+}

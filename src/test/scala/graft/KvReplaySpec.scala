@@ -1,0 +1,78 @@
+package graft
+
+import scala.util.Random
+
+import graft.kv.{KvOp, KvReplay}
+
+/** [SPEC] KV semantics (reference model `/root/reference/src/models/kv.go:40-54`):
+  * put overwrites, append concatenates, ops applied in seq order.
+  * Invariants adapted from `src/kvraft/test_test.go:131-179` — per-client
+  * append subsequences appear in order, exactly once. */
+class KvReplaySpec extends SparkSpec {
+  import spark.implicits._
+  implicit private def s2: org.apache.spark.sql.SparkSession = spark
+
+  private def sequential(ops: Seq[KvOp]): Map[String, String] = {
+    val st = collection.mutable.Map.empty[String, String].withDefaultValue("")
+    ops.sortBy(_.seq).foreach { o =>
+      o.op match {
+        case "put" => st(o.key) = o.value
+        case "append" => st(o.key) = st(o.key) + o.value
+        case _ => ()
+      }
+    }
+    st.toMap
+  }
+
+  private def run(ops: Seq[KvOp]): Map[String, String] =
+    KvReplay.replay(ops.toDF()).as[(String, String)].collect().toMap
+
+  test("put overwrites, append concatenates, get ignored") {
+    val ops = Seq(
+      KvOp(1, "k", "append", "a"), KvOp(2, "k", "put", "X"),
+      KvOp(3, "k", "append", "y"), KvOp(4, "k", "get", ""),
+      KvOp(5, "k", "append", "z"), KvOp(6, "j", "append", "1"))
+    assert(run(ops) == Map("k" -> "Xyz", "j" -> "1"))
+  }
+
+  test("randomized fold matches sequential state machine") {
+    val rnd = new Random(42)
+    val ops = (1 to 2000).map { i =>
+      KvOp(i.toLong, s"k${rnd.nextInt(20)}",
+        Seq("put", "append", "append", "get")(rnd.nextInt(4)), s"v$i.")
+    }
+    val want = sequential(ops).filter { case (k, _) =>
+      ops.exists(o => o.key == k && o.op != "get")
+    }
+    assert(run(ops) == want)
+  }
+
+  test("per-client append subsequences appear in order exactly once") {
+    val rnd = new Random(7)
+    // 5 clients interleave appends to one key. Each client issues its own
+    // values sequentially; the global interleave (seq order) is random but
+    // preserves every client's relative order.
+    val queues = Array.tabulate(5)(c =>
+      collection.mutable.Queue((0 until 50).map(i => s"c$c-$i;"): _*))
+    val interleaved = collection.mutable.ArrayBuffer.empty[String]
+    while (queues.exists(_.nonEmpty)) {
+      val live = queues.indices.filter(queues(_).nonEmpty)
+      interleaved += queues(live(rnd.nextInt(live.size))).dequeue()
+    }
+    val ops = interleaved.toSeq.zipWithIndex.map { case (v, i) =>
+      KvOp(i.toLong, "key", "append", v)
+    }
+    val state = run(ops)("key")
+    for (c <- 0 until 5) {
+      val mine = ops.filter(_.value.startsWith(s"c$c-")).map(_.value)
+      // exactly once
+      for (v <- mine) {
+        val first = state.indexOf(v)
+        assert(first >= 0 && state.indexOf(v, first + 1) < 0, s"value $v")
+      }
+      // in order (by seq, which is each client's issue order here)
+      val positions = mine.map(state.indexOf(_))
+      assert(positions == positions.sorted)
+    }
+  }
+}
