@@ -17,7 +17,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.5 ext). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    apps.MrApps.queries ++
+    apps.MrApps.queries ++ ext.TextAnalysis.queries ++
+      ext.Dedup.queries ++ ext.Similarity.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -33,7 +34,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    apps.MrApps.oracles ++ Map(
+    apps.MrApps.oracles ++ ext.TextAnalysis.oracles ++
+      ext.Dedup.oracles ++ ext.Similarity.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

@@ -1,0 +1,218 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Hashing._
+
+/** Deduplication kit for a training-data pipeline:
+  *
+  *  - exact (content-hash groupBy),
+  *  - fingerprint (normalized-text hash, keep min doc_id),
+  *  - SimHash (per-doc 31-bit signature),
+  *  - MinHash + LSH banding (candidate pairs → exact-Jaccard verify),
+  *  - n-gram Jaccard (exact, on a deterministic query sample),
+  *  - embedding-cosine near-dup (exact integer-quantized cosine).
+  *
+  * Scale design: every pipeline is shuffle-bounded by keys (hash, band
+  * bucket), never all-pairs. The only all-pairs work is (a) inside an LSH
+  * bucket — candidates that already share a band — and (b) the explicitly
+  * sampled exact-Jaccard baseline. At 100 TB: the explode(shingle) →
+  * groupBy(doc) signature computation is a single map-side-combinable
+  * aggregation; band buckets shuffle-partition the near-dup search.
+  *
+  * Determinism: all hashes are the exact integer folds of
+  * [[graft.ext.Hashing]], mirrored in the DuckDB oracles.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash. All-singleton on the synthetic
+    * corpus, but the pipeline is the production one. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  val exactSql: String =
+    "SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper " +
+      "FROM documents GROUP BY md5(text)"
+
+  /** Fingerprint dedup: normalized text (lowercase, collapsed whitespace)
+    * hashed; survivors = min doc_id per fingerprint. */
+  def fingerprintDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+
+  val fingerprintDedupSql: String =
+    """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS keeper, COUNT(*) AS cnt
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Per-doc 31-bit SimHash over word hashes: bit i of the signature is
+    * the sign of sum_w (2*bit_i(h(w)) - 1). Computed with HOFs over one
+    * row per doc — no shuffle at all. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wordHashes(col("text")).as("whs"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(sequence(0, 30), i ->
+          |    CASE WHEN aggregate(whs, CAST(0 AS BIGINT),
+          |                        (acc, w) -> acc + ((shiftright(w, i) & 1) * 2 - 1)) > 0
+          |         THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+
+  val simhashSql: String =
+    s"""SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(0, 31), i ->
+       |    CASE WHEN list_sum(list_prepend(0::BIGINT,
+       |                 list_transform(whs, w -> ((w >> i) & 1) * 2 - 1))) > 0
+       |         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** (doc_id, sh: array<long>) — distinct 3-word-shingle hashes. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        shingleHashes(wordHashes(col("text")), 3).as("sh"))
+
+  private val bandsOf = 4 // 16 perms → 4 bands × 4 rows
+
+  /** MinHash signatures: explode shingles → one hash-aggregation with 16
+    * min() columns (map-side partial agg; the shuffle carries one row per
+    * doc). */
+  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = (0 until NumPerms).map(i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % P).as(s"s$i"))
+    shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandHash(sigCols: Seq[Column]): Column =
+    sigCols.foldLeft(lit(0L))((acc, s) => (acc * 31 + s) % P)
+
+  /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
+    * exact shingle-Jaccard verification at 0.8. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSigs(spark, sfDir)
+    val bandCols = (0 until bandsOf).map { b =>
+      struct(lit(b).as("band"),
+        bandHash((0 until NumPerms / bandsOf)
+          .map(r => col(s"s${b * (NumPerms / bandsOf) + r}"))).as("bh"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cands = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(spark, sfDir, cands, threshold = 0.8)
+  }
+
+  /** Join candidate pairs back to shingle sets; exact Jaccard. */
+  private def verifyJaccard(spark: SparkSession, sfDir: String,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / uni.cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  private def shingledSqlCte: String =
+    s"""sh0 AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
+       |sh AS (SELECT doc_id, ${shingleHashesSql("whs", 3)} AS sh FROM sh0)""".stripMargin
+
+  val minhashLshSql: String = {
+    val minCols = (0 until NumPerms)
+      .map(i => s"MIN((${permA(i)}*h + ${permB(i)}) % $P) AS s${i}").mkString(",\n    ")
+    val bandRows = (0 until bandsOf).map { b =>
+      val fold = (0 until NumPerms / bandsOf)
+        .map(r => s"s${b * (NumPerms / bandsOf) + r}")
+        .foldLeft("0::BIGINT")((acc, s) => s"(($acc)*31 + $s) % $P")
+      s"SELECT doc_id, $b AS band, $fold AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingledSqlCte,
+       |sigs AS (
+       |  SELECT doc_id, $minCols
+       |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh) GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+       |FROM cands JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard baseline on a deterministic 5% query sample
+    * (doc_id % 20 = 0) against the full corpus — the ground truth the LSH
+    * path approximates. Deliberately not all-pairs: the sample bounds the
+    * quadratic term; at 100 TB this is the audit query, not the dedup. */
+  def ngramJaccardSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val q = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    q.crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / uni.cast("double")).as("jac"))
+      .filter(col("jac") >= 0.3)
+  }
+
+  val ngramJaccardSampleSql: String =
+    s"""WITH $shingledSqlCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+       |FROM sh a JOIN sh b ON a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3""".stripMargin
+
+  /** Embedding-cosine near-dup pairs over integer-quantized vectors (see
+    * Similarity for the quantization rationale). Sampled query side keeps
+    * the pair count bounded. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosinePairs(spark, sfDir, querySampleMod = 10)
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+
+  val embeddingNearDupSql: String =
+    s"""SELECT vec_a, vec_b, cos FROM (${Similarity.cosinePairsSql(10)})
+       |WHERE cos >= 0.45""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_fingerprint" -> (fingerprintDedup _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_ngram_jaccard" -> (ngramJaccardSample _),
+    "dedup_embedding_cosine" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_fingerprint" -> fingerprintDedupSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSampleSql,
+    "dedup_embedding_cosine" -> embeddingNearDupSql)
+}

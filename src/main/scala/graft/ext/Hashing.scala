@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine hash family.
+  *
+  * Everything in the dedup/similarity layer needs hashes that are (a)
+  * computable inside Catalyst (codegen-able built-ins / HOFs, no UDF) and
+  * (b) reproducible bit-for-bit in the DuckDB oracle. Spark's own
+  * hash()/xxhash64() and DuckDB's hash() are different algorithms, so we
+  * use explicit polynomial folds over exact Long arithmetic:
+  *
+  *   h(s)        = fold chars: (acc*31 + codepoint)  mod P
+  *   shingle(ws) = fold word hashes: (acc*1000003 + h) mod P
+  *   perm_i(h)   = (a_i*h + b_i) mod P          (universal hashing)
+  *
+  * with P = 2^31-1 (prime). All intermediates fit in Long: acc < 2^31,
+  * so acc*1000003 < 2^51 and a_i*h < 2^62.
+  */
+object Hashing {
+
+  val P = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** MinHash permutation constants (fixed seed, shared with oracle SQL).
+    * Simple LCG-spread odd multipliers; any a in [1, P-1] is invertible
+    * mod the prime P. */
+  val NumPerms = 16
+  val permA: Seq[Long] = (0 until NumPerms).map(i => (2654435761L * (i + 1)) % (P - 1) + 1)
+  val permB: Seq[Long] = (0 until NumPerms).map(i => (40503L * (i + 1) * 2654435789L) % P)
+
+  /** 31-bit polynomial hash of a whole string column (char fold). */
+  def stringHash(c: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(c, lit("[\\s\\S]"), lit(0)),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % P)
+
+  /** Same, as DuckDB SQL over an arbitrary string expression. */
+  def stringHashSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"regexp_extract_all($e, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*31 + b) % 2147483647)"
+
+  /** Array of word hashes from a text column (lowercased ASCII words). */
+  def wordHashes(text: Column): Column =
+    transform(
+      filter(split(lower(text), "[^a-z]+"), t => length(t) > lit(0)),
+      w => aggregate(
+        transform(regexp_extract_all(w, lit("[\\s\\S]"), lit(0)),
+          ch => ascii(ch).cast("long")),
+        lit(0L), (acc, x) => (acc * 31 + x) % P))
+
+  def wordHashesSql(e: String): String =
+    s"list_transform(list_filter(regexp_split_to_array(lower($e), '[^a-z]+'), t -> t <> ''), " +
+      s"w -> ${stringHashSql("w")})"
+
+  /** k-word shingle hashes (k consecutive word hashes folded), distinct.
+    * `whs` must be a word-hash array column. */
+  def shingleHashes(whs: Column, k: Int): Column =
+    array_distinct(
+      when(size(whs) >= k,
+        transform(
+          sequence(lit(0), size(whs) - k),
+          i => aggregate(slice(whs, i + 1, lit(k)), lit(0L),
+            (acc, x) => (acc * 1000003 + x) % P)))
+        .otherwise(array().cast("array<bigint>")))
+
+  def shingleHashesSql(whsExpr: String, k: Int): String =
+    s"list_distinct(list_transform(range(0, greatest(len($whsExpr) - ${k - 1}, 0)), " +
+      s"i -> list_reduce(list_prepend(0::BIGINT, list_slice($whsExpr, i + 1, i + $k)), " +
+      s"(a, b) -> (a*1000003 + b) % 2147483647)))"
+}

@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure
+  * Catalyst built-ins / higher-order functions — no UDFs — so column
+  * pruning reaches the scan and the per-row work distributes trivially
+  * (no shuffle at all for per-doc outputs; these pipelines are
+  * embarrassingly parallel at 100 TB).
+  *
+  * Cross-engine determinism: every number is either an exact integer
+  * count or a fixed-shape double expression over exact integers, so the
+  * DuckDB oracle matches bit-for-bit.
+  */
+object TextAnalysis {
+
+  // Shared regex vocabulary (ASCII classes only: Java and RE2 agree).
+  val WsPattern = "\\s+"
+  val BpePattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]" // word pieces + lone punct
+  val PunctPattern = "[^a-zA-Z0-9\\s]"
+  val LowerWordPattern = "[^a-z]+"
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Single source of truth for BOTH the Spark pipeline and
+    * the generated oracle SQL. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "zh" -> Seq("shi", "bu", "wo", "zhe", "ren", "you"))
+
+  private def lowerWords(text: Column): Column =
+    filter(split(lower(text), LowerWordPattern), t => length(t) > lit(0))
+
+  private def countIn(words: Column, dict: Seq[String]): Column =
+    size(filter(words, t => array_contains(array(dict.map(lit): _*), t)))
+
+  /** Exact per-document counting stats. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(filter(split(col("text"), WsPattern), t => length(t) > lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_pieces"),
+      size(regexp_extract_all(col("text"), lit(PunctPattern), lit(0)))
+        .cast("long").as("n_punct"),
+      aggregate(
+        transform(filter(split(lower(col("text")), LowerWordPattern),
+          t => length(t) > lit(0)), w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("sum_word_len"))
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> ''),
+       |    w -> CAST(length(w) AS BIGINT)))) AS BIGINT) AS sum_word_len
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword / punctuation / length signals combined
+    * into one deterministic [0,1] score (identical expression shape in
+    * the oracle, so double bits match). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = lowerWords(col("text"))
+    val nWords = size(words).cast("long")
+    val nStop = countIn(words, stopwords.toMap.apply("en")).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit(PunctPattern), lit(0)))
+      .cast("long")
+    val nChars = length(col("text")).cast("long")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val lenSignal = least(lit(1.0), nWords.cast("double") / 100.0)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), nWords.as("n_words"), nStop.as("n_stopwords"),
+      stopRatio.as("stopword_ratio"), punctRatio.as("punct_ratio"),
+      (stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3 + lenSignal * 0.3)
+        .as("quality_score"))
+  }
+
+  private def sqlStopList(lang: String): String =
+    stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val textQualitySql: String = {
+    val words = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')"
+    s"""SELECT doc_id, n_words, n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE)/CAST(n_words AS DOUBLE) AS stopword_ratio,
+       |  CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio,
+       |  (CAST(n_stopwords AS DOUBLE)/CAST(n_words AS DOUBLE))*0.4
+       |    + (1.0 - CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE))*0.3
+       |    + least(1.0, CAST(n_words AS DOUBLE)/100.0)*0.3 AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len($words) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter($words, t -> list_contains(${sqlStopList("en")}, t))) AS BIGINT) AS n_stopwords,
+       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Stopword-count language ID with a fixed CASE-chain argmax (identical
+    * tie-breaking in both engines). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = lowerWords(col("text"))
+    val cnt = stopwords.map { case (l, dict) => l -> countIn(words, dict) }.toMap
+    val pred =
+      when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es") &&
+        cnt("en") >= cnt("fr") && cnt("en") >= cnt("zh"), "en")
+        .when(cnt("de") >= cnt("es") && cnt("de") >= cnt("fr") &&
+          cnt("de") >= cnt("zh"), "de")
+        .when(cnt("es") >= cnt("fr") && cnt("es") >= cnt("zh"), "es")
+        .when(cnt("fr") >= cnt("zh"), "fr")
+        .otherwise("zh")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"), pred.as("pred_lang"),
+      (pred === col("lang")).as("is_match"))
+  }
+
+  val langIdSql: String = {
+    val words = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')"
+    def c(l: String) = s"len(list_filter($words, t -> list_contains(${sqlStopList(l)}, t)))"
+    s"""SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+       |         WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+       |         WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+       |         WHEN c_fr >= c_zh THEN 'fr'
+       |         ELSE 'zh' END AS pred_lang
+       |  FROM (
+       |    SELECT doc_id, lang, ${c("en")} AS c_en, ${c("de")} AS c_de,
+       |      ${c("es")} AS c_es, ${c("fr")} AS c_fr, ${c("zh")} AS c_zh
+       |    FROM documents))""".stripMargin
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized lowercase text
+    * plus a 31-bit polynomial rolling hash (exact integer fold — the same
+    * hash family the dedup layer uses; see graft.ext.Hashing). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), WsPattern, " ")).as("fp_md5"),
+      Hashing.stringHash(col("text")).as("fp_roll"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+       |  ${Hashing.stringHashSql("text")} AS fp_roll
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "lang_id" -> langIdSql,
+    "doc_fingerprint" -> fingerprintSql)
+}

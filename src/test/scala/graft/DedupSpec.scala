@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Hashing}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds exactly the high-jaccard planted pairs") {
+    // Ground truth: brute-force exact jaccard over all pairs at 0.8.
+    val sh = Tables.documents(spark, sf).select($"doc_id",
+      Hashing.shingleHashes(Hashing.wordHashes($"text"), 3).as("sh"))
+    val a = sh.select($"doc_id".as("da"), $"sh".as("sha"))
+    val b = sh.select($"doc_id".as("db"), $"sh".as("shb"))
+    val inter = size(array_intersect($"sha", $"shb"))
+    val uni = size($"sha") + size($"shb") - inter
+    val truth = a.crossJoin(b).filter($"da" < $"db")
+      .withColumn("jac", inter.cast("double") / uni.cast("double"))
+      .filter($"jac" >= 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // At jaccard ≈ 0.98 the 4x4 banding captures with prob ~1-1e-7:
+    // on this corpus LSH must equal the exact truth set.
+    assert(lsh == truth)
+    assert(lsh.nonEmpty, "corpus has planted near-dup pairs")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sims = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val planted = pairs.map { case (x, y) =>
+      java.lang.Long.bitCount(sims(x) ^ sims(y))
+    }
+    // 31-bit simhash: planted near-dups ≤ 8 bits apart...
+    assert(planted.forall(_ <= 8), s"planted hamming: ${planted.toSeq}")
+    // ...and clearly closer than random pairs. (This corpus shares one
+    // tiny vocabulary, so even random pairs sit ~6 bits apart — the
+    // discriminating signal is the planted-vs-random gap, not an
+    // absolute threshold.)
+    val rnd = new scala.util.Random(1)
+    val ids = sims.keys.toArray
+    val randomAvg = (1 to 1000).map { _ =>
+      java.lang.Long.bitCount(sims(ids(rnd.nextInt(ids.length))) ^
+        sims(ids(rnd.nextInt(ids.length))))
+    }.sum / 1000.0
+    val plantedAvg = planted.map(_.toDouble).sum / planted.length
+    assert(plantedAvg < randomAvg / 2,
+      s"planted avg $plantedAvg vs random avg $randomAvg")
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Tables.documents(spark, sf)
+    val doubled = docs.unionAll(docs.withColumn("doc_id", $"doc_id" + 1000000))
+    val grouped = doubled.groupBy(md5($"text").as("h"))
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+    val rows = grouped.as[(String, Long, Long)].collect()
+    assert(rows.forall(_._2 == 2)) // every text now appears exactly twice
+    assert(rows.forall(_._3 < 1000000)) // keeper is always the original
+  }
+
+  test("shingleHashes: empty/short texts yield empty set, no crash") {
+    val df = Seq("", "one two", "one two three four").toDF("text")
+      .select(Hashing.shingleHashes(Hashing.wordHashes($"text"), 3).as("sh"))
+    val sizes = df.select(size($"sh")).as[Int].collect().toSeq
+    assert(sizes == Seq(0, 0, 2))
+  }
+}

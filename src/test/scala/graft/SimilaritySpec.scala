@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn brute force: top-3 per query, correctly ranked") {
+    val rows = Similarity.knnBruteForce(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    for ((q, ns) <- byQuery) {
+      assert(ns.length == 3, s"query $q")
+      assert(ns.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+      val ordered = ns.sortBy(_._4).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"descending cos for $q")
+      assert(ns.forall(n => n._2 != q), "self excluded")
+      assert(ns.forall(n => n._3 >= -1.0 && n._3 <= 1.0))
+    }
+  }
+
+  test("knn brute force matches a driver-side exact computation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, emb, _) =>
+        id -> emb.map(x => math.round(x.toDouble * 10000))
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val got = Similarity.knnBruteForce(spark, sf)
+      .select($"vec_a", $"vec_b", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val queries = vecs.keys.filter(_ % 50 == 0)
+    val want = queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("knn LSH returns a subset of each bucket, ranked like brute force") {
+    val lsh = Similarity.knnLsh(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+    // sanity: every LSH hit's cosine equals the brute-force pair cosine
+    val brute = Similarity.cosinePairs(spark, sf, querySampleMod = 50)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => brute((r._1, r._2)) == r._3))
+  }
+}
