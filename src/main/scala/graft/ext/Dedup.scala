@@ -51,18 +51,13 @@ object Dedup {
       |FROM documents GROUP BY 1""".stripMargin
 
   /** Per-doc 31-bit SimHash over word hashes: bit i of the signature is
-    * the sign of sum_w (2*bit_i(h(w)) - 1). Computed with HOFs over one
-    * row per doc — no shuffle at all. */
+    * the sign of sum_w (2*bit_i(h(w)) - 1). One codegen'd pass per row —
+    * no shuffle at all. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), wordHashes(col("text")).as("whs"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(sequence(0, 30), i ->
-          |    CASE WHEN aggregate(whs, CAST(0 AS BIGINT),
-          |                        (acc, w) -> acc + ((shiftright(w, i) & 1) * 2 - 1)) > 0
-          |         THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(wordHashes(col("text")))
+          .as("simhash"))
 
   val simhashSql: String =
     s"""SELECT doc_id,
@@ -82,33 +77,25 @@ object Dedup {
 
   private val bandsOf = 4 // 16 perms → 4 bands × 4 rows
 
-  /** MinHash signatures: explode shingles → one hash-aggregation with 16
-    * min() columns (map-side partial agg; the shuffle carries one row per
-    * doc). */
-  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val aggs = (0 until NumPerms).map(i =>
-      min((lit(permA(i)) * col("h") + lit(permB(i))) % P).as(s"s$i"))
+  /** MinHash signatures, one codegen'd pass per doc — NO shuffle at all
+    * (the round-1 explode + groupBy + 16×min formulation is semantically
+    * identical but shuffled one row per doc; this computes the same 16
+    * mins inline). Docs with zero shingles are dropped, matching the
+    * explode path. */
+  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
     shingled(spark, sfDir)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
-
-  private def bandHash(sigCols: Seq[Column]): Column =
-    sigCols.foldLeft(lit(0L))((acc, s) => (acc * 31 + s) % P)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("sh")).as("sig"))
 
   /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
-    * exact shingle-Jaccard verification at 0.8. */
+    * exact shingle-Jaccard verification at 0.8. The only shuffles are the
+    * band self-join and the two verify joins — all keyed, no all-pairs. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = minhashSigs(spark, sfDir)
-    val bandCols = (0 until bandsOf).map { b =>
-      struct(lit(b).as("band"),
-        bandHash((0 until NumPerms / bandsOf)
-          .map(r => col(s"s${b * (NumPerms / bandsOf) + r}"))).as("bh"))
-    }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bands = minhashSigs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhashBands(col("sig"), bandsOf)))
+      .toDF("doc_id", "band", "bh")
     val cands = bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -117,12 +104,14 @@ object Dedup {
     verifyJaccard(spark, sfDir, cands, threshold = 0.8)
   }
 
-  /** Join candidate pairs back to shingle sets; exact Jaccard. */
+  /** Join candidate pairs back to shingle sets; exact Jaccard via the
+    * two-pointer sorted-set intersect kernel. */
   private def verifyJaccard(spark: SparkSession, sfDir: String,
       cands: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(spark, sfDir)
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    val uni = size(col("sha")) + size(col("shb")) - inter
+    val inter =
+      graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
+    val uni = size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -170,9 +159,11 @@ object Dedup {
     val sh = shingled(spark, sfDir)
     val q = sh.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    val uni = size(col("sha")) + size(col("shb")) - inter
-    q.crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+    val inter =
+      graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
+    val uni = size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter
+    broadcast(q)
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / uni.cast("double")).as("jac"))

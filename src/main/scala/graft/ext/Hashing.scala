@@ -29,8 +29,13 @@ object Hashing {
   val permA: Seq[Long] = (0 until NumPerms).map(i => (2654435761L * (i + 1)) % (P - 1) + 1)
   val permB: Seq[Long] = (0 until NumPerms).map(i => (40503L * (i + 1) * 2654435789L) % P)
 
-  /** 31-bit polynomial hash of a whole string column (char fold). */
-  def stringHash(c: Column): Column =
+  /** 31-bit polynomial hash of a whole string column (char fold).
+    * Production path: native codegen'd expression (graft.functions). */
+  def stringHash(c: Column): Column = graft.functions.GraftFunctions.polyHash(c)
+
+  /** HOF rendition of [[stringHash]] — kept as the executable spec the
+    * native kernel is parity-tested against (HashParitySpec). */
+  def stringHashHof(c: Column): Column =
     aggregate(
       transform(regexp_extract_all(c, lit("[\\s\\S]"), lit(0)),
         ch => ascii(ch).cast("long")),
@@ -42,8 +47,13 @@ object Hashing {
       s"regexp_extract_all($e, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a*31 + b) % 2147483647)"
 
-  /** Array of word hashes from a text column (lowercased ASCII words). */
+  /** Array of word hashes from a text column (lowercased ASCII words).
+    * Production path: one-pass native expression. */
   def wordHashes(text: Column): Column =
+    graft.functions.GraftFunctions.wordHashes(text)
+
+  /** HOF rendition of [[wordHashes]] (parity spec only). */
+  def wordHashesHof(text: Column): Column =
     transform(
       filter(split(lower(text), "[^a-z]+"), t => length(t) > lit(0)),
       w => aggregate(
@@ -55,9 +65,15 @@ object Hashing {
     s"list_transform(list_filter(regexp_split_to_array(lower($e), '[^a-z]+'), t -> t <> ''), " +
       s"w -> ${stringHashSql("w")})"
 
-  /** k-word shingle hashes (k consecutive word hashes folded), distinct.
-    * `whs` must be a word-hash array column. */
+  /** k-word shingle hashes (k consecutive word hashes folded), distinct
+    * (native kernel returns them SORTED — set semantics, enabling the
+    * two-pointer intersect). `whs` must be a word-hash array column. */
   def shingleHashes(whs: Column, k: Int): Column =
+    graft.functions.GraftFunctions.shingleHashes(whs, k)
+
+  /** HOF rendition of [[shingleHashes]] (parity spec only; first-occurrence
+    * order rather than sorted — compare as sets). */
+  def shingleHashesHof(whs: Column, k: Int): Column =
     array_distinct(
       when(size(whs) >= k,
         transform(

@@ -1,10 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
@@ -15,35 +16,37 @@ import graft.Tables
   * deterministic), dot products and norms are exact Long sums, and the
   * final score is a single double divide + sqrt — bit-identical in Spark
   * and DuckDB. |x| ≤ 0.5 ⇒ |q| ≤ 5000 ⇒ 64-dim dot ≤ 1.6e9, far inside
-  * Long range.
+  * Long range. Dot products run through the codegen'd graft_dot_long
+  * kernel (one fused loop per pair — no per-pair array materialization).
   *
   * Scale shapes:
   *  - brute-force top-k: broadcast the (small) query set, nested-loop
   *    against the corpus, per-query window top-k. The corpus side streams;
   *    no all-pairs shuffle. This is the audit/baseline path.
-  *  - LSH ANN: 16 random-hyperplane bits (planes derived from integer
-  *    hashing — no stored model), bucket equi-join, top-k within bucket.
-  *    At 100 TB the bucket join is an ordinary shuffled equi-join on the
-  *    16-bit key; recall tunes with plane count / multiple tables.
+  *  - multi-table LSH ANN: L=4 tables × 8 random-hyperplane sign bits
+  *    (planes derived from integer hashing — no stored model), candidate =
+  *    same bucket in ANY table (classic OR-amplification: per-table AND of
+  *    8 bits keeps buckets selective, 4 tables recover recall). At 100 TB
+  *    the bucket join is an ordinary shuffled equi-join on (table, bucket);
+  *    recall tunes with bits/tables.
   */
 object Similarity {
 
   /** (vec_id, qv: array<long>, nrm: long) */
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 10000).cast("long")).as("qv"))
-      .withColumn("nrm",
-        aggregate(transform(col("qv"), v => v * v), lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), qv.as("qv"))
+      .withColumn("nrm", GraftFunctions.dotLong(col("qv"), col("qv")))
+  }
 
   private val quantizedSqlCte: String =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM e)""".stripMargin
 
   private def cosCol = {
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dot = GraftFunctions.dotLong(col("qa"), col("qb"))
     dot.cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double"))
   }
 
@@ -85,52 +88,60 @@ object Similarity {
 
   // ------------------------------------------------------------- LSH ANN
 
-  /** 16 pseudo-random integer hyperplanes; component d of plane j is
-    * ((j*2654435761 + d*40503) % 2047) - 1023 — derived, not stored, and
-    * identical in the oracle SQL. */
-  private val lshBucketExpr: String =
-    """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-      |  acc + CASE WHEN aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a2, d) ->
-      |                a2 + element_at(qv, d + 1) * (((j*2654435761 + d*40503) % 2047) - 1023)) > 0
-      |             THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+  private val LshTables = 4
+  private val LshBits = 8
 
-  private val lshBucketSql: String =
-    """CAST(list_sum(list_transform(range(0, 16), j ->
-      |  CASE WHEN list_sum(list_transform(range(0, 64), d ->
-      |                qv[CAST(d + 1 AS INTEGER)] * (((j*2654435761 + d*40503) % 2047) - 1023))) > 0
-      |       THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
-
-  /** ANN: same-bucket candidates only, then exact top-3 within bucket.
-    * Recall < 1 by construction; the scale path (bucket equi-join instead
-    * of corpus broadcast-nested-loop). */
+  /** ANN: candidates share a bucket in ≥1 of 4 hyperplane tables, then
+    * exact top-3 by cosine among candidates. Plane j's component d is
+    * ((j*2654435761 + d*40503) mod 2047) - 1023 — derived, not stored,
+    * identical in the oracle SQL (j = table*8 + bit). */
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucketed = quantized(spark, sfDir).withColumn("bucket", expr(lshBucketExpr))
+    val base = quantized(spark, sfDir)
+    val bucketed = base
+      .select(col("vec_id"),
+        posexplode(GraftFunctions.hyperplaneBuckets(col("qv"), LshTables, LshBits)))
+      .toDF("vec_id", "tbl", "bucket")
     val q = bucketed.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-        col("nrm").as("na"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
-      col("nrm").as("nb"), col("bucket"))
+      .select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    val cands = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = base.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+      col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b"))
-    q.join(c, Seq("bucket"))
-      .filter(col("vec_a") =!= col("vec_b"))
+    cands.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"), cosCol.as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
   }
 
-  val knnLshSql: String =
+  val knnLshSql: String = {
+    val cosExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
     s"""WITH $quantizedSqlCte,
-       |b AS (SELECT vec_id, qv, nrm, $lshBucketSql AS bucket FROM n)
+       |tb AS (SELECT unnest(range(0, $LshTables)) AS t),
+       |b AS (SELECT vec_id, t,
+       |  CAST(list_sum(list_transform(range(0, $LshBits), bb ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+       |      qv[CAST(d+1 AS INTEGER)] * ((((t*$LshBits + bb)*2654435761 + d*40503) % 2047) - 1023))) > 0
+       |    THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+       |  FROM n, tb),
+       |cands AS (SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
-       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       |    CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
-       |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cos,
-       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |      CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
-       |        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) DESC, c.vec_id) AS rank
-       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id % 50 = 0 AND a.vec_id <> c.vec_id)
+       |  SELECT vec_a, vec_b,
+       |    $cosExpr AS cos,
+       |    row_number() OVER (PARTITION BY vec_a ORDER BY
+       |      $cosExpr DESC, vec_b) AS rank
+       |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n c ON c.vec_id = vec_b)
        |WHERE rank <= 3""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteForce _),

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot hash/similarity kernels.
+  *
+  * Why expressions and not HOF columns or UDFs: the original
+  * higher-order-function formulations (per-character `regexp_extract_all`
+  * + interpreted `aggregate` folds) dominated the round-1 bench (199 s of
+  * 217 s at sf0.1). These expressions compute the identical integer math
+  * in one compiled pass per row, participate in whole-stage codegen
+  * (`doGenCode` emits a static call into [[HashKernels]]), and keep the
+  * DuckDB oracles unchanged. No UDF registration/serialization overhead,
+  * no Row conversion.
+  */
+object GraftExpressions {
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+
+  case class PolyHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_poly_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.polyHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.polyHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class WordHashes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_word_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.wordHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.shingleHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class MinHashSig(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_minhash_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.minhashSig(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class MinHashBands(child: Expression, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_minhash_bands"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.minhashBands(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashBands($c, $bands)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class SimHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.simHash(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class HyperplaneBuckets(child: Expression, nTables: Int, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_hyperplane_buckets"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.hyperplaneBuckets(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nTables, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.hyperplaneBuckets($c, $nTables, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sorted_intersect_size"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.sortedIntersectSize(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.sortedIntersectSize($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class DotLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_long"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.dotLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotLong($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Function-registry builders: name -> Seq[Expression] => Expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> (args => PolyHash(args.head)),
+    "graft_word_hashes" -> (args => WordHashes(args.head)),
+    "graft_shingle_hashes" ->
+      (args => ShingleHashes(args.head, intLit(args(1), "k"))),
+    "graft_minhash_sig" -> (args => MinHashSig(args.head)),
+    "graft_minhash_bands" ->
+      (args => MinHashBands(args.head, intLit(args(1), "bands"))),
+    "graft_simhash" -> (args => SimHash(args.head)),
+    "graft_hyperplane_buckets" -> (args =>
+      HyperplaneBuckets(args.head, intLit(args(1), "nTables"), intLit(args(2), "bits"))),
+    "graft_sorted_intersect_size" ->
+      (args => SortedIntersectSize(args.head, args(1))),
+    "graft_dot_long" -> (args => DotLong(args.head, args(1))))
+}
+
+/** Session-scoped registration + typed Column helpers. `register` is
+  * idempotent and called from [[graft.Tables]], so every query/test path
+  * that touches a table can use the graft_* functions. */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit =
+    GraftExpressions.builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def polyHash(c: Column): Column = call_function("graft_poly_hash", c)
+  def wordHashes(c: Column): Column = call_function("graft_word_hashes", c)
+  def shingleHashes(whs: Column, k: Int): Column =
+    call_function("graft_shingle_hashes", whs, lit(k))
+  def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
+  def minhashBands(sig: Column, bands: Int): Column =
+    call_function("graft_minhash_bands", sig, lit(bands))
+  def simhash(whs: Column): Column = call_function("graft_simhash", whs)
+  def hyperplaneBuckets(qv: Column, nTables: Int, bits: Int): Column =
+    call_function("graft_hyperplane_buckets", qv,
+      lit(nTables), lit(bits))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_size", a, b)
+  def dotLong(a: Column, b: Column): Column = call_function("graft_dot_long", a, b)
+}

@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the graft_* Catalyst expressions
+  * ([[GraftExpressions]]). Each computes the exact integer fold that the
+  * DuckDB oracle SQL states (graft.ext.Hashing documents the hash family),
+  * so results are bit-identical across engines — these are performance
+  * twins of the original higher-order-function columns, not new semantics.
+  *
+  * Scala objects emit static forwarders, so generated whole-stage code can
+  * call `graft.functions.HashKernels.m(...)` directly.
+  */
+object HashKernels {
+
+  val P = 2147483647L // 2^31 - 1
+
+  // MinHash permutation constants — MUST stay equal to graft.ext.Hashing.
+  val NumPerms = 16
+  private val permA: Array[Long] =
+    Array.tabulate(NumPerms)(i => (2654435761L * (i + 1)) % (P - 1) + 1)
+  private val permB: Array[Long] =
+    Array.tabulate(NumPerms)(i => (40503L * (i + 1) * 2654435789L) % P)
+
+  /** 31-bit polynomial hash over code points: fold (acc*31 + cp) mod P.
+    * Equals the `ascii(char)`-fold HOF for any input (Spark `ascii` and
+    * DuckDB `ascii` both return the code point of a 1-char string). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Hashes of lowercased `[a-z]+` word runs, in order — the one-pass twin
+    * of `split(lower(text), "[^a-z]+")` + per-word polyHash. Any byte
+    * outside ASCII letters is a separator; multi-byte UTF-8 code units are
+    * all ≥ 0x80, so non-ASCII text separates words on both paths (the
+    * corpus is ASCII — FIXTURES.md). */
+  def wordHashes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var out = new Array[Long](math.max(8, bytes.length / 6))
+    var m = 0
+    var acc = 0L
+    var inWord = false
+    var i = 0
+    while (i < bytes.length) {
+      var c = bytes(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') {
+        acc = (acc * 31 + c) % P
+        inWord = true
+      } else if (inWord) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = acc; m += 1
+        acc = 0L; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m + 1)
+      out(m) = acc; m += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Distinct k-word shingle hashes, returned SORTED ascending (set
+    * semantics — downstream consumers are min/intersect/size, all
+    * order-insensitive; sortedness enables the two-pointer intersect). */
+  def shingleHashes(whs: ArrayData, k: Int): ArrayData = {
+    val n = whs.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = n - k + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 1000003 + whs.getLong(i + j)) % P; j += 1 }
+      arr(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (arr(r) != arr(w)) { w += 1; arr(w) = arr(r) }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(arr, w + 1))
+  }
+
+  /** 16-permutation MinHash signature of a shingle set: one pass, no
+    * shuffle (twin of explode + groupBy + 16×min). Empty input yields
+    * MaxValue sentinels — callers filter size(sh) > 0 first, matching the
+    * explode path which drops empty docs. */
+  def minhashSig(sh: ArrayData): ArrayData = {
+    val sig = new Array[Long](NumPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var p = 0
+      while (p < NumPerms) {
+        val v = (permA(p) * h + permB(p)) % P
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** LSH band hashes over a 16-long signature: `bands` contiguous groups,
+    * each folded (acc*31 + s) mod P — same fold as the oracle SQL. */
+  def minhashBands(sig: ArrayData, bands: Int): ArrayData = {
+    val rows = NumPerms / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rows) { acc = (acc * 31 + sig.getLong(b * rows + r)) % P; r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** |a ∩ b| for SORTED long arrays (two-pointer merge, no allocation). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  /** Exact Long dot product of two equal-length long arrays. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** 31-bit SimHash of a word-hash array: bit i set iff
+    * sum_w (2*bit_i(h(w)) - 1) > 0 — one pass over 31 counters. */
+  def simHash(whs: ArrayData): Long = {
+    val counts = new Array[Long](31)
+    val n = whs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = whs.getLong(i)
+      var bit = 0
+      while (bit < 31) { counts(bit) += ((h >> bit) & 1L) * 2 - 1; bit += 1 }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 31) { if (counts(bit) > 0) out |= 1L << bit; bit += 1 }
+    out
+  }
+
+  /** Multi-table random-hyperplane LSH buckets over a quantized vector:
+    * `nTables` buckets of `bits` sign-bits each. Plane j's component d is
+    * the derived integer ((j*2654435761 + d*40503) mod 2047) - 1023 —
+    * stateless, reproduced verbatim in the oracle SQL. */
+  def hyperplaneBuckets(qv: ArrayData, nTables: Int, bits: Int): ArrayData = {
+    val dim = qv.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val j = t * bits + b
+        var dot = 0L
+        var d = 0
+        while (d < dim) {
+          dot += qv.getLong(d) * (((j * 2654435761L + d * 40503L) % 2047) - 1023)
+          d += 1
+        }
+        if (dot > 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

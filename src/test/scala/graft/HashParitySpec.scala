@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.ext.Hashing
+import graft.functions.{GraftFunctions, HashKernels}
+
+/** The native kernels (graft.functions) are performance twins of the
+  * original higher-order-function columns; these specs pin the parity on
+  * (a) the real corpus and (b) generated strings, so a kernel change can
+  * never silently diverge from the DuckDB-oracle hash family. */
+class HashParitySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("polyHash kernel == HOF char fold on the corpus") {
+    val n = docs
+      .select(Hashing.stringHash(col("text")).as("a"),
+        Hashing.stringHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("wordHashes kernel == HOF split+fold on the corpus") {
+    val n = docs
+      .select(Hashing.wordHashes(col("text")).as("a"),
+        Hashing.wordHashesHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("shingleHashes kernel == HOF as sets on the corpus") {
+    val n = docs
+      .select(
+        Hashing.shingleHashes(Hashing.wordHashes(col("text")), 3).as("a"),
+        array_sort(Hashing.shingleHashesHof(Hashing.wordHashesHof(col("text")), 3))
+          .as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("minhashSig kernel == explode+groupBy+min on the corpus") {
+    import graft.ext.Hashing.{NumPerms, P, permA, permB}
+    val sh = docs.select(col("doc_id"),
+      Hashing.shingleHashes(Hashing.wordHashes(col("text")), 3).as("sh"))
+    val aggs = (0 until NumPerms).map(i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % P).as(s"s$i"))
+    val viaAgg = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+    val viaKernel = sh.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
+    assert(viaKernel.join(viaAgg, "doc_id")
+      .filter(viaKernel("sig") =!= viaAgg("sig")).count() == 0)
+    assert(viaKernel.count() == viaAgg.count())
+  }
+
+  test("simhash kernel == HOF bit-count fold on the corpus") {
+    val hof = expr(
+      """aggregate(
+        |  transform(sequence(0, 30), i ->
+        |    CASE WHEN aggregate(whs, CAST(0 AS BIGINT),
+        |                        (acc, w) -> acc + ((shiftright(w, i) & 1) * 2 - 1)) > 0
+        |         THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    val n = docs.select(Hashing.wordHashes(col("text")).as("whs"))
+      .select(GraftFunctions.simhash(col("whs")).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
+  test("dotLong / sortedIntersectSize == array HOF equivalents") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 3L, 5L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(-4L, 0L, 9L), Array(-4L, 0L, 9L))).toDF("a", "b")
+    val checked = pairs.select(
+      GraftFunctions.sortedIntersectSize(col("a"), col("b")).as("i"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ihof"),
+      GraftFunctions.dotLong(col("a"), col("b")).as("d"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x).as("dhof"))
+    assert(checked.filter(col("i") =!= col("ihof") || col("d") =!= col("dhof"))
+      .count() == 0)
+  }
+
+  test("wordHashes property: kernel == JVM reference on ASCII-ish strings") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaChar, Gen.oneOf(' ', '.', ',', '!', '0', '9', '\n', '\t')))
+      .map(_.mkString)
+    for (_ <- 1 to 300) {
+      val s = gen.sample.getOrElse("")
+      val ref = s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .map(_.foldLeft(0L)((acc, ch) => (acc * 31 + ch) % HashKernels.P))
+      val got = HashKernels
+        .wordHashes(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray()
+      assert(got.toSeq == ref.toSeq, s"input: '$s'")
+    }
+  }
+
+  test("hyperplaneBuckets matches a direct reimplementation") {
+    val qv = Array.tabulate(64)(d => ((d * 37) % 101 - 50).toLong)
+    val got = HashKernels.hyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(qv), 4, 8).toLongArray()
+    val want = (0 until 4).map { t =>
+      (0 until 8).foldLeft(0L) { (acc, b) =>
+        val j = t * 8 + b
+        val dot = (0 until 64).map(d =>
+          qv(d) * (((j * 2654435761L + d * 40503L) % 2047) - 1023)).sum
+        if (dot > 0) acc | (1L << b) else acc
+      }
+    }
+    assert(got.toSeq == want)
+  }
+}
