@@ -19,6 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     apps.MrApps.queries ++ ext.TextAnalysis.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
+      ext.Multimodal.queries ++ streaming.Streaming.queries ++
+      kv.Sharding.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -35,7 +37,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     apps.MrApps.oracles ++ ext.TextAnalysis.oracles ++
-      ext.Dedup.oracles ++ ext.Similarity.oracles ++ Map(
+      ext.Dedup.oracles ++ ext.Similarity.oracles ++
+      ext.Multimodal.oracles ++ streaming.Streaming.oracles ++
+      kv.Sharding.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

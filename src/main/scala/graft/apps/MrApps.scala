@@ -71,6 +71,21 @@ object MrApps {
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Constant-tuple probe map (M3, `src/mrapps/crash.go:34-43` /
+    * `nocrash.go:26-35`): per document emit ("a", source), ("b",
+    * len(source)), ("c", len(text)), ("d", "xyzzy"), then the A4
+    * order-insensitive sorted-concat reduce per key. */
+  def constantTuples(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array(
+        struct(lit("a").as("k"), col("source").as("v")),
+        struct(lit("b").as("k"), length(col("source")).cast("string").as("v")),
+        struct(lit("c").as("k"), length(col("text")).cast("string").as("v")),
+        struct(lit("d").as("k"), lit("xyzzy").as("v")))).as("kv"))
+      .select(col("kv.k").as("key"), col("kv.v").as("v"))
+      .groupBy("key")
+      .agg(concat_ws(" ", sort_array(collect_list(col("v")))).as("vals"))
+
   /** The reference's output format (S5, `src/mr/worker.go:131-138`):
     * `"<key> <value>"` text lines from the word count. The driver compare
     * is order-normalized (as is the reference's own test,
@@ -89,6 +104,7 @@ object MrApps {
     "mr_sorted_concat" -> onDocs(sortedConcat),
     "mr_file_count" -> onDocs(fileCount),
     "mr_fanout" -> onDocs(fanout),
+    "mr_constant_tuples" -> onDocs(constantTuples),
     "mr_golden_lines" -> onDocs(goldenLines))
 
   private val tokenSubquery =
@@ -114,6 +130,13 @@ object MrApps {
       """SELECT k, COUNT(*) AS cnt FROM (
         |  SELECT unnest(['a','b','c','d','e','f','g','h','i','j']) AS k FROM documents)
         |GROUP BY k""".stripMargin,
+    "mr_constant_tuples" ->
+      """SELECT key, string_agg(v, ' ' ORDER BY v) AS vals FROM (
+        |  SELECT 'a' AS key, source AS v FROM documents
+        |  UNION ALL SELECT 'b', CAST(length(source) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
+        |GROUP BY key""".stripMargin,
     "mr_golden_lines" ->
       s"""SELECT word || ' ' || CAST(cnt AS VARCHAR) AS line FROM (
          |  SELECT word, COUNT(*) AS cnt FROM ($tokenSubquery)

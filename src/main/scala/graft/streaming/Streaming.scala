@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+import graft.kv.KvOp
+
+/** Structured Streaming renditions of the batch analytics (SURVEY.md §2.8:
+  * the reference has no streaming, but the [SPEC] kvraft op stream is the
+  * natural streaming twin, and a training-data pipeline ingests event
+  * streams). Both entry points REALLY execute through the streaming
+  * engine — file source → micro-batches (Trigger.AvailableNow) → memory
+  * sink — and return the sink table, so the driver's DuckDB gate applies
+  * to the streaming path too.
+  *
+  * Scale notes: the same code runs unbounded (continuous ingestion) by
+  * swapping the trigger; state stores are per-key and spill via the
+  * state-store provider (RocksDB on a real cluster); the windowed agg
+  * shuffles once on the (window, type) grouping key exactly like its
+  * batch twin.
+  */
+object Streaming {
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt-").toString
+
+  /** Stream the events parquet as micro-batches, normalizing `ts` the same
+    * way Tables.events does (TIMESTAMP(NANOS) → timestamp_ntz micros).
+    * The file source requires a directory, so the (read-only) single-file
+    * table is staged into a temp dir first — in production the ingest
+    * path IS a directory that files land in. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir) // sets the nanos flag + registers functions
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val dir = Files.createTempDirectory("graft-stream-src-")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir.toString)
+    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    else stream.withColumn("ts", col("ts").cast("timestamp_ntz"))
+  }
+
+  /** Streaming twin of Events.windowedAgg: tumbling-hour counts + exact
+    * integer-cent sums per event type, complete-mode memory sink. Same
+    * oracle as the batch query. */
+  def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_stream_windowed_agg")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_windowed_agg")
+  }
+
+  /** Streaming twin of KvReplay.replay: per-key fold over the op stream
+    * with `mapGroupsWithState`. Within a micro-batch ops are sorted by
+    * `seq`; across batches the file source delivers in file order (the
+    * op log is seq-ordered — SURVEY.md §7.7.5 requires a monotonic seq
+    * per key, which event_id provides). Each update emits the running
+    * state stamped with the last applied seq, so the final state per key
+    * is the max_by(last_seq) row — deterministic under ANY batching. */
+  def kvReplayUpdates(ops: Dataset[KvOp]): DataFrame = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key)
+      .mapGroupsWithState[(String, Long), (String, String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KvOp], state: GroupState[(String, Long)]) =>
+          val sorted = it.toArray.sortBy(_.seq)
+          var (cur, lastSeq) = state.getOption.getOrElse(("", -1L))
+          sorted.foreach { o =>
+            if (o.op == "put") cur = o.value
+            else if (o.op == "append") cur += o.value
+            lastSeq = o.seq
+          }
+          state.update((cur, lastSeq))
+          (key, cur, lastSeq)
+      }
+      .toDF("key", "value", "last_seq")
+  }
+
+  /** Driver-gated entry: stream the events-derived op log, fold with
+    * state, keep each key's latest update. Oracle = the batch kv_replay
+    * oracle (same final states). */
+  def kvReplayStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ops = eventStream(spark, sfDir).select(
+      col("event_id").as("seq"),
+      col("user_id").cast("string").as("key"),
+      when(col("event_type") === "signup", "put")
+        .when(col("event_type").isin("click", "purchase"), "append")
+        .otherwise("get").as("op"),
+      col("event_id").cast("string").as("value"))
+      .filter(col("op") =!= "get")
+      .as[KvOp]
+    val q = kvReplayUpdates(ops).writeStream.format("memory")
+      .queryName("graft_stream_kv_replay")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_kv_replay")
+      .groupBy("key")
+      .agg(max_by(col("value"), col("last_seq")).as("value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stream_windowed_agg" -> (windowedAgg _),
+    "kv_replay_stream" -> (kvReplayStream _))
+
+  val oracles: Map[String, String] = Map(
+    "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,
+    "kv_replay_stream" -> graft.kv.KvReplay.oracleSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import graft.kv.Sharding
+import graft.kv.Sharding.{Config, NShards}
+
+/** C6 shard-controller invariants from the reference's test harness
+  * (`/root/reference/src/shardctrler/test_test.go:36-54`): every shard
+  * owned by a live group, balance max−min ≤ 1, and rebalances move as few
+  * shards as possible. */
+class ShardingSpec extends SparkSpec {
+
+  private def check(cfg: Config): Unit = {
+    if (cfg.groups.isEmpty) {
+      assert(cfg.shards.forall(_ == 0))
+    } else {
+      assert(cfg.shards.forall(cfg.groups.contains))
+      val counts = cfg.groups.keys.map(g => cfg.shards.count(_ == g)).toSeq
+      assert(counts.max - counts.min <= 1,
+        s"unbalanced: ${cfg.shards} over ${cfg.groups.keys}")
+    }
+  }
+
+  test("join/leave keep every config valid and balanced") {
+    val rnd = new Random(7)
+    var cfg = Sharding.initialConfig
+    var live = Set.empty[Int]
+    for (step <- 1 to 200) {
+      if (live.isEmpty || (rnd.nextBoolean() && live.size < 8)) {
+        val gid = rnd.nextInt(100) + 1
+        if (!live.contains(gid)) {
+          cfg = Sharding.join(cfg, Map(gid -> Seq(s"server-$gid-a")))
+          live += gid
+        }
+      } else {
+        val gid = live.toSeq(rnd.nextInt(live.size))
+        cfg = Sharding.leave(cfg, Seq(gid))
+        live -= gid
+      }
+      assert(cfg.groups.keySet == live)
+      check(cfg)
+    }
+  }
+
+  test("rebalance moves the minimum number of shards") {
+    var cfg = Sharding.join(Sharding.initialConfig, Map(1 -> Seq("a")))
+    cfg = Sharding.join(cfg, Map(2 -> Seq("b")))
+    val before = cfg.shards
+    val after = Sharding.join(cfg, Map(3 -> Seq("c"))).shards
+    // 10 shards over 2 groups (5/5) → over 3 groups (4/3/3): exactly 3 move.
+    val moved = before.zip(after).count { case (a, b) => a != b }
+    assert(moved == 3, s"moved $moved: $before -> $after")
+    assert(after.count(_ == 3) == 3)
+  }
+
+  test("move pins a shard; query returns numbered or latest config") {
+    var history = Vector(Sharding.initialConfig)
+    history :+= Sharding.join(history.last, Map(1 -> Seq("a"), 2 -> Seq("b")))
+    history :+= Sharding.move(history.last, shard = 0, gid = 2)
+    assert(history.last.shards(0) == 2)
+    assert(Sharding.query(history, 1) == history(1))
+    assert(Sharding.query(history, -1) == history.last)
+    assert(Sharding.query(history, 99) == history.last)
+  }
+
+  test("key2shard matches the Go formula int(key[0]) % NShards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("0", "42", "999", "abc", "Z", "~tilde")
+    val got = keys.toDF("key")
+      .select(Sharding.key2shard(col("key")).as("s")).as[Long].collect()
+    val want = keys.map(k => (k.head.toInt % NShards).toLong)
+    assert(got.toSeq == want)
+  }
+}

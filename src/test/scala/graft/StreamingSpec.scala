@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.kv.{KvOp, KvReplay}
+import graft.streaming.Streaming
+
+/** Streaming twins must equal their batch siblings under real
+  * micro-batching: the specs force MULTI-batch execution
+  * (maxFilesPerTrigger=1 over several source files) so cross-batch state
+  * handoff is actually exercised, not just a single-batch degenerate run. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Op log split across 3 files; per-key seq order holds across files
+    * (the §7.7.5 contract): file i holds seqs [100i, 100(i+1)). */
+  private def writeOpFiles(dir: String): Unit = {
+    val rnd = new scala.util.Random(11)
+    for (part <- 0 until 3) {
+      val ops = (0 until 100).map { i =>
+        val seq = part * 100 + i
+        val key = s"k${rnd.nextInt(7)}"
+        val op = rnd.nextInt(3) match {
+          case 0 => "put"; case _ => "append"
+        }
+        KvOp(seq.toLong, key, op, s"v$seq,")
+      }
+      ops.toDS().coalesce(1).write.parquet(s"$dir/part=$part")
+    }
+  }
+
+  test("kv mapGroupsWithState across micro-batches == batch replay") {
+    val src = Files.createTempDirectory("graft-kv-stream-").toString
+    writeOpFiles(src)
+    val all = spark.read.parquet(s"$src/part=*").as[KvOp]
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/part=*").as[KvOp]
+    val q = Streaming.kvReplayUpdates(stream)
+      .writeStream.format("memory").queryName("kv_spec_updates")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val updates = spark.table("kv_spec_updates")
+    // Multi-batch really happened: some key has >1 update row.
+    assert(updates.groupBy("key").count().filter(col("count") > 1).count() > 0)
+
+    val streamed = updates.groupBy("key")
+      .agg(max_by(col("value"), col("last_seq")).as("value"))
+      .as[(String, String)].collect().toMap
+    implicit val s = spark
+    val batch = KvReplay.replay(all.toDF())
+      .as[(String, String)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("windowed agg with watermark emits closed windows in append mode") {
+    val src = Files.createTempDirectory("graft-ev-stream-").toString
+    // Two files: hours 0-1 first, then hour 3 — watermark (1h) closes the
+    // earlier windows once the second file advances event time.
+    Seq((0, 10.0), (1, 20.0))
+      .map { case (h, v) => (java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00"), v) }
+      .toDF("ts", "value").coalesce(1).write.parquet(s"$src/f=0")
+    Seq((3, 40.0))
+      .map { case (h, v) => (java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00"), v) }
+      .toDF("ts", "value").coalesce(1).write.parquet(s"$src/f=1")
+
+    val schema = spark.read.parquet(s"$src/f=*").schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("ev_spec_append")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("ev_spec_append")
+      .select(col("w.start").cast("string"), col("sum_value"))
+      .as[(String, Double)].collect().toMap
+    // Hours 0 and 1 are closed by the watermark advance; hour 3 stays open.
+    assert(closed == Map(
+      "2026-01-01 00:00:00" -> 10.0, "2026-01-01 01:00:00" -> 20.0))
+  }
+
+  test("gated streaming queries equal their batch twins at sf0.001") {
+    // hour is timestamp_ntz → compare canonical row strings, not encoders.
+    val streamWin = Streaming.windowedAgg(spark, sf)
+      .collect().map(_.toString).toSet
+    val batchWin = ext.Events.windowedAgg(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamWin == batchWin)
+
+    val streamKv = Streaming.kvReplayStream(spark, sf)
+      .as[(String, String)].collect().toMap
+    implicit val s = spark
+    val batchKv = KvReplay.fromEvents(spark, sf)
+      .as[(String, String)].collect().toMap
+    assert(streamKv == batchKv)
+  }
+}
