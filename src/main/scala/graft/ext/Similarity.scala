@@ -143,11 +143,80 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  private val IvfCentroidMod = 40
+  private val IvfCentroidRem = 7
+
+  /** IVF (inverted-file) ANN, nprobe=1: the coarse quantizer is a
+    * deterministic corpus sample (vec_id ≡ 7 mod 40 — a valid IVF flavor;
+    * k-means would only move the centroids, not the plan shape), every
+    * vector is assigned to its max-cosine centroid map-side against the
+    * BROADCAST centroid set, and search runs inside the query's cell.
+    * At 100 TB: centroids stay broadcast (≪ corpus), assignment is one
+    * narrow pass, and the cell equi-join is the only shuffle — the
+    * standard IVF scale shape. */
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val cent = base.filter(col("vec_id") % IvfCentroidMod === IvfCentroidRem)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    val ccos = GraftFunctions.dotLong(col("qv"), col("cqv")).cast("double") /
+      sqrt(col("nrm").cast("double") * col("cnrm").cast("double"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), ccos.as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cell"))
+    val c = assigned.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("nrm").as("nb"), col("cell"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    q.join(c, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosCol.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val knnIvfSql: String = {
+    val cosExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
+    s"""WITH $quantizedSqlCte,
+       |cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
+       |  WHERE vec_id % $IvfCentroidMod = $IvfCentroidRem),
+       |assigned AS (
+       |  SELECT vec_id, qv, nrm, cid AS cell FROM (
+       |    SELECT n.vec_id, n.qv, n.nrm, cent.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        CAST(CAST(list_sum(list_transform(range(1, len(n.qv)+1), i -> n.qv[i]*cent.cqv[i])) AS BIGINT) AS DOUBLE)
+       |          / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cent.cnrm AS DOUBLE)) DESC, cent.cid) AS rn
+       |    FROM n, cent)
+       |  WHERE rn = 1),
+       |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+       |  FROM assigned q JOIN assigned c ON q.cell = c.cell
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |SELECT vec_a, vec_b, cos, rank FROM (
+       |  SELECT vec_a, vec_b,
+       |    $cosExpr AS cos,
+       |    row_number() OVER (PARTITION BY vec_a ORDER BY
+       |      $cosExpr DESC, vec_b) AS rank
+       |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n c ON c.vec_id = vec_b)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteForce _),
-    "knn_lsh" -> (knnLsh _))
+    "knn_lsh" -> (knnLsh _),
+    "knn_ivf" -> (knnIvf _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteForceSql,
-    "knn_lsh" -> knnLshSql)
+    "knn_lsh" -> knnLshSql,
+    "knn_ivf" -> knnIvfSql)
 }

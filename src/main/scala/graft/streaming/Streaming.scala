@@ -119,11 +119,62 @@ object Streaming {
       .agg(max_by(col("value"), col("last_seq")).as("value"))
   }
 
+  /** Streaming sessionization: per-user ">30 min gap starts a session"
+    * counting with `mapGroupsWithState`. State = (last event-time micros,
+    * n_sessions, n_events); each update is stamped with n_events (strictly
+    * increasing per user), so the final row per user is the max_by —
+    * deterministic under any batching, PROVIDED batches arrive in
+    * event-time order per user (§7.7.5 contract; holds for the seq-ordered
+    * source files here). */
+  def sessionizeUpdates(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("tsu"),
+      col("event_id").cast("long")).as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          val sorted = it.toArray.sortBy(e => (e._2, e._3))
+          var (lastTs, nSessions, nEvents) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, tsu, _) =>
+            if (lastTs == Long.MinValue || tsu - lastTs > 1800000000L)
+              nSessions += 1
+            lastTs = tsu
+            nEvents += 1
+          }
+          state.update((lastTs, nSessions, nEvents))
+          (uid, nSessions, nEvents)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Driver-gated entry; oracle = the batch sessionize oracle. */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = sessionizeUpdates(eventStream(spark, sfDir))
+      .writeStream.format("memory")
+      .queryName("graft_stream_sessionize")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_sessionize")
+      .groupBy("user_id")
+      .agg(max_by(col("n_sessions"), col("n_events")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_windowed_agg" -> (windowedAgg _),
-    "kv_replay_stream" -> (kvReplayStream _))
+    "kv_replay_stream" -> (kvReplayStream _),
+    "events_stream_sessionize" -> (sessionizeStream _))
 
   val oracles: Map[String, String] = Map(
     "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,
-    "kv_replay_stream" -> graft.kv.KvReplay.oracleSql)
+    "kv_replay_stream" -> graft.kv.KvReplay.oracleSql,
+    "events_stream_sessionize" -> graft.ext.Events.sessionizeSql)
 }
