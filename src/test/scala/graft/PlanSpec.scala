@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression pins: the properties that make these
+  * pipelines scale (pushdown, pruning, broadcast choice, map-side-ness,
+  * partial aggregation) asserted against the optimizer's actual output,
+  * so a refactor that silently de-optimizes a plan fails CI, not the
+  * 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan(ext.Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment"), "scan reads unused column")
+    // Partial + final hash aggregation around one exchange.
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q3: dimension filter pushed; dims broadcast, no cartesian") {
+    val p = plan(ext.Relational.q3TopOrders(spark, sf))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: all four dims broadcast") {
+    val p = plan(ext.Relational.q5RegionVolume(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("wordcount: whole-stage codegen + map-side partial aggregation") {
+    val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = plan(df)
+    // Codegen'd stages print as "*(n) Op" in the tree string.
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation")
+    assert(p.indexOf("Generate") > p.indexOf("Exchange"),
+      "tokenize+filter must run before (under) the shuffle")
+  }
+
+  test("dedup_exact: scan reads only the columns the query needs") {
+    // Leaf scans (parquet, or a cached InMemoryTableScan when another
+    // suite cached documents) must expose exactly {doc_id, text}.
+    val leaves = ext.Dedup.exact(spark, sf)
+      .queryExecution.executedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      assert(leaf.output.map(_.name).toSet == Set("doc_id", "text"), leaf)
+    }
+  }
+
+  test("knn_bruteforce: query side broadcast (nested-loop), corpus streams") {
+    val p = plan(ext.Similarity.knnBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sample_stratified: pure map-side — zero exchanges") {
+    val p = plan(ext.Curation.sampleStratified(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("minhash sigs: zero exchanges (signature computed inline)") {
+    val p = plan(ext.Dedup.minhashSigs(spark, sf))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
+    implicit val s = spark
+    val p = plan(kv.KvReplay.fromEvents(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Sort") && !p.contains("rangepartitioning"),
+      "expected partition-local sort, not a global one")
+  }
+}
