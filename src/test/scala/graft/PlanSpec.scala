@@ -45,15 +45,24 @@ class PlanSpec extends SparkSpec {
       "tokenize+filter must run before (under) the shuffle")
   }
 
+  /** Column sets actually read by the plan's scans. When another suite
+    * cached the table, the InMemoryTableScan line is the authoritative
+    * pruned read (the FileScan inside the cached relation keeps all
+    * columns by design); otherwise the parquet ReadSchema is. */
+  private def scanCols(p: String): Seq[Set[String]] = {
+    val ims = """InMemoryTableScan \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    if (ims.nonEmpty)
+      ims.map(_.split(",").map(_.trim.takeWhile(_ != '#')).toSet)
+    else
+      """ReadSchema: struct<([^>]*)>""".r.findAllMatchIn(p).map(_.group(1))
+        .toSeq.map(_.split(",").map(_.takeWhile(_ != ':')).toSet)
+  }
+
   test("dedup_exact: scan reads only the columns the query needs") {
-    // Leaf scans (parquet, or a cached InMemoryTableScan when another
-    // suite cached documents) must expose exactly {doc_id, text}.
-    val leaves = ext.Dedup.exact(spark, sf)
-      .queryExecution.executedPlan.collectLeaves()
-    assert(leaves.nonEmpty)
-    leaves.foreach { leaf =>
-      assert(leaf.output.map(_.name).toSet == Set("doc_id", "text"), leaf)
-    }
+    val cols = scanCols(plan(ext.Dedup.exact(spark, sf)))
+    assert(cols.nonEmpty)
+    cols.foreach(c => assert(c == Set("doc_id", "text"), c))
   }
 
   test("knn_bruteforce: query side broadcast (nested-loop), corpus streams") {
