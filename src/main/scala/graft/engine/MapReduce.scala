@@ -73,6 +73,24 @@ object MapReduce {
       .select(concat_ws(" ", col("key"), col("value")))
       .write.mode("overwrite").text(outDir)
 
+  /** S4-shaped JSON-lines KV sink: `nReduce` hash partitions of
+    * `{"Key":…,"Value":…}` rows — the reference's intermediate format
+    * (`src/mr/worker.go:182-190`, field names included), as an exposed
+    * format rather than an execution detail. */
+  def jsonKvSink(ds: Dataset[KV], outDir: String, nReduce: Int = 10): Unit =
+    ds.repartition(nReduce, col("key"))
+      .select(col("key").as("Key"), col("value").as("Value"))
+      .write.mode("overwrite").json(outDir)
+
+  /** S3-shaped scan of a JSON KV directory (missing/extra bucket files
+    * are tolerated exactly like the reference's `continue`-on-open-error,
+    * `src/mr/worker.go:105-122` — the reader lists whatever exists). */
+  def jsonKvSource(spark: SparkSession, dir: String): Dataset[KV] = {
+    import spark.implicits._
+    spark.read.schema("Key STRING, Value STRING").json(dir)
+      .select(col("Key").as("key"), col("Value").as("value")).as[KV]
+  }
+
   // ---- The reference's 8 mrapps expressed through the generic façade ----
   // (used by specs to prove the UDF surface; the production pipelines in
   // graft.apps.MrApps express the same semantics declaratively.)
