@@ -24,15 +24,11 @@ object TextAnalysis {
   val PunctPattern = "[^a-zA-Z0-9\\s]"
   val LowerWordPattern = "[^a-z]+"
 
-  /** Per-language stopword lists for the n-gram/stopword language-ID
-    * heuristic. Single source of truth for BOTH the Spark pipeline and
-    * the generated oracle SQL. */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
-    "zh" -> Seq("shi", "bu", "wo", "zhe", "ren", "you"))
+  /** Per-language stopword lists for the stopword language-ID heuristic.
+    * Single source of truth (shared with the counting kernel and the
+    * generated oracle SQL) lives in graft.functions.TextKernels. */
+  val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.TextKernels.stopwords
 
   private def lowerWords(text: Column): Column =
     filter(split(lower(text), LowerWordPattern), t => length(t) > lit(0))
@@ -40,21 +36,19 @@ object TextAnalysis {
   private def countIn(words: Column, dict: Seq[String]): Column =
     size(filter(words, t => array_contains(array(dict.map(lit): _*), t)))
 
-  /** Exact per-document counting stats. */
-  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+  /** Exact per-document counting stats — each a one-pass codegen'd
+    * kernel (TextParitySpec pins equivalence to the regex formulations
+    * the oracle SQL uses). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions._
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
-      size(filter(split(col("text"), WsPattern), t => length(t) > lit(0)))
-        .cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
-        .cast("long").as("n_bpe_pieces"),
-      size(regexp_extract_all(col("text"), lit(PunctPattern), lit(0)))
-        .cast("long").as("n_punct"),
-      aggregate(
-        transform(filter(split(lower(col("text")), LowerWordPattern),
-          t => length(t) > lit(0)), w => length(w).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("sum_word_len"))
+      wsTokenCount(col("text")).as("n_ws_tokens"),
+      bpePieceCount(col("text")).as("n_bpe_pieces"),
+      punctCount(col("text")).as("n_punct"),
+      letterCount(col("text")).as("sum_word_len"))
+  }
 
   val textStatsSql: String =
     s"""SELECT doc_id,
@@ -71,11 +65,10 @@ object TextAnalysis {
     * into one deterministic [0,1] score (identical expression shape in
     * the oracle, so double bits match). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = lowerWords(col("text"))
-    val nWords = size(words).cast("long")
-    val nStop = countIn(words, stopwords.toMap.apply("en")).cast("long")
-    val nPunct = size(regexp_extract_all(col("text"), lit(PunctPattern), lit(0)))
-      .cast("long")
+    import graft.functions.GraftFunctions._
+    val nWords = wordCount(col("text"))
+    val nStop = stopwordCount(col("text"), lit("en"))
+    val nPunct = punctCount(col("text"))
     val nChars = length(col("text")).cast("long")
     val stopRatio = nStop.cast("double") / nWords.cast("double")
     val punctRatio = nPunct.cast("double") / nChars.cast("double")
@@ -110,8 +103,9 @@ object TextAnalysis {
   /** Stopword-count language ID with a fixed CASE-chain argmax (identical
     * tie-breaking in both engines). */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = lowerWords(col("text"))
-    val cnt = stopwords.map { case (l, dict) => l -> countIn(words, dict) }.toMap
+    import graft.functions.GraftFunctions._
+    val cnt = stopwords.map { case (l, _) =>
+      l -> stopwordCount(col("text"), lit(l)) }.toMap
     val pred =
       when(cnt("en") >= cnt("de") && cnt("en") >= cnt("es") &&
         cnt("en") >= cnt("fr") && cnt("en") >= cnt("zh"), "en")

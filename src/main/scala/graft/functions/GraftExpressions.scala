@@ -140,6 +140,46 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** One-pass ASCII text statistic (TextKernels method named by `stat`). */
+  case class TextStat(child: Expression, stat: String)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = s"graft_$stat"
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      stat match {
+        case "ws_token_count" => TextKernels.wsTokenCount(s)
+        case "bpe_piece_count" => TextKernels.bpePieceCount(s)
+        case "punct_count" => TextKernels.punctCount(s)
+        case "letter_count" => TextKernels.letterCount(s)
+        case "word_count" => TextKernels.wordCount(s)
+      }
+    }
+    private def method: String = stat.split("_").toList match {
+      case h :: t => h + t.map(_.capitalize).mkString
+      case Nil => stat
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.$method($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class StopwordCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_stopword_count"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.stopwordCount(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.TextKernels.stopwordCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -160,7 +200,13 @@ object GraftExpressions {
       HyperplaneBuckets(args.head, intLit(args(1), "nTables"), intLit(args(2), "bits"))),
     "graft_sorted_intersect_size" ->
       (args => SortedIntersectSize(args.head, args(1))),
-    "graft_dot_long" -> (args => DotLong(args.head, args(1))))
+    "graft_dot_long" -> (args => DotLong(args.head, args(1))),
+    "graft_ws_token_count" -> (args => TextStat(args.head, "ws_token_count")),
+    "graft_bpe_piece_count" -> (args => TextStat(args.head, "bpe_piece_count")),
+    "graft_punct_count" -> (args => TextStat(args.head, "punct_count")),
+    "graft_letter_count" -> (args => TextStat(args.head, "letter_count")),
+    "graft_word_count" -> (args => TextStat(args.head, "word_count")),
+    "graft_stopword_count" -> (args => StopwordCount(args.head, args(1))))
 }
 
 /** Session-scoped registration + typed Column helpers. `register` is
@@ -188,4 +234,11 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_size", a, b)
   def dotLong(a: Column, b: Column): Column = call_function("graft_dot_long", a, b)
+  def wsTokenCount(c: Column): Column = call_function("graft_ws_token_count", c)
+  def bpePieceCount(c: Column): Column = call_function("graft_bpe_piece_count", c)
+  def punctCount(c: Column): Column = call_function("graft_punct_count", c)
+  def letterCount(c: Column): Column = call_function("graft_letter_count", c)
+  def wordCount(c: Column): Column = call_function("graft_word_count", c)
+  def stopwordCount(text: Column, lang: Column): Column =
+    call_function("graft_stopword_count", text, lang)
 }

@@ -33,14 +33,20 @@ object Streaming {
     * The file source requires a directory, so the (read-only) single-file
     * table is staged into a temp dir first — in production the ingest
     * path IS a directory that files land in. */
+  private val stagedSrc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir) // sets the nanos flag + registers functions
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val dir = Files.createTempDirectory("graft-stream-src-")
-    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = stagedSrc.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-stream-src-")
+      Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
     val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir.toString)
+      .parquet(dir)
     if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       stream.withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ext.TextAnalysis
+import graft.functions.{GraftFunctions => GF, TextKernels}
+
+/** The one-pass text-statistic kernels must equal the regex/HOF
+  * formulations the DuckDB oracles state — pinned on the real corpus and
+  * on generated ASCII strings. */
+class TextParitySpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("kernels == regex formulations on the corpus") {
+    val words = filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+      t => length(t) > lit(0))
+    val mismatches = docs.select(
+      GF.wsTokenCount(col("text")).as("a1"),
+      size(filter(split(col("text"), TextAnalysis.WsPattern),
+        t => length(t) > lit(0))).cast("long").as("b1"),
+      GF.bpePieceCount(col("text")).as("a2"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0)))
+        .cast("long").as("b2"),
+      GF.punctCount(col("text")).as("a3"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.PunctPattern), lit(0)))
+        .cast("long").as("b3"),
+      GF.letterCount(col("text")).as("a4"),
+      aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("b4"),
+      GF.wordCount(col("text")).as("a5"),
+      size(words).cast("long").as("b5"),
+      GF.stopwordCount(col("text"), lit("en")).as("a6"),
+      size(filter(words, t => array_contains(
+        array(TextKernels.stopwords.toMap.apply("en").map(lit): _*), t)))
+        .cast("long").as("b6"))
+      .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+        col("a3") =!= col("b3") || col("a4") =!= col("b4") ||
+        col("a5") =!= col("b5") || col("a6") =!= col("b6"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("property: kernels == JVM regex reference on generated ASCII text") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '\'', '-', '0'))).map(_.mkString)
+    for (_ <- 1 to 300) {
+      val s = gen.sample.getOrElse("")
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(TextKernels.wsTokenCount(u) ==
+        s.split("\\s+").count(_.nonEmpty).toLong, s"ws '$s'")
+      assert(TextKernels.bpePieceCount(u) ==
+        ("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]".r.findAllIn(s).size).toLong, s"bpe '$s'")
+      assert(TextKernels.punctCount(u) ==
+        ("[^a-zA-Z0-9\\s]".r.findAllIn(s).size).toLong, s"punct '$s'")
+      assert(TextKernels.letterCount(u) ==
+        s.count(_.isLetter).toLong, s"letters '$s'")
+      assert(TextKernels.wordCount(u) ==
+        s.toLowerCase.split("[^a-z]+").count(_.nonEmpty).toLong, s"words '$s'")
+      val en = TextKernels.stopwords.toMap.apply("en").toSet
+      assert(TextKernels.stopwordCount(u,
+        org.apache.spark.unsafe.types.UTF8String.fromString("en")) ==
+        s.toLowerCase.split("[^a-z]+").count(en.contains).toLong, s"stop '$s'")
+    }
+  }
+}
