@@ -202,4 +202,181 @@ object Relational {
   val nationsWithCustomersSql: String =
     """SELECT n_nationkey, n_name FROM nation
       |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)""".stripMargin
+
+  /** TPC-H Q6-shaped: pure scan + filter + single-row aggregate — the
+    * query whose whole cost is how fast the scan prunes and filters.
+    * revenue = Σ price·discount, exact in cents×basis-points. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        quant(col("l_discount"), 10000).between(200, 600) &&
+        col("l_quantity") < 24)
+      .agg((sum(quant(col("l_extendedprice"), 100) * quant(col("l_discount"), 10000))
+        .cast("double") / 1e6).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/1e6 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(round(l_discount*10000) AS BIGINT) BETWEEN 200 AND 600
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7-shaped: volume between two nations by year, both
+    * directions. Nation dims broadcast twice under different aliases. */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+      col("l_suppkey"), year(col("l_shipdate")).cast("long").as("l_year"),
+      discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    l.join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(e6ToDouble(sum(col("rev_e6"))).as("revenue"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10-shaped: top-20 customers by returned-item revenue in one
+    * quarter. Deterministic top-k on the exact Long revenue. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("rev_e6")).as("rev_e6"))
+      .orderBy(col("rev_e6").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        e6ToDouble(col("rev_e6")).as("revenue"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, CAST(rev_e6 AS DOUBLE)/1e6 AS revenue FROM (
+      |  SELECT c_custkey, c_name,
+      |    SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS rev_e6
+      |  FROM customer, orders, lineitem
+      |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |    AND l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY c_custkey, c_name
+      |  ORDER BY rev_e6 DESC, c_custkey LIMIT 20)""".stripMargin
+
+  /** TPC-H Q14-shaped: promo revenue share in one month — conditional
+    * aggregation over a broadcast part join; num/den exact Longs, one
+    * double division. */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .select(col("l_partkey"),
+        discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    l.join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("rev_e6")).otherwise(0L)).cast("double") /
+        sum(col("rev_e6")).cast("double")).as("promo_share"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))
+      |    ELSE 0 END) AS DOUBLE)
+      |  / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) AS promo_share
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** TPC-H Q18-shaped: large-volume orders (group-HAVING on the fact,
+    * then enrich). The HAVING prunes before the orders/customer joins. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(quant(col("l_quantity"), 100)).as("qty_c"))
+      .filter(col("qty_c") > 300 * 100)
+    big.join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        (col("qty_c").cast("double") / 100.0).as("sum_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(qty_c AS DOUBLE)/100.0 AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey, SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
+      |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 30000),
+      |  orders, customer
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey""".stripMargin
+
+  /** TPC-H Q19-shaped: disjunctive brand/size/quantity predicate bands
+    * over a broadcast part join, single-row revenue. */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).select(col("l_partkey"),
+      col("l_quantity"),
+      discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 30)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)))
+      .agg(e6ToDouble(sum(col("rev_e6"))).as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+      |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _))
+
+  val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Sql,
+    "q7_nation_volume" -> q7Sql,
+    "q10_returned_items" -> q10Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql)
 }
