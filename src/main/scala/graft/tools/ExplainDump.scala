@@ -10,6 +10,7 @@ object ExplainDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
     val spark = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions.apply)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")

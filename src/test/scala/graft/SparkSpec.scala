@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions.apply)
       .master("local[4,2]") // maxFailures=2: lets chaos specs inject task failures
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)

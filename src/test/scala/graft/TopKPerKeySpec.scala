@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TopKPerKey custom operator (rule + strategy + exec, injected via
+  * SparkSessionExtensions) must (a) actually replace the Filter+Window
+  * pattern and (b) produce byte-identical results to the stock window
+  * rendition, including rank values and ties-by-tiebreaker. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def topOrders(k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  test("rule fires: plan contains TopKPerKeyExec, no Window sort") {
+    val p = topOrders(3).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"window operator still present:\n$p")
+  }
+
+  test("results equal the stock window rendition (rule disabled)") {
+    val got = topOrders(3).collect().map(_.toString).sorted.toSeq
+    val want = withRuleDisabled(topOrders(3)).map(_.toString).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("k=1 (the IVF assignment shape) equals the window rendition") {
+    val got = topOrders(1).collect().map(_.toString).sorted.toSeq
+    val want = withRuleDisabled(topOrders(1)).map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("rule does NOT fire for rank() or non-rn predicates") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val rankDf = Tables.orders(spark, sf)
+      .withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(!rankDf.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val geDf = Tables.orders(spark, sf)
+      .withColumn("r", row_number().over(w)).filter(col("r") >= 3)
+    assert(!geDf.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
+  /** Evaluate the same logical query with the optimizer rule excluded —
+    * the ground truth the custom operator must reproduce. */
+  private def withRuleDisabled(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "graft.plans.TopKPerKeyRule")
+      val rows = df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      rows
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
