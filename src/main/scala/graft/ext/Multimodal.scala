@@ -144,11 +144,60 @@ object Multimodal {
        |  LATERAL (SELECT unnest(range(0, length(payload), ${FakeCodec.FrameStride})) AS off)
        |WHERE media_type = 'video'""".stripMargin
 
+  /** Resized/feature-extracted record: aspect-preserving fit into a
+    * 64×64 box + a 16-bucket byte histogram ("the embedding" a real
+    * feature extractor would emit). */
+  case class MediaFeature(doc_id: Long, media_type: String, out_w: Long,
+      out_h: Long, hist: Array[Long])
+
+  /** "Resize + feature extraction": downstream of the fake decode — the
+    * remaining two stages of the standard media pipeline (decode →
+    * resize → feature-extract), again with real Spark plumbing and a
+    * stubbed kernel. */
+  def resizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { row =>
+        val m = FakeCodec.meta(row)
+        // Aspect-preserving fit into 64×64: scale = 64/max(w,h),
+        // exact in integer arithmetic (floor), min dimension 1.
+        val mx = math.max(m.width, m.height)
+        val outW = math.max(1L, m.width * 64L / mx)
+        val outH = math.max(1L, m.height * 64L / mx)
+        val hist = new Array[Long](16)
+        row.payload.foreach(b => hist((b & 0xff) / 16) += 1)
+        MediaFeature(row.doc_id, row.media_type, outW, outH, hist)
+      }
+    }.toDF()
+  }
+
+  val resizeFeaturesSql: String =
+    s"""WITH $mediaSqlCte,
+       |m AS (
+       |  SELECT doc_id, media_type, payload,
+       |    64 + (b0*31 + b1) % 448 AS width,
+       |    64 + (b1*31 + b2) % 448 AS height
+       |  FROM (
+       |    SELECT doc_id, media_type, payload,
+       |      CASE WHEN length(payload) > 0 THEN CAST(ascii(substr(payload, 1, 1)) AS BIGINT) ELSE 0 END AS b0,
+       |      CASE WHEN length(payload) > 1 THEN CAST(ascii(substr(payload, 2, 1)) AS BIGINT) ELSE 0 END AS b1,
+       |      CASE WHEN length(payload) > 2 THEN CAST(ascii(substr(payload, 3, 1)) AS BIGINT) ELSE 0 END AS b2
+       |    FROM media))
+       |SELECT doc_id, media_type,
+       |  greatest(1, width * 64 // greatest(width, height)) AS out_w,
+       |  greatest(1, height * 64 // greatest(width, height)) AS out_h,
+       |  list_transform(range(0, 16), bucket ->
+       |    CAST(len(list_filter(range(1, length(payload) + 1),
+       |      i -> ascii(substr(payload, CAST(i AS INTEGER), 1)) // 16 = bucket)) AS BIGINT)) AS hist
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (mediaMeta _),
-    "multimodal_frames" -> (frameSamples _))
+    "multimodal_frames" -> (frameSamples _),
+    "multimodal_resize" -> (resizeFeatures _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> mediaMetaSql,
-    "multimodal_frames" -> frameSamplesSql)
+    "multimodal_frames" -> frameSamplesSql,
+    "multimodal_resize" -> resizeFeaturesSql)
 }
