@@ -32,6 +32,7 @@ object SparkEntry {
         "customers_without_orders" -> (ext.Relational.customersWithoutOrders _),
         "nations_with_customers" -> (ext.Relational.nationsWithCustomers _),
         "events_windowed_agg" -> (ext.Events.windowedAgg _),
+        "events_json_stats" -> (ext.Events.jsonStats _),
         "events_sessionize" -> (ext.Events.sessionize _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       "customers_without_orders" -> ext.Relational.customersWithoutOrdersSql,
       "nations_with_customers" -> ext.Relational.nationsWithCustomersSql,
       "events_windowed_agg" -> ext.Events.windowedAggSql,
+      "events_json_stats" -> ext.Events.jsonStatsSql,
       "events_sessionize" -> ext.Events.sessionizeSql)
 }

@@ -43,6 +43,33 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Semi-structured extraction: the `props` column is a JSON blob;
+    * pull `$.k` with schema-on-read and aggregate per event type. At
+    * scale this is the classic log-analytics shape — extraction is
+    * map-side (codegen'd JSON path), the shuffle carries only the
+    * grouped aggregates. */
+  def jsonStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k")).cast("double"))
+          .as("avg_k"))
+
+  val jsonStatsSql: String =
+    """SELECT event_type, COUNT(k) AS cnt, SUM(k) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE)/CAST(COUNT(k) AS DOUBLE) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   val sessionizeSql: String =
     """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (

@@ -174,6 +174,49 @@ object Streaming {
         max(col("n_events")).as("n_events"))
   }
 
+  /** One timestamped KV op for the event-time replay path. */
+  case class TimedOp(ts: java.sql.Timestamp, seq: Long, key: String,
+      op: String, value: String)
+
+  /** Per-key replay state: applied value + the out-of-order buffer. */
+  case class KvEtState(value: String, applied: Long,
+      pending: List[(Long, Long, String, String)])
+
+  /** Event-time KV replay for OUT-OF-ORDER delivery — the production
+    * pattern when the in-order contract of [[kvReplayUpdates]] cannot be
+    * guaranteed: ops buffer in state until the event-time watermark
+    * passes them, then apply in (ts, seq) order. Late data inside the
+    * watermark delay is reordered correctly; data later than the delay
+    * is dropped by the watermark (the standard trade). Event-time
+    * timeouts flush keys that receive no further input, so the buffer
+    * drains without new per-key data.
+    *
+    * Emits (key, value, applied-count) updates; applied is strictly
+    * increasing per key, so max_by(applied) is the latest state. */
+  def kvReplayEventTimeUpdates(ops: Dataset[TimedOp],
+      delay: String): Dataset[(String, String, Long)] = {
+    import ops.sparkSession.implicits._
+    ops.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KvEtState, (String, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[TimedOp], state: GroupState[KvEtState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(KvEtState("", 0L, Nil))
+          val incoming = it.map(o => (o.ts.getTime, o.seq, o.op, o.value)).toList
+          val (ready, rest) = (st.pending ++ incoming).partition(_._1 <= wm)
+          var value = st.value
+          ready.sortBy(p => (p._1, p._2)).foreach { case (_, _, op, v) =>
+            if (op == "put") value = v else if (op == "append") value += v
+          }
+          state.update(KvEtState(value, st.applied + ready.size, rest))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(rest.map(_._1).min)
+          if (ready.nonEmpty) Iterator((key, value, st.applied + ready.size))
+          else Iterator.empty
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_windowed_agg" -> (windowedAgg _),
     "kv_replay_stream" -> (kvReplayStream _),

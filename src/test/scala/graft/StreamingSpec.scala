@@ -93,6 +93,43 @@ class StreamingSpec extends SparkSpec {
       "2026-01-01 00:00:00" -> 10.0, "2026-01-01 01:00:00" -> 20.0))
   }
 
+  test("event-time replay reorders late ops the in-order path cannot") {
+    import Streaming.TimedOp
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    val src = Files.createTempDirectory("graft-kv-et-").toString
+    // f0: ops at 10:00 and 10:10; f1 delivers a LATE op (ts 10:05) out of
+    // order plus 11:00; f2 is a sentinel advancing the watermark past
+    // everything. Correct event-time fold: put(a);append(L);append(b);
+    // append(c) = "aLbc". An arrival-order fold would give "abLc".
+    Seq(TimedOp(ts("10:00"), 1, "k", "put", "a"),
+        TimedOp(ts("10:10"), 3, "k", "append", "b"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=0")
+    Seq(TimedOp(ts("10:05"), 2, "k", "append", "L"),
+        TimedOp(ts("11:00"), 4, "k", "append", "c"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=1")
+    Seq(TimedOp(ts("23:00"), 9, "flush", "put", "x"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=2")
+
+    val schema = spark.read.parquet(s"$src/f=*").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*").as[TimedOp]
+    val q = Streaming.kvReplayEventTimeUpdates(stream, "30 minutes")
+      .toDF("key", "value", "applied")
+      .writeStream.format("memory").queryName("kv_et_updates")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finalK = spark.table("kv_et_updates")
+      .filter(col("key") === "k")
+      .orderBy(col("applied").desc)
+      .select("value").as[String].collect()
+    assert(finalK.nonEmpty && finalK.head == "aLbc",
+      s"got ${finalK.toSeq}")
+  }
+
   test("gated streaming queries equal their batch twins at sf0.001") {
     // hour is timestamp_ntz → compare canonical row strings, not encoders.
     val streamWin = Streaming.windowedAgg(spark, sf)
