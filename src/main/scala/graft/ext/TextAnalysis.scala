@@ -30,12 +30,6 @@ object TextAnalysis {
   val stopwords: Seq[(String, Seq[String])] =
     graft.functions.TextKernels.stopwords
 
-  private def lowerWords(text: Column): Column =
-    filter(split(lower(text), LowerWordPattern), t => length(t) > lit(0))
-
-  private def countIn(words: Column, dict: Seq[String]): Column =
-    size(filter(words, t => array_contains(array(dict.map(lit): _*), t)))
-
   /** Exact per-document counting stats — each a one-pass codegen'd
     * kernel (TextParitySpec pins equivalence to the regex formulations
     * the oracle SQL uses). */
