@@ -21,7 +21,7 @@ object SparkEntry {
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.Multimodal.queries ++ streaming.Streaming.queries ++
       kv.Sharding.queries ++ ext.Curation.queries ++
-      ext.Relational.queries ++
+      ext.Relational.queries ++ ext.AsOf.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -42,7 +42,7 @@ object SparkEntry {
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Multimodal.oracles ++ streaming.Streaming.oracles ++
       kv.Sharding.oracles ++ ext.Curation.oracles ++
-      ext.Relational.oracles ++ Map(
+      ext.Relational.oracles ++ ext.AsOf.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

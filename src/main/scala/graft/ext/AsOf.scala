@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (point-in-time) join — an operator Spark has no native node for
+  * (beyond-reference; the reference has no joins at all, SURVEY.md §2.6,
+  * but a training/feature pipeline needs PIT joins constantly).
+  *
+  * Implementation is the scalable union+window shape, NOT a range cross
+  * join: tag both sides, union on (key, time), and carry the right
+  * side's values forward with `last(ignoreNulls)` over an ordered
+  * running frame. ONE shuffle on the key, linear work, no candidate
+  * blow-up — survives 100 TB where an inequality-join would not. Right
+  * rows sort before left rows at equal timestamps, so `right.time <=
+  * left.time` matches DuckDB's ASOF semantics (the oracle).
+  */
+object AsOf {
+
+  /** Generic as-of join: for each `left` row, the latest `right` row
+    * with the same key and rightTime <= leftTime. `rightVals` must be
+    * unique per (key, time) for deterministic results — pre-aggregate
+    * the right side if it is not. Output: left columns + rightVals
+    * (null when no match ⇒ filtered, inner semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+    val all = (leftCols ++ rightVals).distinct
+    val lPadded = rightVals.foldLeft(l) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val rPadded = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val sel = (all ++ Seq("__k", "__t", "__side")).map(col)
+    val unioned = lPadded.select(sel: _*).unionByName(rPadded.select(sel: _*))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(s"__asof_$c").as(c)): _*)
+      .filter(rightVals.map(c => col(c).isNotNull).reduce(_ && _))
+  }
+
+  /** Driver-gated instance: each event joined to the user's most recent
+    * order as of the event time. Orders are deduped to one per
+    * (custkey, orderdate) — max orderkey — so ties are deterministic in
+    * both engines. */
+  def eventsAsofOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    asofJoin(ev, o, leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightVals = Seq("o_orderkey", "o_orderdate"))
+  }
+
+  val eventsAsofOrdersSql: String =
+    """SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+      |FROM events e ASOF JOIN (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate) o
+      |ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof_orders" -> (eventsAsofOrders _))
+
+  val oracles: Map[String, String] = Map(
+    "events_asof_orders" -> eventsAsofOrdersSql)
+}

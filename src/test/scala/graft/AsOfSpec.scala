@@ -1,0 +1,32 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ext.AsOf
+
+/** As-of join edge semantics: equal timestamps match, later right rows
+  * don't, keys without any prior right row drop (inner), and the latest
+  * of several candidates wins. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s:00")
+
+  test("picks latest right row at-or-before each left time, per key") {
+    val left = Seq(
+      (1L, 10L, ts("10:00")), // equal-ts right row must match
+      (2L, 10L, ts("11:30")), // latest of two candidates
+      (3L, 20L, ts("09:00")), // right rows exist but all later -> drop
+      (4L, 30L, ts("12:00"))) // no right rows for key -> drop
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("10:00"), "a"),
+      (10L, ts("11:00"), "b"),
+      (10L, ts("12:00"), "c"),
+      (20L, ts("09:30"), "x"))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("v", "rt"))
+      .select("event_id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+  }
+}
