@@ -22,6 +22,7 @@ object SparkEntry {
       ext.Multimodal.queries ++ streaming.Streaming.queries ++
       kv.Sharding.queries ++ ext.Curation.queries ++
       ext.Relational.queries ++ ext.AsOf.queries ++
+      ext.RangeJoin.queries ++ ext.Sketches.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -42,7 +43,8 @@ object SparkEntry {
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.Multimodal.oracles ++ streaming.Streaming.oracles ++
       kv.Sharding.oracles ++ ext.Curation.oracles ++
-      ext.Relational.oracles ++ ext.AsOf.oracles ++ Map(
+      ext.Relational.oracles ++ ext.AsOf.oracles ++
+      ext.RangeJoin.oracles ++ ext.Sketches.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interval/range join — the other join class Spark has no native node
+  * for (beyond-reference, like AsOf). The scalable shape is BIN
+  * BUCKETING, not an inequality join: bin both sides' timestamps by the
+  * window width W, probe bins {bin, bin+1} on the left, equi-join on
+  * (key, bin), then apply the exact interval predicate. Each candidate
+  * pair is produced exactly once (the right row has one bin; the two
+  * probe bins are distinct), so there is no dedup stage. Candidate count
+  * is O(pairs within ~2W), never the O(n²) an inequality join risks —
+  * the equi-join shuffles on (key, bin) like any join at 100 TB.
+  */
+object RangeJoin {
+
+  private val WindowMicros = 600000000L // 10 minutes
+
+  /** Same-user event pairs where the later-id event follows within 10
+    * minutes: (a, b) with a.id < b.id and b.ts ∈ [a.ts, a.ts + W]. */
+  def eventPairsWithin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val a = e.select(col("event_id").as("event_id_a"), col("user_id"),
+      col("tus").as("a_t"))
+      .withColumn("bin", explode(array(
+        expr("a_t div " + WindowMicros),
+        expr("a_t div " + WindowMicros + " + 1"))))
+    val b = e.select(col("event_id").as("event_id_b"),
+      col("user_id"), col("tus").as("b_t"))
+      .withColumn("bin", expr("b_t div " + WindowMicros))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("event_id_a") < col("event_id_b") &&
+        col("b_t") >= col("a_t") &&
+        col("b_t") <= col("a_t") + WindowMicros)
+      .select(col("event_id_a"), col("event_id_b"), col("user_id"),
+        (col("b_t") - col("a_t")).as("gap_us"))
+  }
+
+  val eventPairsWithinSql: String =
+    s"""SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       |  a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+       |FROM events a JOIN events b
+       |ON a.user_id = b.user_id AND a.event_id < b.event_id
+       |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+       |  AND epoch_us(b.ts) <= epoch_us(a.ts) + $WindowMicros""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_range_pairs" -> (eventPairsWithin _))
+
+  val oracles: Map[String, String] = Map(
+    "events_range_pairs" -> eventPairsWithinSql)
+}
