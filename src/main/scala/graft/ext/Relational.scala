@@ -203,6 +203,52 @@ object Relational {
     """SELECT n_nationkey, n_name FROM nation
       |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)""".stripMargin
 
+  /** CUBE twin of [[ordersRollup]]: all 2^2 grouping combinations. */
+  def ordersCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(quant(col("o_totalprice"), 100)).cast("double") / 100.0).as("sum_total"))
+
+  val ordersCubeSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_total
+      |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Pivot: daily event counts, one column per event type — the
+    * wide-format report shape. Pivot values are pinned (deterministic
+    * schema; Spark would otherwise scan to discover them). */
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val eventsPivotSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'view') AS view,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Skew-tool gate: the salted join must produce exactly the plain
+    * join's rows (the oracle states the plain join). */
+  def saltedOrdersJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Skew.saltedJoin(orders, cust, "o_custkey", salts = 8)
+      .select("o_orderkey", "o_custkey", "c_name")
+  }
+
+  val saltedOrdersJoinSql: String =
+    """SELECT o_orderkey, o_custkey, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** TPC-H Q6-shaped: pure scan + filter + single-row aggregate — the
     * query whose whole cost is how fast the scan prunes and filters.
     * revenue = Σ price·discount, exact in cents×basis-points. */
@@ -365,6 +411,9 @@ object Relational {
       |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cube" -> (ordersCube _),
+    "events_pivot" -> (eventsPivot _),
+    "salted_orders_join" -> (saltedOrdersJoin _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -373,6 +422,9 @@ object Relational {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "orders_cube" -> ordersCubeSql,
+    "events_pivot" -> eventsPivotSql,
+    "salted_orders_join" -> saltedOrdersJoinSql,
     "q6_forecast_revenue" -> q6Sql,
     "q7_nation_volume" -> q7Sql,
     "q10_returned_items" -> q10Sql,
