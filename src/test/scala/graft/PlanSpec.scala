@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("asof join: single shuffle on the key, no inequality join") {
+    val p = plan(ext.AsOf.eventsAsofOrders(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // union + window: the as-of itself adds exactly one hash exchange on
+    // __k (the orders-side dedup aggregation has its own).
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(p).size == 1, p)
+  }
+
+  test("range join: bin-bucketed equi-join, never a cross product") {
+    val p = plan(ext.RangeJoin.eventPairsWithin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))

@@ -50,6 +50,29 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!geDf.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("property: random data, random k — operator == stock window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(300)
+      // Duplicate sort values are fine: (v, id) is a total order.
+      val data = (0 until n).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val k = 1 + rnd.nextInt(5)
+      def build = {
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("v").desc, col("id"))
+        data.toDF("key", "v", "id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+      }
+      val got = build.collect().map(_.toString).sorted.toSeq
+      assert(build.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val want = withRuleDisabled(build).map(_.toString).sorted.toSeq
+      assert(got == want, s"trial $trial k=$k")
+    }
+  }
+
   /** Evaluate the same logical query with the optimizer rule excluded —
     * the ground truth the custom operator must reproduce. */
   private def withRuleDisabled(df: DataFrame): Array[org.apache.spark.sql.Row] = {
