@@ -36,15 +36,21 @@ object Streaming {
   private val stagedSrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stage a (read-only, single-file) table into a temp DIRECTORY — the
+    * file source requires one; in production the ingest path IS a
+    * directory files land in. Cached per (sfDir, table). */
+  private def staged(sfDir: String, table: String): String =
+    stagedSrc.computeIfAbsent(s"$sfDir/$table", { _ =>
+      val d = Files.createTempDirectory("graft-stream-src-")
+      Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
+        d.resolve(s"$table.parquet"))
+      d.toString
+    })
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir) // sets the nanos flag + registers functions
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val dir = stagedSrc.computeIfAbsent(sfDir, { _ =>
-      val d = Files.createTempDirectory("graft-stream-src-")
-      Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        d.resolve("events.parquet"))
-      d.toString
-    })
+    val dir = staged(sfDir, "events")
     val stream = spark.readStream.schema(raw.schema)
       .parquet(dir)
     if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -217,12 +223,52 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — first-seen-wins per content hash with
+    * keyed state, the shape of a streaming ingestion dedup stage. State
+    * per hash is (keeper = min doc_id, cnt); each update is stamped with
+    * cnt (strictly increasing per hash) so max_by(cnt) is the final
+    * state. Oracle = the batch dedup_exact oracle. */
+  def dedupExactStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir) // registers graft functions
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = spark.readStream.schema(raw.schema)
+      .parquet(staged(sfDir, "documents"))
+      .select(md5(col("text")).as("h"), col("doc_id")).as[(String, Long)]
+    val updates = docs.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (h: String, it: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          val ids = it.map(_._2).toArray
+          var (keeper, cnt) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          ids.foreach { id => if (id < keeper) keeper = id }
+          cnt += ids.length
+          state.update((keeper, cnt))
+          (h, keeper, cnt, cnt)
+      }
+      .toDF("h", "keeper", "cnt", "version")
+    val q = updates.writeStream.format("memory")
+      .queryName("graft_stream_dedup_exact")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup_exact")
+      .groupBy("h")
+      .agg(max_by(col("keeper"), col("version")).as("keeper"),
+        max(col("cnt")).as("cnt"))
+      .select(col("h"), col("cnt"), col("keeper"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_stream" -> (dedupExactStream _),
     "events_stream_windowed_agg" -> (windowedAgg _),
     "kv_replay_stream" -> (kvReplayStream _),
     "events_stream_sessionize" -> (sessionizeStream _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
     "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,
     "kv_replay_stream" -> graft.kv.KvReplay.oracleSql,
     "events_stream_sessionize" -> graft.ext.Events.sessionizeSql)
