@@ -42,7 +42,7 @@ object Dedup {
     * hashed; survivors = min doc_id per fingerprint. */
   def fingerprintDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy(md5(graft.functions.GraftFunctions.normalizeWs(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
 
   val fingerprintDedupSql: String =

@@ -17,6 +17,23 @@ import graft.Tables
   */
 object RangeJoin {
 
+  /** Generic interval join: pairs (l, r) with matching keys and
+    * r.time ∈ [l.time, l.time + windowMicros]. Both time columns must be
+    * epoch-micros Longs; output carries all left columns + all right
+    * columns (caller renames collisions beforehand). */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      windowMicros: Long): DataFrame = {
+    val l = left.withColumn("__bin", explode(array(
+      expr(s"$leftTime div $windowMicros"),
+      expr(s"$leftTime div $windowMicros + 1"))))
+    val r = right.withColumn("__bin", expr(s"$rightTime div $windowMicros"))
+    l.join(r, l("__bin") === r("__bin") && l(leftKey) === r(rightKey))
+      .filter(col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + windowMicros)
+      .drop("__bin")
+  }
+
   private val WindowMicros = 600000000L // 10 minutes
 
   /** Same-user event pairs where the later-id event follows within 10
@@ -25,20 +42,14 @@ object RangeJoin {
     val e = Tables.events(spark, sfDir).select(
       col("event_id"), col("user_id"),
       unix_micros(col("ts").cast("timestamp")).as("tus"))
-    val a = e.select(col("event_id").as("event_id_a"), col("user_id"),
-      col("tus").as("a_t"))
-      .withColumn("bin", explode(array(
-        expr("a_t div " + WindowMicros),
-        expr("a_t div " + WindowMicros + " + 1"))))
+    val a = e.select(col("event_id").as("event_id_a"),
+      col("user_id").as("user_a"), col("tus").as("a_t"))
     val b = e.select(col("event_id").as("event_id_b"),
-      col("user_id"), col("tus").as("b_t"))
-      .withColumn("bin", expr("b_t div " + WindowMicros))
-    a.join(b, Seq("user_id", "bin"))
-      .filter(col("event_id_a") < col("event_id_b") &&
-        col("b_t") >= col("a_t") &&
-        col("b_t") <= col("a_t") + WindowMicros)
-      .select(col("event_id_a"), col("event_id_b"), col("user_id"),
-        (col("b_t") - col("a_t")).as("gap_us"))
+      col("user_id").as("user_b"), col("tus").as("b_t"))
+    intervalJoin(a, b, "user_a", "user_b", "a_t", "b_t", WindowMicros)
+      .filter(col("event_id_a") < col("event_id_b"))
+      .select(col("event_id_a"), col("event_id_b"),
+        col("user_a").as("user_id"), (col("b_t") - col("a_t")).as("gap_us"))
   }
 
   val eventPairsWithinSql: String =

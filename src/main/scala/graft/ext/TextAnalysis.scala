@@ -135,7 +135,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      md5(regexp_replace(lower(col("text")), WsPattern, " ")).as("fp_md5"),
+      md5(graft.functions.GraftFunctions.normalizeWs(col("text"))).as("fp_md5"),
       Hashing.stringHash(col("text")).as("fp_roll"))
 
   val fingerprintSql: String =

@@ -180,6 +180,18 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  case class NormalizeWs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_normalize_ws"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.normalizeWs(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.normalizeWs($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -206,7 +218,8 @@ object GraftExpressions {
     "graft_punct_count" -> (args => TextStat(args.head, "punct_count")),
     "graft_letter_count" -> (args => TextStat(args.head, "letter_count")),
     "graft_word_count" -> (args => TextStat(args.head, "word_count")),
-    "graft_stopword_count" -> (args => StopwordCount(args.head, args(1))))
+    "graft_stopword_count" -> (args => StopwordCount(args.head, args(1))),
+    "graft_normalize_ws" -> (args => NormalizeWs(args.head)))
 }
 
 /** Session-scoped registration + typed Column helpers. `register` is
@@ -241,4 +254,5 @@ object GraftFunctions {
   def wordCount(c: Column): Column = call_function("graft_word_count", c)
   def stopwordCount(text: Column, lang: Column): Column =
     call_function("graft_stopword_count", text, lang)
+  def normalizeWs(c: Column): Column = call_function("graft_normalize_ws", c)
 }

@@ -86,6 +86,30 @@ object TextKernels {
     n
   }
 
+  /** lower(s) with every whitespace run collapsed to one space — the
+    * byte-wise twin of regexp_replace(lower(text), "\\s+", " ") on the
+    * ASCII corpus (no trim, like the regex). */
+  def normalizeWs(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var m = 0
+    var i = 0
+    var inWs = false
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (isWs(c)) {
+        if (!inWs) { out(m) = ' '; m += 1 }
+        inWs = true
+      } else {
+        out(m) = (if (c >= 'A' && c <= 'Z') c + 32 else c).toByte
+        m += 1
+        inWs = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Per-language stopword lists — the single source of truth
     * (graft.ext.TextAnalysis builds its oracle SQL from this). */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -42,6 +42,14 @@ class TextParitySpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("normalizeWs kernel == regexp_replace(lower) on the corpus") {
+    val n = docs.select(
+      GF.normalizeWs(col("text")).as("a"),
+      regexp_replace(lower(col("text")), "\\s+", " ").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n == 0)
+  }
+
   test("property: kernels == JVM regex reference on generated ASCII text") {
     val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
       Gen.oneOf(' ', '\t', '\n', '.', ',', '!', '\'', '-', '0'))).map(_.mkString)
