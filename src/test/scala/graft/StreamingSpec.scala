@@ -130,6 +130,51 @@ class StreamingSpec extends SparkSpec {
       s"got ${finalK.toSeq}")
   }
 
+  test("checkpoint recovery: keyed state survives a restart, on RocksDB") {
+    // The scale-path state backend: RocksDB provider + a restart from the
+    // same checkpoint. Run 1 processes f=0 and stops; run 2 sees only the
+    // new file, so its output can only be correct if run 1's state was
+    // recovered from the checkpoint.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    val src = Files.createTempDirectory("graft-kv-ckpt-src-").toString
+    val ckpt = Files.createTempDirectory("graft-kv-ckpt-").toString
+    try {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Seq(KvOp(1, "k", "put", "a"), KvOp(2, "k", "append", "b"))
+        .toDS().coalesce(1).write.parquet(s"$src/f=0")
+      // Memory sink can't recover from a checkpoint; foreachBatch can.
+      def run(): Seq[(String, String)] = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$src/f=*").schema)
+          .parquet(s"$src/f=*").as[KvOp]
+        val q = Streaming.kvReplayUpdates(stream)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select("key", "value").as[(String, String)]
+              .collect().foreach(got.add)
+          }
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        got.toArray(Array.empty[(String, String)]).toSeq
+      }
+      assert(run().contains(("k", "ab")))
+
+      Seq(KvOp(3, "k", "append", "c"))
+        .toDS().coalesce(1).write.parquet(s"$src/f=1")
+      // Only the f=1 batch runs here; "abc" proves state recovery.
+      assert(run() == Seq(("k", "abc")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("gated streaming queries equal their batch twins at sf0.001") {
     // hour is timestamp_ntz → compare canonical row strings, not encoders.
     val streamWin = Streaming.windowedAgg(spark, sf)
