@@ -91,6 +91,17 @@ class MapReduceSpec extends SparkSpec {
     assert(lines.map(_.split(" ", 2)).forall { case Array(k, v) => want(k) == v })
   }
 
+  test("MrRun app registry matches the reference's plugin apps") {
+    import graft.apps.MrRun
+    assert(MrRun.apps.keySet == Set("wc", "indexer", "catenate"))
+    // Each registered app runs through the façade and matches the
+    // sequential oracle on the corpus.
+    for ((name, (mapF, reduceF)) <- MrRun.apps) {
+      assert(run(corpus, mapF, reduceF) == sequential(corpus, mapF, reduceF),
+        s"app $name")
+    }
+  }
+
   test("wholeFiles reads (filename, contents) one row per file") {
     val dir = java.nio.file.Files.createTempDirectory("mr-files")
     val f1 = dir.resolve("a.txt"); val f2 = dir.resolve("b.txt")
