@@ -16,9 +16,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache: file listing + parquet footer resolution
+    * happen once per (session, path); DataFrames are immutable so reuse
+    * is safe. Keyed weakly per session to not pin stopped sessions. */
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val perSession = relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relationCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
+      p => spark.read.parquet(p))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
