@@ -18,23 +18,23 @@ object Tables {
 
   /** Resolved-relation cache: file listing + parquet footer resolution
     * happen once per (session, path); DataFrames are immutable so reuse
-    * is safe. Keyed weakly per session to not pin stopped sessions. */
-  private val relationCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * is safe. Values are SoftReferences — a cached DataFrame strongly
+    * references its session, so hard values would pin stopped sessions
+    * forever; soft values let the GC reclaim both under pressure. A
+    * rewritten fixture file needs a new session (or cleared cache) to be
+    * re-resolved — acceptable for read-only test data. */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), java.lang.ref.SoftReference[DataFrame]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val perSession = relationCache.synchronized {
-      var m = relationCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        relationCache.put(spark, m)
-      }
-      m
+    val key = (System.identityHashCode(spark), s"$sfDir/$name.parquet")
+    val cached = Option(relationCache.get(key)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val df = spark.read.parquet(key._2)
+      relationCache.put(key, new java.lang.ref.SoftReference(df))
+      df
     }
-    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
-      p => spark.read.parquet(p))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
@@ -48,12 +48,16 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(spark, sfDir, "events")
+    normalizeEventTs(apply(spark, sfDir, "events"))
+  }
+
+  /** Shared ts normalization — used by the batch loader above AND the
+    * streaming source (graft.streaming), so the two can never diverge. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
     else df.withColumn("ts", col("ts").cast("timestamp_ntz"))
-  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

@@ -29,6 +29,12 @@ object AsOf {
       rightKey: String, leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // A rightVals name that already exists on the left would silently
+    // feed left rows' own values into the ignoreNulls carry (every row
+    // "matching itself") — refuse instead of corrupting.
+    val collisions = rightVals.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: rightVals collide with left columns: ${collisions.mkString(", ")} — rename before joining")
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

@@ -24,10 +24,10 @@ object Hashing {
 
   /** MinHash permutation constants (fixed seed, shared with oracle SQL).
     * Simple LCG-spread odd multipliers; any a in [1, P-1] is invertible
-    * mod the prime P. */
-  val NumPerms = 16
-  val permA: Seq[Long] = (0 until NumPerms).map(i => (2654435761L * (i + 1)) % (P - 1) + 1)
-  val permB: Seq[Long] = (0 until NumPerms).map(i => (40503L * (i + 1) * 2654435789L) % P)
+    * mod the prime P. Single source of truth: the compute kernel. */
+  val NumPerms: Int = graft.functions.HashKernels.NumPerms
+  val permA: Seq[Long] = graft.functions.HashKernels.permA.toSeq
+  val permB: Seq[Long] = graft.functions.HashKernels.permB.toSeq
 
   /** 31-bit polynomial hash of a whole string column (char fold).
     * Production path: native codegen'd expression (graft.functions). */

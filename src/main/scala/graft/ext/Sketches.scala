@@ -31,20 +31,22 @@ object Sketches {
     * kth_hash, est_distinct, exact_distinct); exact is cheap at test
     * scale — at 100 TB you would drop it, the estimate is the product. */
   def kmvDistinctWords(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashes = Tables.documents(spark, sfDir)
+    val distinctH = Tables.documents(spark, sfDir)
       .select(explode(GraftFunctions.shingleHashes(
         GraftFunctions.wordHashes(col("text")), 3)).as("h"))
-    val exact = hashes.distinct().count()
-    val mink = hashes.distinct().orderBy(col("h")).limit(K)
+      .distinct()
+    val mink = distinctH.orderBy(col("h")).limit(K)
     val scale = (K - 1).toLong * graft.ext.Hashing.P // fits: < 2^38
     // Fewer than k distinct hashes ⇒ the sketch holds the whole set and
     // IS the exact count (the standard KMV small-cardinality case).
+    // exact_distinct joins in as a 1-row aggregate so the whole query
+    // stays ONE lazy plan (no job at DataFrame-construction time).
     mink.agg(
       count(col("h")).as("n_hashes"),
       max(col("h")).as("kth_hash"),
       expr(s"CASE WHEN count(h) < $K THEN count(h) " +
         s"ELSE ${scale}L div max(h) END").as("est_distinct"))
-      .withColumn("exact_distinct", lit(exact))
+      .crossJoin(distinctH.agg(count(lit(1)).as("exact_distinct")))
   }
 
   val kmvDistinctWordsSql: String = {

@@ -17,11 +17,12 @@ object HashKernels {
 
   val P = 2147483647L // 2^31 - 1
 
-  // MinHash permutation constants — MUST stay equal to graft.ext.Hashing.
+  // MinHash permutation constants — SINGLE source of truth; the oracle
+  // SQL in graft.ext.Hashing re-exports these.
   val NumPerms = 16
-  private val permA: Array[Long] =
+  val permA: Array[Long] =
     Array.tabulate(NumPerms)(i => (2654435761L * (i + 1)) % (P - 1) + 1)
-  private val permB: Array[Long] =
+  val permB: Array[Long] =
     Array.tabulate(NumPerms)(i => (40503L * (i + 1) * 2654435789L) % P)
 
   /** 31-bit polynomial hash over code points: fold (acc*31 + cp) mod P.

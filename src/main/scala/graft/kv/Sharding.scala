@@ -25,11 +25,14 @@ object Sharding {
 
   val NShards = 10
 
-  /** `int(key[0]) % 10` as a Catalyst column (empty key → shard 0, like
-    * Go's zero-value byte). */
-  def key2shard(key: Column): Column =
-    pmod(coalesce(ascii(substring(key, 1, 1)), lit(0)), lit(NShards))
-      .cast("long")
+  /** `int(key[0]) % 10` as a Catalyst column — the first UTF-8 BYTE
+    * (Go indexes bytes, so "é" shards by 0xC3, not code point 233);
+    * empty key → shard 0, like Go's zero-value byte. */
+  def key2shard(key: Column): Column = {
+    val firstByte =
+      conv(hex(substring(encode(key, "UTF-8"), 1, 1)), 16, 10).cast("int")
+    pmod(coalesce(firstByte, lit(0)), lit(NShards)).cast("long")
+  }
 
   /** Distribution of distinct user keys over shards — the shard-placement
     * audit a rebalance would consult. One small shuffle (distinct) + a

@@ -106,21 +106,24 @@ class WholeFileReaderFactory(columns: Array[String])
     new WholeFileReader(partition.asInstanceOf[WholeFilePartition].file, columns)
 }
 
-/** Emits the single (pruned) row for one file; bytes are read ONLY when
-  * the content or length column is required. */
+/** Emits the single (pruned) row for one file. File BYTES are read only
+  * when the content column is required (once, even if get() repeats);
+  * length alone is a stat call, path alone is I/O-free. */
 class WholeFileReader(file: String, columns: Array[String])
     extends PartitionReader[InternalRow] {
   private var done = false
+  private lazy val bytes =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
 
   override def next(): Boolean = !done && { done = true; true }
 
   override def get(): InternalRow = {
-    lazy val bytes =
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
     val values: Array[Any] = columns.map {
       case "path" => UTF8String.fromString(file)
       case "content" => UTF8String.fromBytes(bytes)
-      case "length" => bytes.length.toLong
+      case "length" =>
+        if (columns.contains("content")) bytes.length.toLong
+        else java.nio.file.Files.size(java.nio.file.Paths.get(file))
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }

@@ -51,12 +51,7 @@ object Streaming {
     Tables.events(spark, sfDir) // sets the nanos flag + registers functions
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = staged(sfDir, "events")
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir)
-    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else stream.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    Tables.normalizeEventTs(spark.readStream.schema(raw.schema).parquet(dir))
   }
 
   /** Streaming twin of Events.windowedAgg: tumbling-hour counts + exact
@@ -110,13 +105,9 @@ object Streaming {
     * oracle (same final states). */
   def kvReplayStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ops = eventStream(spark, sfDir).select(
-      col("event_id").as("seq"),
-      col("user_id").cast("string").as("key"),
-      when(col("event_type") === "signup", "put")
-        .when(col("event_type").isin("click", "purchase"), "append")
-        .otherwise("get").as("op"),
-      col("event_id").cast("string").as("value"))
+    // Single source of truth for the event->op mapping: the batch
+    // module's, whose oracle this query is gated against.
+    val ops = graft.kv.KvReplay.opsFromEvents(eventStream(spark, sfDir))
       .filter(col("op") =!= "get")
       .as[KvOp]
     val q = kvReplayUpdates(ops).writeStream.format("memory")

@@ -67,10 +67,13 @@ class ShardingSpec extends SparkSpec {
   test("key2shard matches the Go formula int(key[0]) % NShards") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val keys = Seq("0", "42", "999", "abc", "Z", "~tilde")
+    // Go indexes BYTES: "é" is 0xC3 0xA9, so key2shard("é...") = 195 % 10,
+    // not code point 233 % 10.
+    val keys = Seq("0", "42", "999", "abc", "Z", "~tilde", "émile", "日本")
     val got = keys.toDF("key")
       .select(Sharding.key2shard(col("key")).as("s")).as[Long].collect()
-    val want = keys.map(k => (k.head.toInt % NShards).toLong)
+    val want = keys.map(k =>
+      ((k.getBytes("UTF-8")(0) & 0xff) % NShards).toLong)
     assert(got.toSeq == want)
   }
 }
