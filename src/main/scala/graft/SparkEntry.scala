@@ -34,6 +34,8 @@ object SparkEntry {
         "nations_with_customers" -> (ext.Relational.nationsWithCustomers _),
         "events_windowed_agg" -> (ext.Events.windowedAgg _),
         "events_json_stats" -> (ext.Events.jsonStats _),
+        "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
+        "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +57,7 @@ object SparkEntry {
       "nations_with_customers" -> ext.Relational.nationsWithCustomersSql,
       "events_windowed_agg" -> ext.Events.windowedAggSql,
       "events_json_stats" -> ext.Events.jsonStatsSql,
+      "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
+      "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql)
 }

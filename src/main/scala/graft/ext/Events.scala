@@ -43,6 +43,73 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Gap-filled hourly series: build the complete hour spine between the
+    * corpus bounds (sequence + explode — no driver loop), cross it with
+    * the type dimension, and left-join the actual counts; missing cells
+    * read 0. The canonical time-series densification shape: the spine is
+    * tiny (hours × types), the facts stream into one left join. */
+  def gapfillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val types = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  val gapfillHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(hour) FROM hourly),
+      |                                (SELECT MAX(hour) FROM hourly),
+      |                                INTERVAL 1 HOUR)) AS hour),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT s.hour, t.event_type, COALESCE(h.cnt, 0) AS cnt
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type""".stripMargin
+
+  /** Deterministic discrete percentiles of the cents-quantized price per
+    * return flag: the value at row ceil(p*n) of the sorted group —
+    * explicit rank math, so both engines pick the identical element (no
+    * interpolation, no engine-specific quantile convention). */
+  def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("l_returnflag"))))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val aggs = qs.map { p =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("cents")))
+        .as(s"p${(p * 100).toInt}_cents")
+    }
+    ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val priceQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN cents END) AS p25_cents,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN cents END) AS p50_cents,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN cents END) AS p75_cents
+      |FROM (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(round(l_extendedprice*100) AS BIGINT), l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Semi-structured extraction: the `props` column is a JSON blob;
     * pull `$.k` with schema-on-read and aggregate per event type. At
     * scale this is the classic log-analytics shape — extraction is
