@@ -249,6 +249,37 @@ object Relational {
     """SELECT o_orderkey, o_custkey, c_name
       |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** Set operations in one gated query: customers that placed an order
+    * in 1997 INTERSECT those in 1998, UNION those with any order over
+    * 400k, EXCEPT the BUILDING segment — exercises all three set-op
+    * nodes with their SQL-standard distinct semantics. */
+  def setOpsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    def buyersIn(year: Int) = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey").as("c_custkey"))
+    val bigSpenders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    val building = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    buyersIn(1997).intersect(buyersIn(1998))
+      .union(bigSpenders).distinct()
+      .except(building)
+  }
+
+  val setOpsCustomersSql: String =
+    """SELECT c_custkey FROM (
+      |  SELECT o_custkey AS c_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  UNION
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
   /** TPC-H Q6-shaped: pure scan + filter + single-row aggregate — the
     * query whose whole cost is how fast the scan prunes and filters.
     * revenue = Σ price·discount, exact in cents×basis-points. */
@@ -412,6 +443,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_cube" -> (ordersCube _),
+    "set_ops_customers" -> (setOpsCustomers _),
     "events_pivot" -> (eventsPivot _),
     "salted_orders_join" -> (saltedOrdersJoin _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -423,6 +455,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "orders_cube" -> ordersCubeSql,
+    "set_ops_customers" -> setOpsCustomersSql,
     "events_pivot" -> eventsPivotSql,
     "salted_orders_join" -> saltedOrdersJoinSql,
     "q6_forecast_revenue" -> q6Sql,
