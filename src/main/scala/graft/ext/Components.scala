@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the clustering stage that
+  * turns near-dup PAIRS into dedup GROUPS (pick one survivor per
+  * component). Algorithm: min-label propagation — every node starts
+  * labeled with itself; each round takes the min of its own and its
+  * neighbors' labels; converged when nothing changes. O(diameter)
+  * rounds, each one shuffled join + aggregation; labels persist across
+  * rounds so lineage stays flat. Near-dup graphs are shallow (dup
+  * clusters are cliques-ish), so rounds ≈ 2-3; at extreme scale the
+  * alternating small-star/large-star variant trades rounds for edges,
+  * same join shapes.
+  *
+  * Determinism: component id = min doc_id reachable — no tie to break.
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges` (cols a, b). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    // localCheckpoint each round: the next round's plan references THIS
+    // round's labels twice, so without lineage truncation the logical
+    // plan doubles per iteration (2^rounds nodes — OOMs the driver on
+    // long chains long before the data does).
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= 64,
+        "connectedComponents failed to converge in 64 rounds")
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      // Distinct column names end-to-end: self-join attribute
+      // deduplication must never be able to conflate old and new labels.
+      val updated = labels.withColumnRenamed("label", "oldLabel")
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("oldLabel"), coalesce(col("nlabel"), col("oldLabel")))
+            .as("label"),
+          col("oldLabel"))
+        .localCheckpoint()
+      changed = updated.filter(col("label") =!= col("oldLabel")).count()
+      labels = updated.select("node", "label")
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Dedup clusters: components of the MinHash-LSH verified pair graph.
+    * Every doc in a near-dup pair gets its cluster's min doc_id. */
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(
+      Dedup.minhashLsh(spark, sfDir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** Oracle: transitive closure by recursive CTE, component = min
+    * reachable node (self included via LEAST). */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE lshpairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql}) ),
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshpairs
+       |  UNION SELECT doc_b, doc_a FROM lshpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |nodes AS (SELECT DISTINCT a AS node FROM sym)
+       |SELECT n.node AS doc_id, LEAST(n.node, MIN(r.b)) AS component
+       |FROM nodes n LEFT JOIN reach r ON r.a = n.node
+       |GROUP BY n.node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ext.Components
+
+/** Min-label propagation CC: chains (multi-round convergence), disjoint
+  * cliques, and a randomized comparison against a driver-side union-find. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain converges to the min endpoint over multiple rounds") {
+    // 5 -> 4 -> 3 -> 2 -> 1: diameter forces several propagation rounds.
+    val got = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint cliques keep distinct component ids") {
+    val got = cc(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L)))
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("random graphs match a union-find oracle") {
+    val rnd = new scala.util.Random(21)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      assert(cc(edges) == want)
+    }
+  }
+}
