@@ -18,21 +18,34 @@ object Tables {
 
   /** Resolved-relation cache: file listing + parquet footer resolution
     * happen once per (session, path); DataFrames are immutable so reuse
-    * is safe. Values are SoftReferences — a cached DataFrame strongly
-    * references its session, so hard values would pin stopped sessions
-    * forever; soft values let the GC reclaim both under pressure. A
-    * rewritten fixture file needs a new session (or cleared cache) to be
-    * re-resolved — acceptable for read-only test data. */
-  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), java.lang.ref.SoftReference[DataFrame]]()
+    * is safe. Keying: weak IDENTITY on the session (identityHashCode
+    * alone can collide between live sessions). Values are
+    * SoftReferences — a cached DataFrame strongly references its
+    * session, so hard values would pin stopped sessions through the
+    * weak key; soft values let the GC reclaim both. A rewritten fixture
+    * file needs a new session to re-resolve — fine for read-only data. */
+  private val relationCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.ref.SoftReference[DataFrame]]]())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val key = (System.identityHashCode(spark), s"$sfDir/$name.parquet")
-    val cached = Option(relationCache.get(key)).flatMap(r => Option(r.get))
+    val perSession = {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, java.lang.ref.SoftReference[DataFrame]]()
+        val prev = relationCache.put(spark, m)
+        if (prev != null) m = prev
+      }
+      m
+    }
+    val path = s"$sfDir/$name.parquet"
+    val cached = Option(perSession.get(path)).flatMap(r => Option(r.get))
     cached.getOrElse {
-      val df = spark.read.parquet(key._2)
-      relationCache.put(key, new java.lang.ref.SoftReference(df))
+      val df = spark.read.parquet(path)
+      perSession.put(path, new java.lang.ref.SoftReference(df))
       df
     }
   }

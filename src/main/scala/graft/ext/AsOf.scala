@@ -35,31 +35,36 @@ object AsOf {
     val collisions = rightVals.toSet.intersect(leftCols.toSet)
     require(collisions.isEmpty,
       s"asofJoin: rightVals collide with left columns: ${collisions.mkString(", ")} — rename before joining")
+    // The carried payload is ONE struct per right row, so (a) all
+    // rightVals always come from the same matched row — per-column
+    // carries could stitch values from different rows when a column is
+    // null — and (b) a matched row with null values is still a match
+    // (the struct itself is non-null), exactly like a real ASOF join.
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+      .withColumn("__row", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightVals.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-    val all = (leftCols ++ rightVals).distinct
-    val lPadded = rightVals.foldLeft(l) { (df, c) =>
+      .withColumn("__row", struct(rightVals.map(col): _*))
+    val sel = (leftCols ++ Seq("__k", "__t", "__side", "__row")).map(colName =>
+      col(colName))
+    val lSel = l.select(sel: _*)
+    val rSel = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }
-    val rPadded = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }
-    val sel = (all ++ Seq("__k", "__t", "__side")).map(col)
-    val unioned = lPadded.select(sel: _*).unionByName(rPadded.select(sel: _*))
+    }.select(sel: _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    lSel.unionByName(rSel)
+      .withColumn("__asof", last(col("__row"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__asof").isNotNull)
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"__asof_$c").as(c)): _*)
-      .filter(rightVals.map(c => col(c).isNotNull).reduce(_ && _))
+        rightVals.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
   /** Driver-gated instance: each event joined to the user's most recent

@@ -35,18 +35,33 @@ object Components {
     var iters = 0
     while (changed > 0) {
       iters += 1
-      require(iters <= 64,
-        "connectedComponents failed to converge in 64 rounds")
+      if (iters > 64) {
+        sym.unpersist()
+        throw new IllegalStateException(
+          "connectedComponents failed to converge in 64 rounds")
+      }
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nlabel"))
       // Distinct column names end-to-end: self-join attribute
       // deduplication must never be able to conflate old and new labels.
-      val updated = labels.withColumnRenamed("label", "oldLabel")
+      val viaNeighbors = labels.withColumnRenamed("label", "oldLabel")
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("oldLabel"), coalesce(col("nlabel"), col("oldLabel")))
+            .as("label"),
+          col("oldLabel"))
+      // Pointer jumping: also adopt the label OF the current label —
+      // doubles the propagation distance per round, so convergence is
+      // O(log n) rounds even on long chains (64-round cap is then far
+      // beyond any real graph).
+      val jumpSrc = labels.select(col("node").as("jnode"),
+        col("label").as("jlabel"))
+      val updated = viaNeighbors
+        .join(jumpSrc, col("label") === col("jnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
             .as("label"),
           col("oldLabel"))
         .localCheckpoint()

@@ -54,7 +54,7 @@ object Events {
       .agg(count(lit(1)).as("cnt"))
     val spine = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
-    val types = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    val types = hourly.select(col("event_type")).distinct()
     spine.crossJoin(broadcast(types))
       .join(hourly, Seq("hour", "event_type"), "left")
       .select(col("hour"), col("event_type"),

@@ -107,21 +107,29 @@ object Multimodal {
       .toDF()
   }
 
-  /** Oracle twin of [[FakeCodec.meta]] — ascii(char i+1) == byte i on the
-    * ASCII corpus. */
+  /** Shared "header parse" CTE — the SQL twin of [[FakeCodec.meta]]'s
+    * byte reads (ascii(char i+1) == byte i on the ASCII corpus); single
+    * source for BOTH the meta and resize oracles. */
+  private val metaSqlCte: String =
+    """m AS (
+      |  SELECT doc_id, media_type, payload,
+      |    64 + (b0*31 + b1) % 448 AS width,
+      |    64 + (b1*31 + b2) % 448 AS height
+      |  FROM (
+      |    SELECT doc_id, media_type, payload,
+      |      CASE WHEN length(payload) > 0 THEN CAST(ascii(substr(payload, 1, 1)) AS BIGINT) ELSE 0 END AS b0,
+      |      CASE WHEN length(payload) > 1 THEN CAST(ascii(substr(payload, 2, 1)) AS BIGINT) ELSE 0 END AS b1,
+      |      CASE WHEN length(payload) > 2 THEN CAST(ascii(substr(payload, 3, 1)) AS BIGINT) ELSE 0 END AS b2
+      |    FROM media))""".stripMargin
+
   val mediaMetaSql: String =
-    s"""WITH $mediaSqlCte
+    s"""WITH $mediaSqlCte,
+       |$metaSqlCte
        |SELECT doc_id, media_type,
        |  CAST(length(payload) AS BIGINT) AS n_bytes,
-       |  64 + (b0*31 + b1) % 448 AS width,
-       |  64 + (b1*31 + b2) % 448 AS height,
+       |  width, height,
        |  1 + CAST(length(payload) AS BIGINT) % 30 AS n_frames
-       |FROM (
-       |  SELECT doc_id, media_type, payload,
-       |    CASE WHEN length(payload) > 0 THEN CAST(ascii(substr(payload, 1, 1)) AS BIGINT) ELSE 0 END AS b0,
-       |    CASE WHEN length(payload) > 1 THEN CAST(ascii(substr(payload, 2, 1)) AS BIGINT) ELSE 0 END AS b1,
-       |    CASE WHEN length(payload) > 2 THEN CAST(ascii(substr(payload, 3, 1)) AS BIGINT) ELSE 0 END AS b2
-       |  FROM media)""".stripMargin
+       |FROM m""".stripMargin
 
   /** Frame sampling for video rows only: typed flatMap fan-out (1 → ~10
     * rows) after a pushed-down media_type filter. */
@@ -173,16 +181,7 @@ object Multimodal {
 
   val resizeFeaturesSql: String =
     s"""WITH $mediaSqlCte,
-       |m AS (
-       |  SELECT doc_id, media_type, payload,
-       |    64 + (b0*31 + b1) % 448 AS width,
-       |    64 + (b1*31 + b2) % 448 AS height
-       |  FROM (
-       |    SELECT doc_id, media_type, payload,
-       |      CASE WHEN length(payload) > 0 THEN CAST(ascii(substr(payload, 1, 1)) AS BIGINT) ELSE 0 END AS b0,
-       |      CASE WHEN length(payload) > 1 THEN CAST(ascii(substr(payload, 2, 1)) AS BIGINT) ELSE 0 END AS b1,
-       |      CASE WHEN length(payload) > 2 THEN CAST(ascii(substr(payload, 3, 1)) AS BIGINT) ELSE 0 END AS b2
-       |    FROM media))
+       |$metaSqlCte
        |SELECT doc_id, media_type,
        |  greatest(1, width * 64 // greatest(width, height)) AS out_w,
        |  greatest(1, height * 64 // greatest(width, height)) AS out_h,

@@ -33,6 +33,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * oracle gate re-checks every affected query. row_number over a
   * non-total order is non-deterministic in ANY engine; our queries all
   * order with tiebreakers.
+  *
+  * Memory trade, stated plainly: the heap map holds O(distinct keys × k)
+  * copied rows per task and does NOT spill, where the stock window's
+  * external sort holds O(rows) but spills. For top-k-per-key workloads
+  * keys×k ≪ rows (the point of the operator); for pathological
+  * key-cardinality-per-partition cases, disable with
+  * spark.sql.optimizer.excludedRules=graft.plans.TopKPerKeyRule.
   */
 case class TopKPerKey(k: Int, partition: Seq[Expression],
     order: Seq[SortOrder], rnAttr: Attribute, child: LogicalPlan)
@@ -61,10 +68,19 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+  /** Strip only WIDENING casts (the int→bigint coercion Catalyst
+    * inserts around row_number). A narrowing cast (e.g. cast to tinyint)
+    * changes semantics — ANSI overflow errors / legacy wraparound — and
+    * must keep the stock plan. */
+  private def widening(c: Cast): Boolean = (c.child.dataType, c.dataType) match {
+    case (org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType) => true
+    case (a, b) => a == b
+  }
   private object Stripped {
     def unapply(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
-      case c: Cast => unapply(c.child)
+      case c: Cast if widening(c) => unapply(c.child)
       case _ => None
     }
   }
@@ -73,7 +89,7 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
       case Literal(v: Int, _) => Some(v.toLong)
       case Literal(v: Long, _) => Some(v)
       case Literal(v: Short, _) => Some(v.toLong)
-      case c: Cast => unapply(c.child)
+      case c: Cast if widening(c) => unapply(c.child)
       case _ => None
     }
   }

@@ -48,20 +48,29 @@ object WholeFileSource {
     StructField("content", StringType, nullable = false),
     StructField("length", LongType, nullable = false)))
 
-  /** Expand the load path (dir or glob) to concrete files, sorted for
-    * deterministic partition order. */
+  /** Expand the load path (dir or glob-in-filename) to concrete files,
+    * sorted for deterministic partition order. Like the built-in
+    * sources, a nonexistent path or a zero-match glob FAILS instead of
+    * reading as an empty corpus (an existing empty directory is the one
+    * legitimately-empty case). */
   def listFiles(path: String): Seq[String] = {
     val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
+    val isDir = java.nio.file.Files.isDirectory(p)
     val (dir, glob) =
-      if (java.nio.file.Files.isDirectory(p)) (p, "*")
+      if (isDir) (p, "*")
       else (p.getParent, p.getFileName.toString)
-    if (dir == null || !java.nio.file.Files.isDirectory(dir)) Seq.empty
-    else {
-      val stream = java.nio.file.Files.newDirectoryStream(dir, glob)
+    if (dir == null || !java.nio.file.Files.isDirectory(dir))
+      throw new IllegalArgumentException(
+        s"wholefile: path does not exist: $path")
+    val stream = java.nio.file.Files.newDirectoryStream(dir, glob)
+    val files =
       try stream.asScala.filter(java.nio.file.Files.isRegularFile(_))
         .map(_.toString).toSeq.sorted
       finally stream.close()
-    }
+    if (files.isEmpty && !isDir)
+      throw new IllegalArgumentException(
+        s"wholefile: glob matched no files: $path")
+    files
   }
 }
 
