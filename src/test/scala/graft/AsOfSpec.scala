@@ -29,4 +29,27 @@ class AsOfSpec extends SparkSpec {
       .select("event_id", "v").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "a", 2L -> "b"))
   }
+
+  test("matched row with a null value stays the match (no stitching)") {
+    // right: (t=1, v="x"), (t=2, v=null). A left row at t=3 must match
+    // the t=2 row and see v=null — NOT carry "x" forward from t=1.
+    val left = Seq((1L, 10L, ts("10:03"))).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("10:01"), Some("x")),
+      (10L, ts("10:02"), Option.empty[String]))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("v", "rt"))
+      .select("event_id", "v", "rt")
+      .as[(Long, Option[String], java.sql.Timestamp)].collect()
+    assert(got.toSeq == Seq((1L, None, ts("10:02"))))
+  }
+
+  test("rejects rightVals that collide with left columns") {
+    val left = Seq((1L, 10L, ts("10:00"), "mine")).toDF("event_id", "k", "t", "v")
+    val right = Seq((10L, ts("09:00"), "theirs")).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

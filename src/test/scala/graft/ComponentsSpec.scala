@@ -23,6 +23,12 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("100-node chain: pointer jumping converges without plan blowup") {
+    val edges = (1L until 100L).map(i => (i + 1, i))
+    val got = cc(edges)
+    assert(got.size == 100 && got.values.forall(_ == 1L))
+  }
+
   test("random graphs match a union-find oracle") {
     val rnd = new scala.util.Random(21)
     for (_ <- 1 to 3) {

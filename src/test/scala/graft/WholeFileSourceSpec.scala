@@ -41,6 +41,15 @@ class WholeFileSourceSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("nonexistent path / zero-match glob fail like built-in sources") {
+    intercept[Exception] {
+      spark.read.format("wholefile").load("/no/such/dir-xyz").collect()
+    }
+    intercept[Exception] {
+      spark.read.format("wholefile").load(s"$dir/*.nope").collect()
+    }
+  }
+
   test("source matches the wholeFiles engine path on the same corpus") {
     val viaSource = spark.read.format("wholefile").load(dir)
       .select(col("path"), col("content"))
