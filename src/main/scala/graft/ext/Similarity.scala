@@ -210,13 +210,36 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  /** Per-label embedding statistics — the class-balance / norm-drift
+    * audit of an embedding corpus: counts and exact integer norm sums
+    * per label, one map-side pass + a tiny aggregation. */
+  def labelStats(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir).select("vec_id", "label"), "vec_id")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("nrm")).as("sum_sq_norm"),
+        (sum(col("nrm")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_sq_norm"))
+
+  val labelStatsSql: String =
+    s"""WITH $quantizedSqlCte
+       |SELECT e2.label, COUNT(*) AS n_vecs,
+       |  SUM(n.nrm) AS sum_sq_norm,
+       |  CAST(SUM(n.nrm) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_sq_norm
+       |FROM n JOIN embeddings e2 ON n.vec_id = e2.vec_id
+       |GROUP BY e2.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_lsh" -> (knnLsh _),
-    "knn_ivf" -> (knnIvf _))
+    "knn_ivf" -> (knnIvf _),
+    "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteForceSql,
     "knn_lsh" -> knnLshSql,
-    "knn_ivf" -> knnIvfSql)
+    "knn_ivf" -> knnIvfSql,
+    "embedding_label_stats" -> labelStatsSql)
 }
