@@ -392,6 +392,36 @@ object Relational {
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
 
+  /** TPC-H Q15-shaped: the top-revenue supplier(s) of one quarter —
+    * the "compare each group to a global aggregate of the groups"
+    * shape. The 1-row max is broadcast back against the per-supplier
+    * aggregates; exact Long revenue means the equality join cannot be
+    * bitten by float drift. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPriceE6(col("l_extendedprice"), col("l_discount"))).as("rev_e6"))
+    val mx = rev.agg(max(col("rev_e6")).as("mx"))
+    rev.join(broadcast(mx), col("rev_e6") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        e6ToDouble(col("rev_e6")).as("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS rev_e6
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_e6 AS DOUBLE)/1e6 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_e6 = (SELECT MAX(rev_e6) FROM rev)""".stripMargin
+
   /** TPC-H Q18-shaped: large-volume orders (group-HAVING on the fact,
     * then enrich). The HAVING prunes before the orders/customer joins. */
   def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
@@ -450,6 +480,7 @@ object Relational {
     "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_disjunctive" -> (q19Disjunctive _))
 
@@ -462,6 +493,7 @@ object Relational {
     "q7_nation_volume" -> q7Sql,
     "q10_returned_items" -> q10Sql,
     "q14_promo_revenue" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
     "q18_large_orders" -> q18Sql,
     "q19_disjunctive" -> q19Sql)
 }
