@@ -52,6 +52,24 @@ class ScaleToolsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitionBy layout: day filters prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val lake = spark.read.parquet(dir)
+    val days = lake.select("day").distinct().count()
+    assert(days > 1, "need multiple partitions for the pruning test")
+    val oneDay = lake.filter(col("day") === "2024-01-03")
+    val p = oneDay.queryExecution.executedPlan.toString
+    // The day predicate must land in PartitionFilters (pruned listing),
+    // NOT PushedFilters/data filters (which would scan every file).
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
+
   test("JSON KV sink/source round-trips the reference intermediate format") {
     val dir = java.nio.file.Files.createTempDirectory("mr-json-kv").toString
     val data = Seq(
