@@ -212,16 +212,20 @@ object Similarity {
 
   /** Per-label embedding statistics — the class-balance / norm-drift
     * audit of an embedding corpus: counts and exact integer norm sums
-    * per label, one map-side pass + a tiny aggregation. */
-  def labelStats(spark: SparkSession, sfDir: String): DataFrame =
-    quantized(spark, sfDir)
-      .join(Tables.embeddings(spark, sfDir).select("vec_id", "label"), "vec_id")
+    * per label. Genuinely one map-side pass (label and norm come out of
+    * the same scan — no self-join) + a tiny aggregation. */
+  def labelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), GraftFunctions.dotLong(qv, qv).as("nrm"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),
         sum(col("nrm")).as("sum_sq_norm"),
         (sum(col("nrm")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_sq_norm"))
+  }
 
   val labelStatsSql: String =
     s"""WITH $quantizedSqlCte

@@ -10,9 +10,14 @@ import org.apache.spark.sql.DataFrame
   * idempotent-by-batch-id: every batch writes to its own
   * `batch=<id>` partition directory with overwrite mode, so a replayed
   * batch rewrites byte-identical output instead of appending
-  * duplicates. Consumers read the whole directory; a partially-written
-  * replay is invisible because parquet commit is atomic per directory
-  * write (temporary files + rename).
+  * duplicates. Consumers read the whole directory.
+  *
+  * Consistency contract, stated plainly: idempotence is a steady-state
+  * guarantee — after a replay COMPLETES the directory equals the
+  * no-failure output. A reader racing the replay window itself can
+  * observe the batch dir mid-rewrite (overwrite deletes before it
+  * recommits); readers that need isolation from in-flight recovery
+  * should gate on a manifest/_SUCCESS marker or read snapshots.
   */
 object Sinks {
 
