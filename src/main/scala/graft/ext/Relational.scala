@@ -234,6 +234,24 @@ object Relational {
       |  COUNT(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Unpivot/melt — the inverse reshape of [[eventsPivot]]: the wide
+    * per-type report back to long (day, event_type, cnt) rows via
+    * `stack`. Round-tripping through pivot+unpivot equals the plain
+    * grouped counts, which is exactly what the oracle states. */
+  def eventsUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    eventsPivot(spark, sfDir)
+      .select(col("day"),
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, cnt)"))
+      .filter(col("cnt") > 0)
+  }
+
+  val eventsUnpivotSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Skew-tool gate: the salted join must produce exactly the plain
     * join's rows (the oracle states the plain join). */
   def saltedOrdersJoin(spark: SparkSession, sfDir: String): DataFrame = {
@@ -475,6 +493,7 @@ object Relational {
     "orders_cube" -> (ordersCube _),
     "set_ops_customers" -> (setOpsCustomers _),
     "events_pivot" -> (eventsPivot _),
+    "events_unpivot" -> (eventsUnpivot _),
     "salted_orders_join" -> (saltedOrdersJoin _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -488,6 +507,7 @@ object Relational {
     "orders_cube" -> ordersCubeSql,
     "set_ops_customers" -> setOpsCustomersSql,
     "events_pivot" -> eventsPivotSql,
+    "events_unpivot" -> eventsUnpivotSql,
     "salted_orders_join" -> saltedOrdersJoinSql,
     "q6_forecast_revenue" -> q6Sql,
     "q7_nation_volume" -> q7Sql,
