@@ -88,20 +88,40 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("sh")).as("sig"))
 
-  /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
-    * exact shingle-Jaccard verification at 0.8. The only shuffles are the
-    * band self-join and the two verify joins — all keyed, no all-pairs. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** LSH band-bucket candidate pairs (doc_a < doc_b) — the shared
+    * candidate stage both near-dup verifiers (Jaccard, edit distance)
+    * refine. */
+  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = minhashSigs(spark, sfDir)
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.minhashBands(col("sig"), bandsOf)))
       .toDF("doc_id", "band", "bh")
-    val cands = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(spark, sfDir, cands, threshold = 0.8)
+  }
+
+  /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
+    * exact shingle-Jaccard verification at 0.8. The only shuffles are the
+    * band self-join and the two verify joins — all keyed, no all-pairs. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    verifyJaccard(spark, sfDir, lshCandidates(spark, sfDir), threshold = 0.8)
+
+  /** Edit-distance near-dup verification over the SAME LSH candidates:
+    * exact Levenshtein ≤ 20 on the raw texts — the character-level twin
+    * of the shingle-Jaccard verifier (identical algorithm in both
+    * engines, so directly oracle-comparable). Quadratic per pair, which
+    * is fine precisely because LSH bounds the candidate count. */
+  def editDistanceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    lshCandidates(spark, sfDir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 20)
   }
 
   /** Join candidate pairs back to shingle sets; exact Jaccard via the
@@ -124,7 +144,9 @@ object Dedup {
     s"""sh0 AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
        |sh AS (SELECT doc_id, ${shingleHashesSql("whs", 3)} AS sh FROM sh0)""".stripMargin
 
-  val minhashLshSql: String = {
+  /** Shared candidate CTE chain (shingles → sigs → bands → cands),
+    * used by both the Jaccard and edit-distance oracles. */
+  private lazy val lshCandsSqlCtes: String = {
     val minCols = (0 until NumPerms)
       .map(i => s"MIN((${permA(i)}*h + ${permB(i)}) % $P) AS s${i}").mkString(",\n    ")
     val bandRows = (0 until bandsOf).map { b =>
@@ -133,7 +155,7 @@ object Dedup {
         .foldLeft("0::BIGINT")((acc, s) => s"(($acc)*31 + $s) % $P")
       s"SELECT doc_id, $b AS band, $fold AS bh FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $shingledSqlCte,
+    s"""$shingledSqlCte,
        |sigs AS (
        |  SELECT doc_id, $minCols
        |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh) GROUP BY doc_id),
@@ -142,7 +164,18 @@ object Dedup {
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val editDistanceDedupSql: String =
+    s"""WITH $lshCandsSqlCtes
+       |SELECT doc_a, doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       |FROM cands JOIN documents a ON a.doc_id = doc_a
+       |JOIN documents b ON b.doc_id = doc_b
+       |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin
+
+  val minhashLshSql: String = {
+    s"""WITH $lshCandsSqlCtes
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
@@ -196,6 +229,7 @@ object Dedup {
     "dedup_fingerprint" -> (fingerprintDedup _),
     "dedup_simhash" -> (simhash _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_edit_distance" -> (editDistanceDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardSample _),
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
@@ -204,6 +238,7 @@ object Dedup {
     "dedup_fingerprint" -> fingerprintDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_edit_distance" -> editDistanceDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSampleSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql)
 }

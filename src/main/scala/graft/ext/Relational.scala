@@ -234,6 +234,22 @@ object Relational {
       |  COUNT(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY 1""".stripMargin
 
+  /** GROUPING SETS — the third grouping construct next to ROLLUP/CUBE:
+    * explicit per-dimension totals plus the grand total, via the SQL
+    * surface (temp view + spark.sql), not the DataFrame shorthand. */
+  def ordersGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_gs_v")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders_gs_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val ordersGroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   /** Unpivot/melt — the inverse reshape of [[eventsPivot]]: the wide
     * per-type report back to long (day, event_type, cnt) rows via
     * `stack`. Round-tripping through pivot+unpivot equals the plain
@@ -491,6 +507,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_cube" -> (ordersCube _),
+    "orders_grouping_sets" -> (ordersGroupingSets _),
     "set_ops_customers" -> (setOpsCustomers _),
     "events_pivot" -> (eventsPivot _),
     "events_unpivot" -> (eventsUnpivot _),
@@ -505,6 +522,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "orders_cube" -> ordersCubeSql,
+    "orders_grouping_sets" -> ordersGroupingSetsSql,
     "set_ops_customers" -> setOpsCustomersSql,
     "events_pivot" -> eventsPivotSql,
     "events_unpivot" -> eventsUnpivotSql,
