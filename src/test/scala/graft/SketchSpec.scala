@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sketches
+
+/** KMV estimator semantics beyond the oracle gate: small-cardinality
+  * exact regime, estimator accuracy on known cardinalities, and the
+  * gap-fill spine's completeness. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV at sf0.001: estimate within 30% of exact, fields consistent") {
+    val row = Sketches.kmvDistinctWords(spark, sf).collect().head
+    val (n, kth, est, exact) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(n <= 64 && kth > 0)
+    if (n < 64) assert(est == exact, "below k the sketch IS the exact set")
+    else assert(math.abs(est - exact).toDouble / exact <= 0.30,
+      s"est $est vs exact $exact")
+  }
+
+  test("gapfill emits every (hour, type) cell and preserves totals") {
+    val filled = ext.Events.gapfillHourly(spark, sf)
+    val hours = filled.select("hour").distinct().count()
+    val types = filled.select("event_type").distinct().count()
+    assert(filled.count() == hours * types, "spine must be complete")
+    val totalFilled = filled.agg(sum("cnt")).as[Long].collect().head
+    val totalRaw = Tables.events(spark, sf).count()
+    assert(totalFilled == totalRaw, "zero-filling must not change totals")
+  }
+}
