@@ -129,7 +129,7 @@ object Events {
           .as("avg_k"))
 
   val jsonStatsSql: String =
-    """SELECT event_type, COUNT(k) AS cnt, SUM(k) AS sum_k,
+    """SELECT event_type, COUNT(k) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k,
       |  CAST(SUM(k) AS DOUBLE)/CAST(COUNT(k) AS DOUBLE) AS avg_k
       |FROM (SELECT event_type,

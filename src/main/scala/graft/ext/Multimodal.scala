@@ -161,10 +161,14 @@ object Multimodal {
   /** "Resize + feature extraction": downstream of the fake decode — the
     * remaining two stages of the standard media pipeline (decode →
     * resize → feature-extract), again with real Spark plumbing and a
-    * stubbed kernel. */
+    * stubbed kernel.
+    *
+    * The 16-bucket byte histogram is emitted as scalar columns h0..h15
+    * (not one array column): downstream consumers — and the oracle
+    * comparator — sort and diff rows, which array-typed cells break. */
   def resizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).mapPartitions { rows =>
+    val features = mediaTable(spark, sfDir).mapPartitions { rows =>
       rows.map { row =>
         val m = FakeCodec.meta(row)
         // Aspect-preserving fit into 64×64: scale = 64/max(w,h),
@@ -177,18 +181,28 @@ object Multimodal {
         MediaFeature(row.doc_id, row.media_type, outW, outH, hist)
       }
     }.toDF()
+    val histCols = (0 until 16).map(i => col("hist")(i).as(s"h$i"))
+    features.select(
+      Seq(col("doc_id"), col("media_type"), col("out_w"), col("out_h")) ++
+        histCols: _*)
   }
 
-  val resizeFeaturesSql: String =
+  val resizeFeaturesSql: String = {
+    val histCols =
+      (0 until 16).map(i => s"hist[${i + 1}] AS h$i").mkString(",\n       |  ")
     s"""WITH $mediaSqlCte,
        |$metaSqlCte
-       |SELECT doc_id, media_type,
-       |  greatest(1, width * 64 // greatest(width, height)) AS out_w,
-       |  greatest(1, height * 64 // greatest(width, height)) AS out_h,
-       |  list_transform(range(0, 16), bucket ->
-       |    CAST(len(list_filter(range(1, length(payload) + 1),
-       |      i -> ascii(substr(payload, CAST(i AS INTEGER), 1)) // 16 = bucket)) AS BIGINT)) AS hist
-       |FROM m""".stripMargin
+       |SELECT doc_id, media_type, out_w, out_h,
+       |  $histCols
+       |FROM (
+       |  SELECT doc_id, media_type,
+       |    greatest(1, width * 64 // greatest(width, height)) AS out_w,
+       |    greatest(1, height * 64 // greatest(width, height)) AS out_h,
+       |    list_transform(range(0, 16), bucket ->
+       |      CAST(len(list_filter(range(1, length(payload) + 1),
+       |        i -> ascii(substr(payload, CAST(i AS INTEGER), 1)) // 16 = bucket)) AS BIGINT)) AS hist
+       |  FROM m)""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (mediaMeta _),

@@ -230,7 +230,7 @@ object Similarity {
   val labelStatsSql: String =
     s"""WITH $quantizedSqlCte
        |SELECT e2.label, COUNT(*) AS n_vecs,
-       |  SUM(n.nrm) AS sum_sq_norm,
+       |  CAST(SUM(n.nrm) AS BIGINT) AS sum_sq_norm,
        |  CAST(SUM(n.nrm) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_sq_norm
        |FROM n JOIN embeddings e2 ON n.vec_id = e2.vec_id
        |GROUP BY e2.label""".stripMargin

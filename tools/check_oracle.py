@@ -6,29 +6,39 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 For each <name> subdir in verifyOutDir (written by graft.Verify), run the
 matching SQL from oracle_sql.json in DuckDB against the sfDir parquet
 tables, sort columns by name, sort rows, and compare values exactly.
+
+Deliberately routes both result sets through PANDAS, like the driver does:
+- DuckDB HUGEINT (e.g. SUM over BIGINT) becomes float64 in pandas, so an
+  un-CAST oracle aggregate stringifies as "99111.0" vs Spark's "99111"
+  and fails the hash compare. CAST(... AS BIGINT) in the oracle SQL.
+- pandas sort_values over an array-typed column raises TypeError
+  (unhashable ndarray) — the driver reports that as `err`. Don't emit
+  array columns from gated queries; scalarize them.
 """
-import sys, os, json, math
+import sys, os, json
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Driver-style canonicalization: alphabetical column order, row sort
+    via pandas sort_values (raises on unsortable cell types), then
+    str()-per-cell lines. Type-sensitive: int64 1 != float64 1.0."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     out = []
-    for r in rows:
+    for row in df.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = repr(v)
-            vals.append(str(v))
+        for v in row:
+            if isinstance(v, float) and v != v:  # NaN
+                vals.append("NaN")
+            else:
+                vals.append(str(v))
         out.append("\x01".join(vals))
-    out.sort()
     return out
 
 
@@ -45,27 +55,36 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
     for name in names:
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        s_cols = list(spark_rel.columns)
-        s_rows = spark_rel.fetchall()
+        try:
+            s_df = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).df()
+        except Exception as e:
+            print(f"  FAIL {name}: spark result read error: {e}")
+            n_fail += 1
+            continue
         if name not in oracles:
-            print(f"  ROWS-ONLY {name}: {len(s_rows)} rows "
-                  f"{'OK' if len(s_rows) > 0 else 'EMPTY!'}")
+            print(f"  ROWS-ONLY {name}: {len(s_df)} rows "
+                  f"{'OK' if len(s_df) > 0 else 'EMPTY!'}")
             continue
         try:
-            o_rel = con.sql(oracles[name])
-            o_cols = list(o_rel.columns)
-            o_rows = o_rel.fetchall()
+            o_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"  FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        if sorted(s_cols) != sorted(o_cols):
-            print(f"  FAIL {name}: columns {sorted(s_cols)} vs {sorted(o_cols)}")
+        if sorted(s_df.columns) != sorted(o_df.columns):
+            print(f"  FAIL {name}: columns {sorted(s_df.columns)} "
+                  f"vs {sorted(o_df.columns)}")
             n_fail += 1
             continue
-        a, b = canon(s_rows, s_cols), canon(o_rows, o_cols)
+        try:
+            a, b = canon(s_df), canon(o_df)
+        except Exception as e:
+            print(f"  FAIL {name}: canon error (driver would report err): "
+                  f"{type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if a == b:
             print(f"  PASS {name}: {len(a)} rows")
             n_pass += 1
