@@ -12,10 +12,12 @@ import graft.kv.KvOp
 /** Structured Streaming renditions of the batch analytics (SURVEY.md §2.8:
   * the reference has no streaming, but the [SPEC] kvraft op stream is the
   * natural streaming twin, and a training-data pipeline ingests event
-  * streams). Both entry points REALLY execute through the streaming
-  * engine — file source → micro-batches (Trigger.AvailableNow) → memory
-  * sink — and return the sink table, so the driver's DuckDB gate applies
-  * to the streaming path too.
+  * streams). The gated entry points REALLY execute through the streaming
+  * engine — file source → micro-batches (Trigger.AvailableNow) →
+  * foreachBatch into the idempotent parquet sink — then read the sink
+  * back, so the driver's DuckDB gate applies to the streaming path too.
+  * No gated path uses the `memory` sink: that would hold every update
+  * row on the driver (O(corpus) for per-document queries).
   *
   * Scale notes: the same code runs unbounded (continuous ingestion) by
   * swapping the trigger; state stores are per-key and spill via the
@@ -27,6 +29,38 @@ object Streaming {
 
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt-").toString
+
+  /** Run a streaming frame to completion through the idempotent parquet
+    * sink ([[Sinks.idempotentParquet]]) and read the result back as a
+    * batch frame (partition column `batch` = micro-batch id).
+    *
+    * This is the scale-safe gate path: a `memory`-format sink would
+    * materialize every update row on the DRIVER — O(corpus) driver state
+    * for per-document queries like dedup — whereas here updates go
+    * executor→parquet and only the driver-side read of the FINAL
+    * aggregate is small. Checkpoint + batch-id-keyed overwrite also make
+    * the write path recoverable (memory sink is not). */
+  private def runToParquet(updates: DataFrame, mode: OutputMode,
+      name: String): DataFrame = {
+    val spark = updates.sparkSession
+    val outDir = Files.createTempDirectory(s"graft-sink-$name-").toString
+    val q = updates.writeStream
+      .foreachBatch(Sinks.idempotentParquet(outDir))
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Complete-mode finalization: each micro-batch rewrote the FULL
+    * result, so the answer is the last batch's partition alone. The max
+    * batch id comes from the partition listing (metadata-scale). */
+  private def lastCompleteBatch(all: DataFrame): DataFrame = {
+    val lastId = all.select(max(col("batch")).cast("long")).head().getLong(0)
+    all.filter(col("batch") === lastId).drop("batch")
+  }
 
   /** Stream the events parquet as micro-batches, normalizing `ts` the same
     * way Tables.events does (TIMESTAMP(NANOS) → timestamp_ntz micros).
@@ -55,8 +89,8 @@ object Streaming {
   }
 
   /** Streaming twin of Events.windowedAgg: tumbling-hour counts + exact
-    * integer-cent sums per event type, complete-mode memory sink. Same
-    * oracle as the batch query. */
+    * integer-cent sums per event type, complete mode through the parquet
+    * sink. Same oracle as the batch query. */
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = eventStream(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -64,14 +98,8 @@ object Streaming {
         count(lit(1)).as("cnt"),
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
           .as("sum_value"))
-    val q = agg.writeStream.format("memory")
-      .queryName("graft_stream_windowed_agg")
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", checkpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_windowed_agg")
+    lastCompleteBatch(
+      runToParquet(agg, OutputMode.Complete(), "windowed-agg"))
   }
 
   /** Streaming twin of KvReplay.replay: per-key fold over the op stream
@@ -110,14 +138,7 @@ object Streaming {
     val ops = graft.kv.KvReplay.opsFromEvents(eventStream(spark, sfDir))
       .filter(col("op") =!= "get")
       .as[KvOp]
-    val q = kvReplayUpdates(ops).writeStream.format("memory")
-      .queryName("graft_stream_kv_replay")
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_kv_replay")
+    runToParquet(kvReplayUpdates(ops), OutputMode.Update(), "kv-replay")
       .groupBy("key")
       .agg(max_by(col("value"), col("last_seq")).as("value"))
   }
@@ -156,20 +177,12 @@ object Streaming {
   }
 
   /** Driver-gated entry; oracle = the batch sessionize oracle. */
-  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = sessionizeUpdates(eventStream(spark, sfDir))
-      .writeStream.format("memory")
-      .queryName("graft_stream_sessionize")
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_sessionize")
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(sessionizeUpdates(eventStream(spark, sfDir)),
+      OutputMode.Update(), "sessionize")
       .groupBy("user_id")
       .agg(max_by(col("n_sessions"), col("n_events")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
-  }
 
   /** One timestamped KV op for the event-time replay path. */
   case class TimedOp(ts: java.sql.Timestamp, seq: Long, key: String,
@@ -238,14 +251,7 @@ object Streaming {
           (h, keeper, cnt, cnt)
       }
       .toDF("h", "keeper", "cnt", "version")
-    val q = updates.writeStream.format("memory")
-      .queryName("graft_stream_dedup_exact")
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", checkpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table("graft_stream_dedup_exact")
+    runToParquet(updates, OutputMode.Update(), "dedup-exact")
       .groupBy("h")
       .agg(max_by(col("keeper"), col("version")).as("keeper"),
         max(col("cnt")).as("cnt"))
