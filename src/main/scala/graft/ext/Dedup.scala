@@ -184,13 +184,21 @@ object Dedup {
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8""".stripMargin
   }
 
-  /** Exact n-gram Jaccard baseline on a deterministic 5% query sample
-    * (doc_id % 20 = 0) against the full corpus — the ground truth the LSH
-    * path approximates. Deliberately not all-pairs: the sample bounds the
-    * quadratic term; at 100 TB this is the audit query, not the dedup. */
+  /** Docs in the fixed n-gram-Jaccard audit sample: CONSTANT at any SF
+    * so the broadcast query side stays bounded (a `% k` sample grows
+    * with the corpus and eventually kills the broadcast). */
+  private val JaccardSampleN = 32
+
+  /** Exact n-gram Jaccard baseline on a fixed 32-doc query sample (the
+    * 32 smallest idHash(doc_id)) against the full corpus — the ground
+    * truth the LSH path approximates. Deliberately not all-pairs: the
+    * constant-size sample bounds the quadratic term; at 100 TB this is
+    * the audit query, not the dedup. */
   def ngramJaccardSample(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
-    val q = sh.filter(col("doc_id") % 20 === 0)
+    val q = sh
+      .orderBy(Hashing.idHash(col("doc_id")), col("doc_id"))
+      .limit(JaccardSampleN)
       .select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val inter =
       graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
@@ -204,24 +212,27 @@ object Dedup {
   }
 
   val ngramJaccardSampleSql: String =
-    s"""WITH $shingledSqlCte
+    s"""WITH $shingledSqlCte,
+       |qd AS (SELECT doc_id, sh FROM sh
+       |  ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id LIMIT $JaccardSampleN)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
-       |FROM sh a JOIN sh b ON a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id
+       |FROM qd a JOIN sh b ON a.doc_id <> b.doc_id
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.3""".stripMargin
 
   /** Embedding-cosine near-dup pairs over integer-quantized vectors (see
-    * Similarity for the quantization rationale). Sampled query side keeps
-    * the pair count bounded. */
+    * Similarity for the quantization rationale). The fixed 64-vector
+    * query sample keeps the pair count — and the broadcast — bounded at
+    * any SF. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosinePairs(spark, sfDir, querySampleMod = 10)
+    Similarity.cosinePairs(spark, sfDir, querySampleN = 64)
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("cos"))
 
   val embeddingNearDupSql: String =
-    s"""SELECT vec_a, vec_b, cos FROM (${Similarity.cosinePairsSql(10)})
+    s"""SELECT vec_a, vec_b, cos FROM (${Similarity.cosinePairsSql(64)})
        |WHERE cos >= 0.45""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,6 +29,18 @@ object Hashing {
   val permA: Seq[Long] = graft.functions.HashKernels.permA.toSeq
   val permB: Seq[Long] = graft.functions.HashKernels.permB.toSeq
 
+  /** Order-scrambling 31-bit hash of an integer id column. Purpose:
+    * deterministic CONSTANT-SIZE samples — `ORDER BY idHash(id), id
+    * LIMIT n` picks the same n rows in Spark and DuckDB at any corpus
+    * size, so a broadcast query/audit sample stays bounded at 100 TB
+    * (a `id % k = 0` sample grows linearly and eventually kills the
+    * broadcast). Overflow-safe: (id mod P) < 2^31, ×40503 < 2^47. */
+  def idHash(c: Column): Column = ((c % P) * 40503L + 12345L) % P
+
+  /** Same, as DuckDB SQL over an integer expression. */
+  def idHashSql(e: String): String =
+    s"(($e % 2147483647) * 40503 + 12345) % 2147483647"
+
   /** 31-bit polynomial hash of a whole string column (char fold).
     * Production path: native codegen'd expression (graft.functions). */
   def stringHash(c: Column): Column = graft.functions.GraftFunctions.polyHash(c)

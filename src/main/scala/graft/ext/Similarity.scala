@@ -50,12 +50,16 @@ object Similarity {
     dot.cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double"))
   }
 
-  /** All (sampled query, corpus) cosine pairs. Query side = vec_id %
-    * querySampleMod == 0, broadcast. */
+  /** All (sampled query, corpus) cosine pairs. Query side = the
+    * `querySampleN` vectors with smallest [[Hashing.idHash]] —
+    * CONSTANT-size at any corpus scale, so the broadcast it feeds stays
+    * bounded (a `% k` sample would grow linearly and break it). Picked
+    * via TakeOrdered (per-partition top-n + tiny driver merge). */
   def cosinePairs(spark: SparkSession, sfDir: String,
-      querySampleMod: Int): DataFrame = {
+      querySampleN: Int): DataFrame = {
     val all = quantized(spark, sfDir)
-    val q = all.filter(col("vec_id") % querySampleMod === 0)
+    val q = all.orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(querySampleN)
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
     val c = all.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
       col("nrm").as("nb"))
@@ -63,18 +67,22 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosCol.as("cos"))
   }
 
-  def cosinePairsSql(querySampleMod: Int): String =
-    s"""WITH $quantizedSqlCte
+  def cosinePairsSql(querySampleN: Int): String =
+    s"""WITH $quantizedSqlCte,
+       |q AS (SELECT vec_id, qv, nrm FROM n
+       |  ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT $querySampleN)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT) AS DOUBLE)
        |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
-       |FROM n a JOIN n b ON a.vec_id % $querySampleMod = 0 AND a.vec_id <> b.vec_id""".stripMargin
+       |FROM q a JOIN n b ON a.vec_id <> b.vec_id""".stripMargin
 
-  /** Brute-force top-3 cosine neighbors for each sampled query vector. */
+  /** Brute-force top-3 cosine neighbors for each of 32 fixed sample
+    * queries — the labeled exact baseline the ANN paths are audited
+    * against. The 32-query bound holds at any SF. */
   def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b"))
-    cosinePairs(spark, sfDir, querySampleMod = 50)
+    cosinePairs(spark, sfDir, querySampleN = 32)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
   }
@@ -83,7 +91,7 @@ object Similarity {
     s"""SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b, cos,
        |    row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank
-       |  FROM (${cosinePairsSql(50)}))
+       |  FROM (${cosinePairsSql(32)}))
        |WHERE rank <= 3""".stripMargin
 
   // ------------------------------------------------------------- LSH ANN
@@ -145,33 +153,48 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF ANN
 
-  private val IvfCentroidMod = 40
-  private val IvfCentroidRem = 7
+  /** Centroid count is FIXED (not a corpus fraction): the coarse
+    * quantizer must stay broadcast-able at any SF, and cells must get
+    * MORE selective as the corpus grows — both break if the centroid set
+    * scales with the data. */
+  private val IvfNumCentroids = 64
 
-  /** IVF (inverted-file) ANN, nprobe=1: the coarse quantizer is a
-    * deterministic corpus sample (vec_id ≡ 7 mod 40 — a valid IVF flavor;
+  /** Queries probe their top-`IvfNprobe` cells (multi-probe recovers the
+    * recall a fixed quantizer loses near cell boundaries). */
+  private val IvfNprobe = 2
+
+  /** IVF (inverted-file) ANN: the coarse quantizer is a deterministic
+    * FIXED-SIZE corpus sample (the 64 vectors of smallest idHash —
     * k-means would only move the centroids, not the plan shape), every
     * vector is assigned to its max-cosine centroid map-side against the
-    * BROADCAST centroid set, and search runs inside the query's cell.
-    * At 100 TB: centroids stay broadcast (≪ corpus), assignment is one
-    * narrow pass, and the cell equi-join is the only shuffle — the
-    * standard IVF scale shape. */
+    * BROADCAST centroid set, queries probe their top-2 cells, and exact
+    * search runs inside the probed cells. At 100 TB: the 64-centroid
+    * quantizer is constant-size broadcast, assignment is one narrow
+    * pass, and the cell equi-join is the only shuffle — the standard
+    * IVF scale shape, with selectivity 1/K per probe independent of
+    * corpus size. */
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val base = quantized(spark, sfDir)
-    val cent = base.filter(col("vec_id") % IvfCentroidMod === IvfCentroidRem)
+    val cent = base
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(IvfNumCentroids)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
     val ccos = GraftFunctions.dotLong(col("qv"), col("cqv")).cast("double") /
       sqrt(col("nrm").cast("double") * col("cnrm").cast("double"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = base.crossJoin(broadcast(cent))
+    val ranked = base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), ccos.as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // Corpus vectors live in exactly one cell (rn=1); queries probe
+    // their top-nprobe cells, so a (query, corpus) pair appears at most
+    // once — no distinct needed.
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid").as("cell"))
-    val q = assigned.filter(col("vec_id") % 50 === 0)
+    val q = ranked.filter(col("rn") <= IvfNprobe)
+      .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-        col("nrm").as("na"), col("cell"))
+        col("nrm").as("na"), col("cid").as("cell"))
     val c = assigned.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
       col("nrm").as("nb"), col("cell"))
     val w = Window.partitionBy(col("vec_a"))
@@ -189,18 +212,17 @@ object Similarity {
         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
     s"""WITH $quantizedSqlCte,
        |cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
-       |  WHERE vec_id % $IvfCentroidMod = $IvfCentroidRem),
-       |assigned AS (
-       |  SELECT vec_id, qv, nrm, cid AS cell FROM (
+       |  ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT $IvfNumCentroids),
+       |ranked AS (
        |    SELECT n.vec_id, n.qv, n.nrm, cent.cid,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |        CAST(CAST(list_sum(list_transform(range(1, len(n.qv)+1), i -> n.qv[i]*cent.cqv[i])) AS BIGINT) AS DOUBLE)
        |          / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cent.cnrm AS DOUBLE)) DESC, cent.cid) AS rn
-       |    FROM n, cent)
-       |  WHERE rn = 1),
+       |    FROM n, cent),
+       |assigned AS (SELECT vec_id, qv, nrm, cid AS cell FROM ranked WHERE rn = 1),
        |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
-       |  FROM assigned q JOIN assigned c ON q.cell = c.cell
-       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |  FROM ranked q JOIN assigned c ON q.cid = c.cell
+       |  WHERE q.rn <= $IvfNprobe AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
        |    $cosExpr AS cos,
