@@ -334,23 +334,34 @@ object Relational {
       |  AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q7-shaped: volume between two nations by year, both
-    * directions. Nation dims broadcast twice under different aliases. */
+    * directions.
+    *
+    * Shuffle discipline: the ONLY big exchange is lineitem⋈orders, and
+    * both fact sides are pre-filtered to the two nations BEFORE it —
+    * lineitem through the two-nation supplier broadcast, orders through
+    * the two-nation customer broadcast. Filtering after the fact join
+    * would carry ~25/2× more rows through the exchange at 100 TB for
+    * identical output; only the cross-direction pair filter (which needs
+    * both sides) remains post-join. */
   def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
-    val n1 = Tables.nation(spark, sfDir)
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(spark, sfDir)
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val nations = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nations.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nations.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
     val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
       col("l_suppkey"), year(col("l_shipdate")).cast("long").as("l_year"),
       discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
-    l.join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, sfDir)
-        .select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))

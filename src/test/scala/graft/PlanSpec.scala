@@ -33,6 +33,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q7: both fact sides nation-filtered before the only fact⋈fact shuffle") {
+    val p = plan(ext.Relational.q7NationVolume(spark, sf))
+    // The two-nation dim filter is pushed all the way into the nation scan.
+    assert(p.contains("In(n_name, [NATION_1,NATION_2])"), p)
+    assert(!p.contains("CartesianProduct"))
+    val li = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val oi = p.indexOf("Exchange hashpartitioning(o_orderkey")
+    assert(li >= 0 && oi >= 0, p)
+    // Subtrees print contiguously under their exchange: the lineitem side
+    // must already contain the supplier-nation broadcast join and the
+    // orders side the customer-nation one — i.e. both fact inputs are
+    // nation-pruned BEFORE the l⋈o exchange, not after it.
+    assert(p.substring(li, oi).contains("BroadcastHashJoin"), p.substring(li, oi))
+    assert(p.substring(oi).contains("BroadcastHashJoin"), p.substring(oi))
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible

@@ -39,7 +39,9 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_a", $"vec_b", $"rank")
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
-    val queries = vecs.keys.filter(_ % 50 == 0)
+    // Same fixed-size hash-ordered query sample the query uses.
+    def idHash(id: Long): Long = ((id % 2147483647L) * 40503L + 12345L) % 2147483647L
+    val queries = vecs.keys.toSeq.sortBy(id => (idHash(id), id)).take(32)
     val want = queries.map { q =>
       q -> vecs.keys.filter(_ != q).toSeq
         .map(c => (c, cos(vecs(q), vecs(c))))
@@ -52,11 +54,19 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.knnLsh(spark, sf)
       .select($"vec_a", $"vec_b", $"cos", $"rank")
       .as[(Long, Long, Double, Long)].collect()
-    // sanity: every LSH hit's cosine equals the brute-force pair cosine
-    val brute = Similarity.cosinePairs(spark, sf, querySampleMod = 50)
-      .as[(Long, Long, Double)].collect()
-      .map(r => (r._1, r._2) -> r._3).toMap
+    // sanity: every LSH hit's cosine equals the exact pair cosine
+    // (driver-side recomputation on the quantized vectors)
+    val vecs = Tables.embeddings(spark, sf)
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, emb, _) =>
+        id -> emb.map(x => math.round(x.toDouble * 10000))
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
     assert(lsh.nonEmpty)
-    assert(lsh.forall(r => brute((r._1, r._2)) == r._3))
+    assert(lsh.forall(r => cos(vecs(r._1), vecs(r._2)) == r._3))
   }
 }
