@@ -81,6 +81,60 @@ class MapReduceSpec extends SparkSpec {
     assert(chaotic == clean)
   }
 
+  /** Run `body` with a task-end listener attached; returns (successful
+    * task count, failed task count). The listener bus is async, so poll
+    * until the counts stop moving. */
+  private def countTasks(body: => Unit): (Int, Int) = {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val ok = new AtomicInteger(0)
+    val bad = new AtomicInteger(0)
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.reason == org.apache.spark.Success) ok.incrementAndGet()
+        else bad.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1
+      var cur = ok.get + bad.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = ok.get + bad.get }
+    } finally spark.sparkContext.removeSparkListener(l)
+    (ok.get, bad.get)
+  }
+
+  test("chaos: task executions are counted — retries happen only under failure") {
+    // The reference's jobcount app counts map-task executions to prove
+    // the scheduler neither skips nor duplicates work
+    // (`/root/reference/src/mrapps/jobcount.go:34-46`,
+    // `src/main/test-mr.sh:200-223`). Spark analog via SparkListener:
+    // an identical workload runs once clean and once with one injected
+    // first-attempt failure; every logical task must succeed EXACTLY
+    // once in both runs (same success count), the clean run must have
+    // zero failed attempts, the chaotic one at least the injected.
+    def workload(chaos: Boolean): Map[String, String] = MapReduce.runJob(
+      corpus.toDS().repartition(4).mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (chaos && tc != null && tc.partitionId() == 1 && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected chaos: first attempt dies")
+        it
+      },
+      MapReduce.wcMap, MapReduce.wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toMap
+
+    var cleanResult: Map[String, String] = null
+    var chaoticResult: Map[String, String] = null
+    val (cleanOk, cleanFail) = countTasks { cleanResult = workload(chaos = false) }
+    val (chaosOk, chaosFail) = countTasks { chaoticResult = workload(chaos = true) }
+    assert(cleanFail == 0, "no failed attempts in the failure-free run")
+    assert(cleanOk > 0)
+    assert(chaosFail >= 1, "the injected failure must surface as a failed attempt")
+    assert(chaosOk == cleanOk,
+      s"every logical task succeeds exactly once: clean=$cleanOk chaos=$chaosOk")
+    assert(chaoticResult == cleanResult)
+  }
+
   test("sorted text sink writes 'key value' lines, key-sorted per partition") {
     val dir = java.nio.file.Files.createTempDirectory("mr-sink").toString
     val result = MapReduce.runJob(corpus.toDS(), MapReduce.wcMap, MapReduce.wcReduce)
