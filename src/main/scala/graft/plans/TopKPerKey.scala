@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
@@ -7,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Custom whole-operator optimization (SURVEY.md §7.6 escape hatch —
   * the one place the stock operator set genuinely leaves performance on
@@ -35,11 +39,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * order with tiebreakers.
   *
   * Memory trade, stated plainly: the heap map holds O(distinct keys × k)
-  * copied rows per task and does NOT spill, where the stock window's
-  * external sort holds O(rows) but spills. For top-k-per-key workloads
-  * keys×k ≪ rows (the point of the operator); for pathological
-  * key-cardinality-per-partition cases, disable with
-  * spark.sql.optimizer.excludedRules=graft.plans.TopKPerKeyRule.
+  * copied rows per task, where the stock window's external sort holds
+  * O(rows) but spills. For top-k-per-key workloads keys×k ≪ rows (the
+  * point of the operator). For pathological key cardinality the exec
+  * SELF-degrades: past `spark.graft.topKPerKey.maxBufferedRows` buffered
+  * rows per task (default 1M) it hands everything to a spill-capable
+  * external sort on (key, order) + streaming rank filter — the stock
+  * window shape — so the operator is safe without operator-level
+  * tuning; excludedRules remains only as a kill switch.
   */
 case class TopKPerKey(k: Int, partition: Seq[Expression],
     order: Seq[SortOrder], rnAttr: Attribute, child: LogicalPlan)
@@ -130,19 +137,30 @@ case class TopKPerKeyExec(k: Int, partition: Seq[Expression],
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics = Map(
+    "fallbackPartitions" -> SQLMetrics.createMetric(sparkContext,
+      "partitions degraded to spill-safe external sort"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
     val partLocal = partition
     val orderLocal = order
     val outputLocal = output
+    val childSchema = DataTypeUtils.fromAttributes(childOutput)
+    val maxBufferedRows = conf.getConfString(
+      "spark.graft.topKPerKey.maxBufferedRows", "1000000").toLong
+    val fallbackMetric = longMetric("fallbackPartitions")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       val ordering: Ordering[InternalRow] =
         RowOrdering.create(orderLocal, childOutput)
       val heaps = new java.util.LinkedHashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      // Heap-buffered row budget: past it, this task abandons the
+      // in-memory path and degrades to the spill-capable sort below.
+      var buffered = 0L
+      while (iter.hasNext && buffered <= maxBufferedRows) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -153,7 +171,7 @@ case class TopKPerKeyExec(k: Int, partition: Seq[Expression],
             kLocal, ordering.reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kLocal) heap.add(row.copy())
+        if (heap.size < kLocal) { heap.add(row.copy()); buffered += 1 }
         else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll(); heap.add(row.copy())
         }
@@ -162,16 +180,53 @@ case class TopKPerKeyExec(k: Int, partition: Seq[Expression],
       val rnRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size)
-        var i = rows.length - 1
-        // Draining the max-heap yields worst-first: fill backwards for
-        // ascending rank order.
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rnRow.setInt(0, idx + 1)
-          // The projection reuses its buffer; consumers may hold rows.
-          resultProj(joined(r, rnRow)).copy()
+      if (buffered <= maxBufferedRows) {
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val rows = new Array[InternalRow](heap.size)
+          var i = rows.length - 1
+          // Draining the max-heap yields worst-first: fill backwards for
+          // ascending rank order.
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+          rows.iterator.zipWithIndex.map { case (r, idx) =>
+            rnRow.setInt(0, idx + 1)
+            // The projection reuses its buffer; consumers may hold rows.
+            resultProj(joined(r, rnRow)).copy()
+          }
+        }
+      } else {
+        // Spill-safe degrade: too many distinct keys for the heap map.
+        // Feed the already-buffered rows plus the rest of the input to a
+        // spill-capable external sort on (key, order), then rank-filter
+        // the sorted run streamingly — the stock window shape, bounded
+        // by execution memory instead of the heap map's O(keys·k).
+        fallbackMetric += 1
+        val fullOrder = partLocal.map(e => SortOrder(e, Ascending)) ++ orderLocal
+        val fullOrdering = RowOrdering.create(fullOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val prefix = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = {
+            prefix.value = 0L; prefix.isNull = false; prefix
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          childSchema, fullOrdering, PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        heaps.values().iterator().asScala.foreach { heap =>
+          while (!heap.isEmpty) sorter.insertRow(toUnsafe(heap.poll()))
+        }
+        heaps.clear()
+        while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+        var prevKey: UnsafeRow = null
+        var rn = 0
+        sorter.sort().flatMap { row =>
+          val key = keyProj(row)
+          if (prevKey == null || key != prevKey) { rn = 1; prevKey = key.copy() }
+          else rn += 1
+          if (rn <= kLocal) {
+            rnRow.setInt(0, rn)
+            Some(resultProj(joined(row, rnRow)).copy())
+          } else None
         }
       }
     }

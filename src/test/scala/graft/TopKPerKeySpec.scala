@@ -73,6 +73,35 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("spill fallback: past the buffer budget the exec degrades to external sort") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val key = "spark.graft.topKPerKey.maxBufferedRows"
+    try {
+      // Budget of 4 buffered rows: any real partition crosses it, so
+      // every task takes the sort path. Results must be identical.
+      spark.conf.set(key, "4")
+      val df = topOrders(3)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      // AQE hides subtrees inside leaf QueryStageExec wrappers; unwrap.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def findExecs(p: SparkPlan): Seq[graft.plans.TopKPerKeyExec] = p match {
+        case a: AdaptiveSparkPlanExec => findExecs(a.executedPlan)
+        case q: QueryStageExec => findExecs(q.plan)
+        case e: graft.plans.TopKPerKeyExec => e +: e.children.flatMap(findExecs)
+        case other => other.children.flatMap(findExecs)
+      }
+      val execs = findExecs(df.queryExecution.executedPlan)
+      assert(execs.nonEmpty, df.queryExecution.executedPlan.toString)
+      assert(execs.head.metrics("fallbackPartitions").value >= 1,
+        "expected at least one partition to degrade to the sort path")
+      spark.conf.unset(key)
+      val want = topOrders(3).collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   /** Evaluate the same logical query with the optimizer rule excluded —
     * the ground truth the custom operator must reproduce. */
   private def withRuleDisabled(df: DataFrame): Array[org.apache.spark.sql.Row] = {
