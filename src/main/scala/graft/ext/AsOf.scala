@@ -35,6 +35,14 @@ object AsOf {
     val collisions = rightVals.toSet.intersect(leftCols.toSet)
     require(collisions.isEmpty,
       s"asofJoin: rightVals collide with left columns: ${collisions.mkString(", ")} — rename before joining")
+    // Same refusal for the internal working columns: a caller column
+    // named __k/__t/__side/__row/__asof would be silently overwritten by
+    // withColumn, corrupting the join instead of failing loudly.
+    val reserved = Set("__k", "__t", "__side", "__row", "__asof")
+    val reservedHits =
+      (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"asofJoin reserves internal column names ${reservedHits.mkString(", ")} — rename before joining")
     // The carried payload is ONE struct per right row, so (a) all
     // rightVals always come from the same matched row — per-column
     // carries could stitch values from different rows when a column is

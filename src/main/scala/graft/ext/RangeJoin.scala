@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,17 +17,29 @@ import graft.Tables
   */
 object RangeJoin {
 
+  /** Start of the W-aligned bin containing `t`. pmod is a true
+    * mathematical mod, so this FLOOR-aligns for negative times too
+    * (`div` truncates toward zero, which would disagree across the two
+    * sides at bin boundaries before 1970 and silently drop pairs). Pure
+    * integer arithmetic — no division, no float rounding. */
+  private def binStart(t: Column, w: Long): Column = t - pmod(t, lit(w))
+
   /** Generic interval join: pairs (l, r) with matching keys and
     * r.time ∈ [l.time, l.time + windowMicros]. Both time columns must be
     * epoch-micros Longs; output carries all left columns + all right
-    * columns (caller renames collisions beforehand). */
+    * columns (caller renames collisions beforehand). Bin labels are
+    * window-start offsets built with Column arithmetic (not SQL-string
+    * interpolation, which broke on non-identifier column names). */
   def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
       windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "intervalJoin reserves the internal column name __bin")
     val l = left.withColumn("__bin", explode(array(
-      expr(s"$leftTime div $windowMicros"),
-      expr(s"$leftTime div $windowMicros + 1"))))
-    val r = right.withColumn("__bin", expr(s"$rightTime div $windowMicros"))
+      binStart(col(leftTime), windowMicros),
+      binStart(col(leftTime), windowMicros) + windowMicros)))
+    val r = right.withColumn("__bin", binStart(col(rightTime), windowMicros))
     l.join(r, l("__bin") === r("__bin") && l(leftKey) === r(rightKey))
       .filter(col(rightTime) >= col(leftTime) &&
         col(rightTime) <= col(leftTime) + windowMicros)

@@ -39,12 +39,17 @@ object Sketches {
     val scale = (K - 1).toLong * graft.ext.Hashing.P // fits: < 2^38
     // Fewer than k distinct hashes ⇒ the sketch holds the whole set and
     // IS the exact count (the standard KMV small-cardinality case).
+    // The max(h) = 0 guard keeps both engines on that exact branch if
+    // the k-th smallest hash were 0 (Spark `div` yields NULL where
+    // DuckDB `//` errors — they would diverge instead of degrading
+    // together; unreachable for k > 1 over distinct hashes, guarded so
+    // the invariant is explicit, mirrored in the oracle SQL).
     // exact_distinct joins in as a 1-row aggregate so the whole query
     // stays ONE lazy plan (no job at DataFrame-construction time).
     mink.agg(
       count(col("h")).as("n_hashes"),
       max(col("h")).as("kth_hash"),
-      expr(s"CASE WHEN count(h) < $K THEN count(h) " +
+      expr(s"CASE WHEN count(h) < $K OR max(h) <= 0 THEN count(h) " +
         s"ELSE ${scale}L div max(h) END").as("est_distinct"))
       .crossJoin(distinctH.agg(count(lit(1)).as("exact_distinct")))
   }
@@ -57,7 +62,7 @@ object Sketches {
        |      SELECT ${wordHashesSql("text")} AS whs FROM documents))),
        |mink AS (SELECT h FROM h ORDER BY h LIMIT $K)
        |SELECT COUNT(h) AS n_hashes, MAX(h) AS kth_hash,
-       |  CASE WHEN COUNT(h) < $K THEN COUNT(h)
+       |  CASE WHEN COUNT(h) < $K OR MAX(h) <= 0 THEN COUNT(h)
        |       ELSE ${(K - 1).toLong * P} // MAX(h) END AS est_distinct,
        |  (SELECT COUNT(*) FROM h) AS exact_distinct
        |FROM mink""".stripMargin

@@ -54,6 +54,18 @@ object WholeFileSource {
     * reading as an empty corpus (an existing empty directory is the one
     * legitimately-empty case). */
   def listFiles(path: String): Seq[String] = {
+    // Local-filesystem contract, enforced: listing happens on the
+    // driver and reading on executors through java.nio, so a remote
+    // scheme (hdfs://, s3a://, ...) would either fail confusingly or
+    // list driver-local files the executors can't read. Reject it with
+    // the contract spelled out rather than limping.
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):".r.findFirstMatchIn(path)
+      .map(_.group(1)).orNull
+    if (scheme != null && scheme != "file")
+      throw new IllegalArgumentException(
+        s"wholefile is a local-filesystem (shared-mount) source; got scheme " +
+          s"'$scheme:' in $path. Stage remote data locally or use a " +
+          "splittable format + built-in source for distributed storage.")
     val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
     val isDir = java.nio.file.Files.isDirectory(p)
     val (dir, glob) =

@@ -117,6 +117,16 @@ object Streaming {
         (key: String, it: Iterator[KvOp], state: GroupState[(String, Long)]) =>
           val sorted = it.toArray.sortBy(_.seq)
           var (cur, lastSeq) = state.getOption.getOrElse(("", -1L))
+          // In-order contract (§7.7.5) enforced at runtime: an op at or
+          // below the last applied seq means a batch arrived out of
+          // order — fail loudly instead of silently folding wrong.
+          // Out-of-order sources belong on kvReplayEventTimeUpdates.
+          if (sorted.nonEmpty && sorted.head.seq <= lastSeq)
+            throw new IllegalStateException(
+              s"kvReplayUpdates: out-of-order op for key '$key': incoming " +
+                s"seq ${sorted.head.seq} <= last applied $lastSeq; this " +
+                "source violates the in-order contract — use " +
+                "kvReplayEventTimeUpdates (watermarked) instead")
           sorted.foreach { o =>
             if (o.op == "put") cur = o.value
             else if (o.op == "append") cur += o.value
@@ -164,6 +174,14 @@ object Streaming {
           val sorted = it.toArray.sortBy(e => (e._2, e._3))
           var (lastTs, nSessions, nEvents) =
             state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          // Same §7.7.5 runtime tripwire as kvReplayUpdates: an event
+          // older than the last applied event time means out-of-order
+          // batches — gap counting would silently miscount sessions.
+          if (sorted.nonEmpty && sorted.head._2 < lastTs)
+            throw new IllegalStateException(
+              s"sessionizeUpdates: out-of-order event for user $uid: " +
+                s"incoming ts ${sorted.head._2} < last applied $lastTs; " +
+                "use an event-time/watermarked variant for this source")
           sorted.foreach { case (_, tsu, _) =>
             if (lastTs == Long.MinValue || tsu - lastTs > 1800000000L)
               nSessions += 1

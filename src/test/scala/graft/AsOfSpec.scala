@@ -52,4 +52,13 @@ class AsOfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("rejects caller columns named like the internal working columns") {
+    val left = Seq((1L, 10L, ts("10:00"), "oops")).toDF("event_id", "k", "t", "__side")
+    val right = Seq((10L, ts("09:00"), "x")).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
 }

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("in-order contract violation raises instead of folding wrong") {
+    // f=1's op has a LOWER seq than f=0's already-applied one: the
+    // §7.7.5 in-order tripwire must fail the query, not corrupt state.
+    val src = Files.createTempDirectory("graft-kv-ooo-").toString
+    Seq(KvOp(5L, "k", "put", "a")).toDS().coalesce(1).write.parquet(s"$src/f=0")
+    Seq(KvOp(3L, "k", "append", "b")).toDS().coalesce(1).write.parquet(s"$src/f=1")
+    val schema = spark.read.parquet(s"$src/f=*").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*").as[KvOp]
+    val q = Streaming.kvReplayUpdates(stream)
+      .writeStream.format("memory").queryName("kv_spec_ooo")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("out-of-order")), msgs(e).mkString(" | "))
+  }
+
   test("windowed agg with watermark emits closed windows in append mode") {
     val src = Files.createTempDirectory("graft-ev-stream-").toString
     // Two files: hours 0-1 first, then hour 3 — watermark (1h) closes the

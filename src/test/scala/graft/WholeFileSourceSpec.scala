@@ -50,6 +50,19 @@ class WholeFileSourceSpec extends SparkSpec {
     }
   }
 
+  test("remote URI schemes are rejected with the local-only contract") {
+    for (bad <- Seq("hdfs://nn:8020/data", "s3a://bucket/prefix")) {
+      val e = intercept[Exception] {
+        spark.read.format("wholefile").load(bad).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("local-filesystem")), msgs(e).mkString(" | "))
+    }
+    // file: prefix stays accepted.
+    assert(spark.read.format("wholefile").load(s"file:$dir").count() == 3)
+  }
+
   test("source matches the wholeFiles engine path on the same corpus") {
     val viaSource = spark.read.format("wholefile").load(dir)
       .select(col("path"), col("content"))
