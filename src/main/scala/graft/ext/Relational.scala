@@ -516,7 +516,211 @@ object Relational {
       |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
       |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))""".stripMargin
 
+  /** TPC-H Q4-shaped: order-priority checking — the EXISTS semi-join
+    * shape. The reference Q4 tests commit-vs-receipt lateness; this
+    * schema carries only l_shipdate, so "late" = a line shipped more
+    * than 60 days after the order date (same semi-join plan: the fact
+    * side is reduced BEFORE the aggregation, never multiplied — a plain
+    * inner join would double-count multi-line orders). */
+  def q4PriorityCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q8-shaped: national market share — share of NATION_2
+    * suppliers in the ASIA-customer STANDARD-part market by order year.
+    * All dims (part, supplier+nation, customer+nation-in-region)
+    * broadcast pre-filtered; lineitem⋈orders is the only fact⋈fact
+    * shuffle, and the part filter prunes the lineitem side before it.
+    * Share = one double divide of two exact Long sums per year. */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_2", col("rev_e6"))
+          .otherwise(0L)).cast("double") /
+        sum(col("rev_e6")).cast("double")).as("mkt_share"))
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+      |      THEN CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))
+      |      ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) AS mkt_share
+      |FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+      |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |  AND s_nationkey = n2.n_nationkey
+      |  AND r_name = 'ASIA' AND p_type = 'STANDARD'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q12-shaped: lines by priority class — fact⋈fact join with a
+    * two-bucket CASE aggregation (the reference buckets by ship mode;
+    * this schema buckets by return flag, same plan shape: the only
+    * shuffle is the orderkey join, CASE work is map-side). */
+  def q12PriorityLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13-shaped: customer order-count distribution — LEFT OUTER
+    * join (customers with zero orders must appear with c_count 0) then
+    * a count-of-counts histogram. Two shuffles: custkey, then the tiny
+    * c_count regroup. */
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey")
+    val o = Tables.orders(spark, sfDir).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q17-shaped: small-quantity-order revenue — compare each line
+    * to its part's average quantity. The per-part average is computed
+    * once on the (part-filtered) fact and joined back on the same key —
+    * co-partitioned, no extra exchange pattern beyond the self-agg; the
+    * correlated subquery of the reference SQL never executes per-row.
+    * The avg comparison is cross-multiplied to stay integer-exact:
+    * qty < avg/5  ⇔  5·qty_c·n < sum_c. */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") <= 25)
+      .select("p_partkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), quant(col("l_quantity"), 100).as("qty_c"),
+        quant(col("l_extendedprice"), 100).as("price_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perPart = l.groupBy(col("l_partkey").as("ag_partkey"))
+      .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("n"))
+    l.join(perPart, col("l_partkey") === col("ag_partkey"))
+      .filter(col("qty_c") * 5 * col("n") < col("sum_c"))
+      .agg((sum(col("price_c")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(price_c) AS DOUBLE)/100.0/7.0 AS avg_yearly FROM (
+      |  SELECT CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+      |    SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_c,
+      |    COUNT(*) OVER (PARTITION BY l_partkey) AS n
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#3' AND p_size <= 25)
+      |WHERE qty_c * 5 * n < sum_c""".stripMargin
+
+  /** TPC-H Q22-shaped: global sales opportunity — customers with
+    * above-average positive balance and no RECENT orders (every
+    * customer in this dataset has some order, so "idle" is scoped to
+    * the last ~1.5 years — the anti-join still does the work). The
+    * scalar average is an exact integer pair (sum, count) broadcast
+    * back; the comparison cross-multiplies (bal_c·n > sum_c) so no
+    * engine divides; the no-recent-orders test is a LEFT ANTI join
+    * against the date-pruned orders scan. */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        quant(col("c_acctbal"), 100).as("bal_c"))
+    val avgPos = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") * col("n") > col("sum_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_c")).cast("double") / 100.0).as("totacctbal"))
+  }
+
+  val q22Sql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+      |a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS n
+      |  FROM c WHERE bal_c > 0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE)/100.0 AS totacctbal
+      |FROM c, a
+      |WHERE bal_c * n > sum_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_count" -> (q4PriorityCount _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "orders_cube" -> (ordersCube _),
     "orders_grouping_sets" -> (ordersGroupingSets _),
     "set_ops_customers" -> (setOpsCustomers _),
@@ -532,6 +736,12 @@ object Relational {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "q4_priority_count" -> q4Sql,
+    "q8_market_share" -> q8Sql,
+    "q12_priority_lines" -> q12Sql,
+    "q13_order_distribution" -> q13Sql,
+    "q17_small_qty_revenue" -> q17Sql,
+    "q22_idle_customers" -> q22Sql,
     "orders_cube" -> ordersCubeSql,
     "orders_grouping_sets" -> ordersGroupingSetsSql,
     "set_ops_customers" -> setOpsCustomersSql,
