@@ -43,6 +43,16 @@ object Streaming {
   private def runToParquet(updates: DataFrame, mode: OutputMode,
       name: String): DataFrame = {
     val spark = updates.sparkSession
+    // Production state-store posture: RocksDB spills keyed state to
+    // local disk instead of holding it on the JVM heap — at 100 TB the
+    // per-key state (dedup hashes, session state) outgrows executor
+    // heaps long before it outgrows local disk. Set lazily so batch
+    // sessions never pay for it; StreamingSpec pins checkpoint recovery
+    // on this same provider.
+    if (!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDB")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val outDir = Files.createTempDirectory(s"graft-sink-$name-").toString
     val q = updates.writeStream
       .foreachBatch(Sinks.idempotentParquet(outDir))
