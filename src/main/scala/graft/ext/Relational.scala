@@ -676,6 +676,51 @@ object Relational {
       |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#3' AND p_size <= 25)
       |WHERE qty_c * 5 * n < sum_c""".stripMargin
 
+  /** TPC-H Q21-shaped: suppliers who kept waiting multi-supplier
+    * orders — the fact SELF semi+anti join shape. A line is "blamed"
+    * when some OTHER supplier participated in the order (left-semi)
+    * and nobody else shipped at-or-after it (left-anti ⇒ this supplier
+    * was strictly last; the reference blames via receipt/commit dates,
+    * this schema via ship dates). All three self-join legs plus the
+    * finished-orders probe hash on l_orderkey/o_orderkey — one
+    * co-partitioned exchange family, no inequality blow-up (the date
+    * comparison rides the equi-join). Top-20 with s_name tiebreak. */
+  def q21LateSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val l1 = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val finished = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l2 = l1.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+      col("l_shipdate").as("d3"))
+    l1.join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("o2") === col("l_orderkey") &&
+        col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("o3") === col("l_orderkey") &&
+        col("s3") =!= col("l_suppkey") &&
+        col("d3") >= col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1, supplier
+      |WHERE l1.l_suppkey = s_suppkey
+      |  AND EXISTS (SELECT 1 FROM orders
+      |    WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate >= l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   /** TPC-H Q22-shaped: global sales opportunity — customers with
     * above-average positive balance and no RECENT orders (every
     * customer in this dataset has some order, so "idle" is scoped to
@@ -720,6 +765,7 @@ object Relational {
     "q12_priority_lines" -> (q12PriorityLines _),
     "q13_order_distribution" -> (q13OrderDistribution _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q21_late_suppliers" -> (q21LateSuppliers _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "orders_cube" -> (ordersCube _),
     "orders_grouping_sets" -> (ordersGroupingSets _),
@@ -741,6 +787,7 @@ object Relational {
     "q12_priority_lines" -> q12Sql,
     "q13_order_distribution" -> q13Sql,
     "q17_small_qty_revenue" -> q17Sql,
+    "q21_late_suppliers" -> q21Sql,
     "q22_idle_customers" -> q22Sql,
     "orders_cube" -> ordersCubeSql,
     "orders_grouping_sets" -> ordersGroupingSetsSql,

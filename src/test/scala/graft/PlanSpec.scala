@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
     assert(p.substring(oi).contains("BroadcastHashJoin"), p.substring(oi))
   }
 
+  test("q8: every dim broadcast, exactly one fact⋈fact shuffle, no cartesian") {
+    val p = plan(ext.Relational.q8MarketShare(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // part/supplier/nation/region/customer legs all broadcast…
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // …so lineitem⋈orders is the only shuffled join.
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    // The part-type filter is pushed into the part scan (prunes the
+    // lineitem side before the fact join).
+    assert(p.contains("EqualTo(p_type,STANDARD)"), p)
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible
