@@ -61,6 +61,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_type,STANDARD)"), p)
   }
 
+  test("q4/q21: semi/anti joins stay equi-keyed (no nested-loop degeneration)") {
+    // The non-equi legs (date comparison, supplier inequality) must ride
+    // the orderkey equi-join as residual conditions, not degrade the
+    // join itself to a nested loop.
+    for (df <- Seq(ext.Relational.q4PriorityCount(spark, sf),
+        ext.Relational.q21LateSuppliers(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible
