@@ -103,11 +103,20 @@ object Similarity {
     * exact top-3 by cosine among candidates. Plane j's component d is
     * ((j*2654435761 + d*40503) mod 2047) - 1023 — derived, not stored,
     * identical in the oracle SQL (j = table*8 + bit). */
-  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    knnLshWith(spark, sfDir, LshTables, LshBits)
+
+  /** [[knnLsh]] with explicit (tables, bits) — the recall/cost dial: bits
+    * set per-table bucket selectivity (more bits ⇒ smaller buckets ⇒
+    * fewer candidates), tables OR-amplify recall back. Deployments pick
+    * per corpus density; SimilaritySpec measures recall vs exact ground
+    * truth at a dense setting to prove the dial works. */
+  def knnLshWith(spark: SparkSession, sfDir: String, tables: Int,
+      bits: Int): DataFrame = {
     val base = quantized(spark, sfDir)
     val bucketed = base
       .select(col("vec_id"),
-        posexplode(GraftFunctions.hyperplaneBuckets(col("qv"), LshTables, LshBits)))
+        posexplode(GraftFunctions.hyperplaneBuckets(col("qv"), tables, bits)))
       .toDF("vec_id", "tbl", "bucket")
     val q = bucketed.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))

@@ -50,6 +50,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** Driver-side exact top-3 for the `% 50` query sample the ANN paths
+    * use (deterministic: fixed data, integer-quantized cosine). */
+  private def exactTop3(sfDir: String): Map[Long, Seq[Long]] = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, emb, _) =>
+        id -> emb.map(x => math.round(x.toDouble * 10000))
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    vecs.keys.filter(_ % 50 == 0).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+    }.toMap
+  }
+
+  /** The approximate indexes must actually FIND near neighbors, not
+    * just agree with the oracle SQL on whatever they return: average
+    * top-3 recall vs the exact answer, over all sample queries at
+    * sf0.01 (500 vectors). Thresholds are loose on purpose — they
+    * catch a broken bucket join (recall ≈ 0), not tuning drift. */
+  test("ANN recall vs exact ground truth stays honest (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = exactTop3(sf01)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"vec_a", $"vec_b")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val perQuery = exact.toSeq.map { case (q, want) =>
+        got.get(q).map(g => want.count(g.contains).toDouble / want.size)
+          .getOrElse(0.0)
+      }
+      perQuery.sum / perQuery.size
+    }
+    val gated = recallOf(Similarity.knnLsh(spark, sf01))
+    val dense = recallOf(Similarity.knnLshWith(spark, sf01, tables = 8, bits = 4))
+    val ivf = recallOf(Similarity.knnIvf(spark, sf01))
+    info(f"LSH recall gated(4x8)=$gated%.2f dense(8x4)=$dense%.2f ivf=$ivf%.2f")
+    assert(dense >= 0.3, s"dense LSH recall collapsed: $dense")
+    assert(dense > gated,
+      "fewer bits + more tables must trade candidates for recall")
+    assert(ivf >= 0.2, s"IVF recall collapsed: $ivf")
+  }
+
   test("knn LSH returns a subset of each bucket, ranked like brute force") {
     val lsh = Similarity.knnLsh(spark, sf)
       .select($"vec_a", $"vec_b", $"cos", $"rank")
