@@ -676,6 +676,38 @@ object Relational {
       |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#3' AND p_size <= 25)
       |WHERE qty_c * 5 * n < sum_c""".stripMargin
 
+  /** Running-frame window aggregation: each 1999 order with the
+    * customer's cumulative spend to date — the rowsBetween(unbounded
+    * preceding, current) shape (the one window frame the gate didn't
+    * cover; sessionize covers lag, quantiles cover row_number/count).
+    * One shuffle on the partition key, sort within partitions,
+    * integer-cent running sum with a (date, orderkey) total order so
+    * the frame is deterministic in both engines. */
+  def ordersRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        quant(col("o_totalprice"), 100).as("price_c"))
+      .withColumn("run_c", sum(col("price_c")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (col("run_c").cast("double") / 100.0).as("running_total"))
+  }
+
+  val ordersRunningTotalSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)/100.0
+      |    AS running_total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'""".stripMargin
+
   /** TPC-H Q21-shaped: suppliers who kept waiting multi-supplier
     * orders — the fact SELF semi+anti join shape. A line is "blamed"
     * when some OTHER supplier participated in the order (left-semi)
@@ -767,6 +799,7 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q21_late_suppliers" -> (q21LateSuppliers _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    "orders_running_total" -> (ordersRunningTotal _),
     "orders_cube" -> (ordersCube _),
     "orders_grouping_sets" -> (ordersGroupingSets _),
     "set_ops_customers" -> (setOpsCustomers _),
@@ -789,6 +822,7 @@ object Relational {
     "q17_small_qty_revenue" -> q17Sql,
     "q21_late_suppliers" -> q21Sql,
     "q22_idle_customers" -> q22Sql,
+    "orders_running_total" -> ordersRunningTotalSql,
     "orders_cube" -> ordersCubeSql,
     "orders_grouping_sets" -> ordersGroupingSetsSql,
     "set_ops_customers" -> setOpsCustomersSql,
