@@ -10,9 +10,15 @@ import graft.Tables
   * SURVEY.md §2.6) but first-class for the 100 TB posture.
   *
   * Scale notes baked into every query:
-  *  - dimension tables (region/nation/supplier/part, and customer where it
-  *    qualifies) are explicitly `broadcast()`ed — no shuffle of the fact
-  *    side for dim joins;
+  *  - broadcast policy: the explicit `broadcast()` hint goes ONLY on
+  *    frames whose size is independent of SF (region, the 25-row nation
+  *    dim and subsets of it, single-row aggregates, fixed-size samples).
+  *    SF-proportional dims — customer, supplier, part and frames derived
+  *    from them — are left to size-based planning + AQE, which broadcasts
+  *    them while they fit `autoBroadcastJoinThreshold` and falls back to
+  *    a shuffled join at the scale where a forced broadcast would OOM the
+  *    driver. A hint is a promise about ALL scales; these tables can't
+  *    keep it at 100 TB;
   *  - fact⋈fact joins (lineitem⋈orders) stay key-partitioned sort-merge
   *    joins, the right default at 100 TB (AQE can still downgrade to
   *    broadcast at small SF);
@@ -71,8 +77,9 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-shaped: segment filter on the customer dim (broadcast), join
-    * orders⋈lineitem on orderkey, top-10 orders by exact integer revenue.
+  /** TPC-H Q3-shaped: segment filter on the customer dim (broadcast by
+    * size-based planning while it fits), join orders⋈lineitem on
+    * orderkey, top-10 orders by exact integer revenue.
     * Deterministic top-k: ordering key is the exact Long revenue with
     * o_orderkey tiebreak; only the final output casts to double.
     */
@@ -87,7 +94,7 @@ object Relational {
       .filter(col("l_shipdate") > cut)
       .select(col("l_orderkey"),
         discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("rev_e6")).as("rev_e6"))
@@ -108,9 +115,10 @@ object Relational {
       |  GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |  ORDER BY rev_e6 DESC, o_orderkey LIMIT 10)""".stripMargin
 
-  /** TPC-H Q5-shaped: revenue by nation for one region. All four dims
-    * broadcast; the only shuffles are lineitem⋈orders and the final
-    * 25-key aggregation. */
+  /** TPC-H Q5-shaped: revenue by nation for one region. nation/region
+    * hinted broadcast (constant size); supplier/customer broadcast by
+    * size-based planning while they fit, shuffled joins beyond; the
+    * fact⋈fact shuffle is lineitem⋈orders, final agg is 25 keys. */
   def q5RegionVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val r = Tables.region(spark, sfDir).filter(col("r_name") === regionFilter)
     val n = Tables.nation(spark, sfDir)
@@ -121,8 +129,8 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -336,10 +344,12 @@ object Relational {
   /** TPC-H Q7-shaped: volume between two nations by year, both
     * directions.
     *
-    * Shuffle discipline: the ONLY big exchange is lineitem⋈orders, and
-    * both fact sides are pre-filtered to the two nations BEFORE it —
-    * lineitem through the two-nation supplier broadcast, orders through
-    * the two-nation customer broadcast. Filtering after the fact join
+    * Shuffle discipline: the big exchange is lineitem⋈orders, and both
+    * fact sides are pre-filtered to the two nations BEFORE it — lineitem
+    * through the nation-pruned supplier join, orders through the
+    * nation-pruned customer join (the 2-row nation subsets are hinted
+    * broadcast; the supplier/customer frames they prune grow with SF and
+    * are left to size-based planning). Filtering after the fact join
     * would carry ~25/2× more rows through the exchange at 100 TB for
     * identical output; only the cross-direction pair filter (which needs
     * both sides) remains post-join. */
@@ -355,12 +365,12 @@ object Relational {
         col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
       .select("c_custkey", "cust_nation")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "cust_nation")
     val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
       col("l_suppkey"), year(col("l_shipdate")).cast("long").as("l_year"),
       discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -391,8 +401,8 @@ object Relational {
       .select(col("l_orderkey"),
         discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum(col("rev_e6")).as("rev_e6"))
       .orderBy(col("rev_e6").desc, col("c_custkey"))
@@ -421,7 +431,7 @@ object Relational {
         col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
       .select(col("l_partkey"),
         discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
-    l.join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+    l.join(Tables.part(spark, sfDir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         sum(when(col("p_type") === "PROMO", col("rev_e6")).otherwise(0L)).cast("double") /
@@ -450,8 +460,8 @@ object Relational {
       .agg(sum(discPriceE6(col("l_extendedprice"), col("l_discount"))).as("rev_e6"))
     val mx = rev.agg(max(col("rev_e6")).as("mx"))
     rev.join(broadcast(mx), col("rev_e6") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, sfDir)
-        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         e6ToDouble(col("rev_e6")).as("total_revenue"))
   }
@@ -477,8 +487,8 @@ object Relational {
     big.join(Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),
         (col("qty_c").cast("double") / 100.0).as("sum_qty"))
@@ -500,7 +510,7 @@ object Relational {
       col("l_quantity"),
       discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
     val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 30)) ||
@@ -546,8 +556,9 @@ object Relational {
 
   /** TPC-H Q8-shaped: national market share — share of NATION_2
     * suppliers in the ASIA-customer STANDARD-part market by order year.
-    * All dims (part, supplier+nation, customer+nation-in-region)
-    * broadcast pre-filtered; lineitem⋈orders is the only fact⋈fact
+    * Every dim is pre-filtered BEFORE its fact join (nation/region
+    * subsets hinted broadcast; SF-growing part/supplier/customer left
+    * to size-based planning); lineitem⋈orders is the only fact⋈fact
     * shuffle, and the part filter prunes the lineitem side before it.
     * Share = one double divide of two exact Long sums per year. */
   def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
@@ -560,7 +571,7 @@ object Relational {
       .select("c_custkey")
     val o = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderdate")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
     val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
       .join(broadcast(Tables.nation(spark, sfDir)
@@ -570,10 +581,10 @@ object Relational {
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
-      .join(broadcast(Tables.part(spark, sfDir)
-        .filter(col("p_type") === "STANDARD").select("p_partkey")),
+      .join(Tables.part(spark, sfDir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_year"))
       .agg((sum(when(col("supp_nation") === "NATION_2", col("rev_e6"))
@@ -658,7 +669,7 @@ object Relational {
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), quant(col("l_quantity"), 100).as("qty_c"),
         quant(col("l_extendedprice"), 100).as("price_c"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     val perPart = l.groupBy(col("l_partkey").as("ag_partkey"))
       .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("n"))
     l.join(perPart, col("l_partkey") === col("ag_partkey"))
@@ -731,8 +742,8 @@ object Relational {
       .join(l3, col("o3") === col("l_orderkey") &&
         col("s3") =!= col("l_suppkey") &&
         col("d3") >= col("l_shipdate"), "left_anti")
-      .join(broadcast(Tables.supplier(spark, sfDir)
-        .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

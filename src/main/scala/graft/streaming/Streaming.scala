@@ -30,16 +30,23 @@ object Streaming {
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt-").toString
 
-  /** Run a streaming frame to completion through the idempotent parquet
-    * sink ([[Sinks.idempotentParquet]]) and read the result back as a
-    * batch frame (partition column `batch` = micro-batch id).
+  /** Run a streaming frame to completion through a parquet sink and
+    * read the result back as a batch frame.
+    *
+    * Update mode writes each micro-batch to its own `batch=<id>`
+    * partition via [[Sinks.idempotentParquet]] (the result is the union
+    * of all update rows, finalized by the caller's max_by). Complete
+    * mode overwrites ONE `latest` directory per batch — each complete
+    * batch IS the whole result, so overwrite is naturally idempotent
+    * under replay and the read-back touches exactly one copy (an empty
+    * source still writes the schema, so the read never fails).
     *
     * This is the scale-safe gate path: a `memory`-format sink would
     * materialize every update row on the DRIVER — O(corpus) driver state
     * for per-document queries like dedup — whereas here updates go
     * executor→parquet and only the driver-side read of the FINAL
-    * aggregate is small. Checkpoint + batch-id-keyed overwrite also make
-    * the write path recoverable (memory sink is not). */
+    * aggregate is small. Checkpoint + per-batch overwrite also make the
+    * write path recoverable (memory sink is not). */
   private def runToParquet(updates: DataFrame, mode: OutputMode,
       name: String): DataFrame = {
     val spark = updates.sparkSession
@@ -54,22 +61,20 @@ object Streaming {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val outDir = Files.createTempDirectory(s"graft-sink-$name-").toString
+    val complete = mode == OutputMode.Complete()
+    val sink: (DataFrame, Long) => Unit =
+      if (complete)
+        (batch, _) => batch.write.mode("overwrite").parquet(s"$outDir/latest")
+      else Sinks.idempotentParquet(outDir)
     val q = updates.writeStream
-      .foreachBatch(Sinks.idempotentParquet(outDir))
+      .foreachBatch(sink)
       .outputMode(mode)
       .option("checkpointLocation", checkpoint())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
-  }
-
-  /** Complete-mode finalization: each micro-batch rewrote the FULL
-    * result, so the answer is the last batch's partition alone. The max
-    * batch id comes from the partition listing (metadata-scale). */
-  private def lastCompleteBatch(all: DataFrame): DataFrame = {
-    val lastId = all.select(max(col("batch")).cast("long")).head().getLong(0)
-    all.filter(col("batch") === lastId).drop("batch")
+    (if (complete) spark.read.parquet(s"$outDir/latest")
+     else spark.read.parquet(outDir).drop("batch"))
   }
 
   /** Stream the events parquet as micro-batches, normalizing `ts` the same
@@ -108,8 +113,7 @@ object Streaming {
         count(lit(1)).as("cnt"),
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
           .as("sum_value"))
-    lastCompleteBatch(
-      runToParquet(agg, OutputMode.Complete(), "windowed-agg"))
+    runToParquet(agg, OutputMode.Complete(), "windowed-agg")
   }
 
   /** Streaming twin of KvReplay.replay: per-key fold over the op stream

@@ -97,9 +97,16 @@ class MapReduceSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       body
+      // The listener bus is async (waitUntilEmpty is private[spark]):
+      // treat the counts as drained only after they hold still for 3
+      // consecutive 300ms reads — one quiet poll can race a GC pause.
+      var stable = 0
       var prev = -1
-      var cur = ok.get + bad.get
-      while (cur != prev) { Thread.sleep(300); prev = cur; cur = ok.get + bad.get }
+      while (stable < 3) {
+        Thread.sleep(300)
+        val cur = ok.get + bad.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
     } finally spark.sparkContext.removeSparkListener(l)
     (ok.get, bad.get)
   }

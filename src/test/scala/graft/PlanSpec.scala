@@ -41,6 +41,9 @@ class PlanSpec extends SparkSpec {
     val li = p.indexOf("Exchange hashpartitioning(l_orderkey")
     val oi = p.indexOf("Exchange hashpartitioning(o_orderkey")
     assert(li >= 0 && oi >= 0, p)
+    // Left (lineitem) child prints before right (orders); a flip would
+    // make the substring below throw instead of explaining itself.
+    assert(li < oi, p)
     // Subtrees print contiguously under their exchange: the lineitem side
     // must already contain the supplier-nation broadcast join and the
     // orders side the customer-nation one — i.e. both fact inputs are

@@ -7,6 +7,29 @@ import graft.ext.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Driver-side ground truth: the same round(x*1e4) Long quantization
+    * the queries use, collected per sfDir. */
+  private def quantizedVecs(sfDir: String): Map[Long, Array[Long]] =
+    Tables.embeddings(spark, sfDir)
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, emb, _) =>
+        id -> emb.map(x => math.round(x.toDouble * 10000))
+      }.toMap
+
+  private def cos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  private def exactTop3For(vecs: Map[Long, Array[Long]],
+      queries: Iterable[Long]): Map[Long, Seq[Long]] =
+    queries.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
+    }.toMap
+
   test("knn brute force: top-3 per query, correctly ranked") {
     val rows = Similarity.knnBruteForce(spark, sf)
       .select($"vec_a", $"vec_b", $"cos", $"rank")
@@ -25,16 +48,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("knn brute force matches a driver-side exact computation") {
-    val vecs = Tables.embeddings(spark, sf)
-      .as[(Long, Array[Float], Int)].collect()
-      .map { case (id, emb, _) =>
-        id -> emb.map(x => math.round(x.toDouble * 10000))
-      }.toMap
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
-      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-    }
+    val vecs = quantizedVecs(sf)
     val got = Similarity.knnBruteForce(spark, sf)
       .select($"vec_a", $"vec_b", $"rank")
       .as[(Long, Long, Long)].collect()
@@ -42,42 +56,18 @@ class SimilaritySpec extends SparkSpec {
     // Same fixed-size hash-ordered query sample the query uses.
     def idHash(id: Long): Long = ((id % 2147483647L) * 40503L + 12345L) % 2147483647L
     val queries = vecs.keys.toSeq.sortBy(id => (idHash(id), id)).take(32)
-    val want = queries.map { q =>
-      q -> vecs.keys.filter(_ != q).toSeq
-        .map(c => (c, cos(vecs(q), vecs(c))))
-        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
-    }.toMap
-    assert(got == want)
-  }
-
-  /** Driver-side exact top-3 for the `% 50` query sample the ANN paths
-    * use (deterministic: fixed data, integer-quantized cosine). */
-  private def exactTop3(sfDir: String): Map[Long, Seq[Long]] = {
-    val vecs = Tables.embeddings(spark, sfDir)
-      .as[(Long, Array[Float], Int)].collect()
-      .map { case (id, emb, _) =>
-        id -> emb.map(x => math.round(x.toDouble * 10000))
-      }.toMap
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
-      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-    }
-    vecs.keys.filter(_ % 50 == 0).map { q =>
-      q -> vecs.keys.filter(_ != q).toSeq
-        .map(c => (c, cos(vecs(q), vecs(c))))
-        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1)
-    }.toMap
+    assert(got == exactTop3For(vecs, queries))
   }
 
   /** The approximate indexes must actually FIND near neighbors, not
     * just agree with the oracle SQL on whatever they return: average
-    * top-3 recall vs the exact answer, over all sample queries at
-    * sf0.01 (500 vectors). Thresholds are loose on purpose — they
+    * top-3 recall vs the exact answer, over all `% 50` sample queries
+    * at sf0.01 (500 vectors). Thresholds are loose on purpose — they
     * catch a broken bucket join (recall ≈ 0), not tuning drift. */
   test("ANN recall vs exact ground truth stays honest (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
-    val exact = exactTop3(sf01)
+    val vecs = quantizedVecs(sf01)
+    val exact = exactTop3For(vecs, vecs.keys.filter(_ % 50 == 0))
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
       val got = df.select($"vec_a", $"vec_b")
         .as[(Long, Long)].collect()
@@ -104,16 +94,7 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect()
     // sanity: every LSH hit's cosine equals the exact pair cosine
     // (driver-side recomputation on the quantized vectors)
-    val vecs = Tables.embeddings(spark, sf)
-      .as[(Long, Array[Float], Int)].collect()
-      .map { case (id, emb, _) =>
-        id -> emb.map(x => math.round(x.toDouble * 10000))
-      }.toMap
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
-      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
-    }
+    val vecs = quantizedVecs(sf)
     assert(lsh.nonEmpty)
     assert(lsh.forall(r => cos(vecs(r._1), vecs(r._2)) == r._3))
   }

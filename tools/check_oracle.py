@@ -17,7 +17,6 @@ Deliberately routes both result sets through PANDAS, like the driver does:
 """
 import sys, os, json
 import duckdb
-import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
