@@ -66,11 +66,44 @@ object Curation {
        |WHERE ($h) % 100 < $rateSql""".stripMargin
   }
 
+  /** Per-source corpus mixture report — the audit a training-data mix
+    * is planned from: docs, exact char mass, distinct languages, and
+    * each source's share of the corpus by chars. One groupBy on source
+    * plus a 1-row broadcast total; shares are one double divide of two
+    * exact Longs, so the report is deterministic at any partitioning. */
+  def sourceMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val total = perSource.agg(sum(col("sum_chars")).as("total_chars"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("n_langs"),
+        (col("sum_chars").cast("double") / col("total_chars").cast("double"))
+          .as("char_share"))
+  }
+
+  val sourceMixtureSql: String =
+    """WITH per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, sum_chars, n_langs,
+      |  CAST(sum_chars AS DOUBLE) /
+      |    CAST((SELECT CAST(SUM(sum_chars) AS BIGINT) FROM per_source) AS DOUBLE)
+      |    AS char_share
+      |FROM per_source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (curate _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "source_mixture" -> (sourceMixture _))
 
   val oracles: Map[String, String] = Map(
     "corpus_curate" -> curateSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "source_mixture" -> sourceMixtureSql)
 }

@@ -129,6 +129,34 @@ object TextAnalysis {
        |    FROM documents))""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the accuracy audit of [[langId]]
+    * against the corpus's ground-truth lang column: per (truth,
+    * predicted) pair, the count and its share of the truth class. The
+    * classifier's quality is MEASURED by a gated query, not assumed.
+    * Map-side classification + a tiny two-key aggregation; the per-class
+    * total rides a second small agg joined back on the truth key. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = langId(spark, sfDir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = pairs.groupBy(col("lang").as("t_lang"))
+      .agg(sum(col("n_docs")).as("n_total"))
+    pairs.join(totals, col("lang") === col("t_lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("class_share"))
+  }
+
+  val langIdConfusionSql: String =
+    s"""WITH pred AS (${langIdSql}),
+       |pairs AS (SELECT lang, pred_lang, COUNT(*) AS n_docs
+       |  FROM pred GROUP BY lang, pred_lang),
+       |totals AS (SELECT lang AS t_lang, CAST(SUM(n_docs) AS BIGINT) AS n_total
+       |  FROM pairs GROUP BY lang)
+       |SELECT lang, pred_lang, n_docs,
+       |  CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS class_share
+       |FROM pairs JOIN totals ON lang = t_lang""".stripMargin
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * plus a 31-bit polynomial rolling hash (exact integer fold — the same
     * hash family the dedup layer uses; see graft.ext.Hashing). */
@@ -148,11 +176,13 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
+    "lang_id_confusion" -> (langIdConfusion _),
     "doc_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
+    "lang_id_confusion" -> langIdConfusionSql,
     "doc_fingerprint" -> fingerprintSql)
 }
