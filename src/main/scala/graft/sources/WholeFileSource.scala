@@ -58,10 +58,11 @@ object WholeFileSource {
     // driver and reading on executors through java.nio, so a remote
     // scheme (hdfs://, s3a://, ...) would either fail confusingly or
     // list driver-local files the executors can't read. Reject it with
-    // the contract spelled out rather than limping. Only "scheme://"
-    // counts as a scheme — a bare colon in a filename ("cache:v2") is a
-    // legal local path and stays accepted.
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://".r.findFirstMatchIn(path)
+    // the contract spelled out rather than limping. "scheme:/..." and
+    // "scheme://..." both count (Hadoop accepts the single-slash form);
+    // a bare colon in a filename ("cache:v2" — colon not followed by a
+    // slash) is a legal local path and stays accepted.
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):/".r.findFirstMatchIn(path)
       .map(_.group(1)).orNull
     if (scheme != null && scheme != "file")
       throw new IllegalArgumentException(

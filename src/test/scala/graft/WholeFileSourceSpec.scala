@@ -51,7 +51,8 @@ class WholeFileSourceSpec extends SparkSpec {
   }
 
   test("remote URI schemes are rejected with the local-only contract") {
-    for (bad <- Seq("hdfs://nn:8020/data", "s3a://bucket/prefix")) {
+    for (bad <- Seq("hdfs://nn:8020/data", "s3a://bucket/prefix",
+        "hdfs:/user/corpus")) {
       val e = intercept[Exception] {
         spark.read.format("wholefile").load(bad).collect()
       }
