@@ -79,9 +79,10 @@ object Components {
       Dedup.minhashLsh(spark, sfDir)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
 
-  /** Oracle: transitive closure by recursive CTE, component = min
-    * reachable node (self included via LEAST). */
-  val dedupComponentsSql: String =
+  /** Oracle CTE chain: transitive closure by recursive CTE, component =
+    * min reachable node (self included via LEAST). Shared prefix so
+    * downstream oracles (cluster keepers) can extend the WITH chain. */
+  private val componentsCtePrefix: String =
     s"""WITH RECURSIVE lshpairs AS (
        |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql}) ),
        |sym AS (
@@ -91,14 +92,52 @@ object Components {
        |  SELECT a, b FROM sym
        |  UNION
        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-       |nodes AS (SELECT DISTINCT a AS node FROM sym)
-       |SELECT n.node AS doc_id, LEAST(n.node, MIN(r.b)) AS component
-       |FROM nodes n LEFT JOIN reach r ON r.a = n.node
-       |GROUP BY n.node""".stripMargin
+       |nodes AS (SELECT DISTINCT a AS node FROM sym),
+       |comp AS (
+       |  SELECT n.node AS doc_id, LEAST(n.node, MIN(r.b)) AS component
+       |  FROM nodes n LEFT JOIN reach r ON r.a = n.node
+       |  GROUP BY n.node)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""$componentsCtePrefix
+       |SELECT doc_id, component FROM comp""".stripMargin
+
+  /** Cluster-aware survivor selection — the step after clustering in a
+    * real curation pipeline: per near-dup cluster, keep the HIGHEST
+    * quality member (min doc_id on exact ties), not blindly the min id.
+    * One join of the cluster labels against the per-doc quality scores
+    * + one aggregation; the argmax is a max over (quality, -doc_id)
+    * structs, so it is a plain map-side-combinable agg — no window, no
+    * second shuffle beyond the component key. */
+  def clusterKeepers(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = dedupComponents(spark, sfDir)
+    val quality = TextAnalysis.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    comp.join(quality, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.neg_id")).as("keeper"),
+        col("best.quality_score").as("keeper_quality"))
+  }
+
+  val clusterKeepersSql: String =
+    s"""$componentsCtePrefix,
+       |q AS (${TextAnalysis.textQualitySql})
+       |SELECT component, COUNT(*) AS n_members,
+       |  (array_agg(c.doc_id ORDER BY q.quality_score DESC, c.doc_id))[1] AS keeper,
+       |  (array_agg(q.quality_score ORDER BY q.quality_score DESC, c.doc_id))[1] AS keeper_quality
+       |FROM comp c JOIN q ON c.doc_id = q.doc_id
+       |GROUP BY component""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_components" -> (dedupComponents _))
+    "dedup_components" -> (dedupComponents _),
+    "dedup_cluster_keepers" -> (clusterKeepers _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_components" -> dedupComponentsSql)
+    "dedup_components" -> dedupComponentsSql,
+    "dedup_cluster_keepers" -> clusterKeepersSql)
 }
