@@ -73,8 +73,20 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (if (complete) spark.read.parquet(s"$outDir/latest")
-     else spark.read.parquet(outDir).drop("batch"))
+    // A source with zero rows can legitimately produce zero batches —
+    // the sink dir is then empty and read.parquet cannot infer a
+    // schema. "No data yet" is an empty result, not an error.
+    val target = java.nio.file.Paths.get(
+      if (complete) s"$outDir/latest" else outDir)
+    val hasOutput = Files.exists(target) && {
+      val listing = Files.list(target)
+      try listing.findFirst().isPresent finally listing.close()
+    }
+    if (!hasOutput)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema)
+    else if (complete) spark.read.parquet(s"$outDir/latest")
+    else spark.read.parquet(outDir).drop("batch")
   }
 
   /** Stream the events parquet as micro-batches, normalizing `ts` the same
@@ -85,14 +97,26 @@ object Streaming {
   private val stagedSrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Stage a (read-only, single-file) table into a temp DIRECTORY — the
-    * file source requires one; in production the ingest path IS a
-    * directory files land in. Cached per (sfDir, table). */
+  /** Stage a (read-only) table into a temp DIRECTORY — the file source
+    * requires one; in production the ingest path IS a directory files
+    * land in. Handles both layouts a parquet table comes in: a single
+    * file (this repo's fixtures) and a directory of part files (what
+    * `df.write.parquet` produces). Cached per (sfDir, table). */
   private def staged(sfDir: String, table: String): String =
     stagedSrc.computeIfAbsent(s"$sfDir/$table", { _ =>
+      import scala.jdk.CollectionConverters._
       val d = Files.createTempDirectory("graft-stream-src-")
-      Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
-        d.resolve(s"$table.parquet"))
+      val src = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
+      if (Files.isDirectory(src)) {
+        val listing = Files.list(src)
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex
+          .foreach { case (p, i) =>
+            Files.copy(p, d.resolve(f"part-$i%05d.parquet"))
+          }
+        finally listing.close()
+      } else Files.copy(src, d.resolve(s"$table.parquet"))
       d.toString
     })
 

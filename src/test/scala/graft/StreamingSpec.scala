@@ -61,6 +61,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("gated streaming queries survive an EMPTY source (0-row corpus)") {
+    // Empty documents/events tables: the parquet-sink read-back must
+    // return an empty frame with the right schema, not NPE or fail
+    // schema inference (complete mode writes its schema even for 0 rows).
+    val dir = Files.createTempDirectory("graft-empty-sf-").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(0).coalesce(1).write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(0).coalesce(1).write.parquet(s"$dir/events.parquet")
+    assert(Streaming.dedupExactStream(spark, dir).count() == 0)
+    assert(Streaming.windowedAgg(spark, dir).count() == 0)
+  }
+
   test("in-order contract violation raises instead of folding wrong") {
     // f=1's op has a LOWER seq than f=0's already-applied one: the
     // §7.7.5 in-order tripwire must fail the query, not corrupt state.
