@@ -23,6 +23,11 @@ import graft.functions.GraftFunctions
   */
 object Sketches {
 
+  // Declared FIRST: object vals initialize in declaration order, and the
+  // SQL strings below interpolate P at init time — a forward reference
+  // would silently interpolate 0.
+  private val P = graft.ext.Hashing.P
+
   private val K = 64
 
   /** KMV distinct estimate over the corpus's 3-word shingle hashes (the
@@ -55,7 +60,7 @@ object Sketches {
   }
 
   val kmvDistinctWordsSql: String = {
-    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql, P}
+    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql}
     s"""WITH h AS (
        |  SELECT DISTINCT unnest(sh) AS h FROM (
        |    SELECT ${shingleHashesSql("whs", 3)} AS sh FROM (
@@ -68,9 +73,101 @@ object Sketches {
        |FROM mink""".stripMargin
   }
 
+  // ------------------------------------------------- count-min sketch
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** Words whose frequency the gated query estimates (last one is
+    * absent from the synthetic vocabulary — the over-estimate-only
+    * guarantee is exercised, not just the happy path). */
+  private val ProbeWords = Seq("the", "data", "table", "value", "xyzzy")
+
+  /** Driver-side twin of the wordHashes char fold (ASCII probe words
+    * only — identical to the kernel for a-z input). */
+  private def wordHash(w: String): Long =
+    w.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % P)
+
+  private def cmsBucket(h: Long, depth: Int): Long = {
+    val a = graft.functions.HashKernels.permA(depth)
+    val b = graft.functions.HashKernels.permB(depth)
+    ((a * h + b) % P) % CmsWidth
+  }
+
+  /** Count-min sketch over the corpus's word stream + probe estimates —
+    * the mergeable heavy-hitter structure of a streaming frequency
+    * pipeline, built DETERMINISTICALLY (the MinHash permutation family
+    * hashes row d, so the DuckDB oracle computes the identical sketch).
+    *
+    * Output per probe word: the CMS estimate (min over depth rows of
+    * the probed bucket count) and the exact count — est ≥ exact by
+    * construction, equality except under bucket collisions.
+    *
+    * Scale shape: the sketch is a groupBy over (depth, bucket) —
+    * AT MOST depth×width = 4096 rows of state regardless of corpus
+    * size, map-side combinable, mergeable across partitions/streams by
+    * addition. Probes join against the tiny sketch; the exact counts
+    * are one filtered aggregation over the word stream. */
+  def cmsWordCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wh = Tables.documents(spark, sfDir)
+      .select(explode(GraftFunctions.wordHashes(col("text"))).as("h"))
+    val sketchRows = (0 until CmsDepth).map { d =>
+      val a = graft.functions.HashKernels.permA(d)
+      val b = graft.functions.HashKernels.permB(d)
+      wh.select(lit(d).as("depth"),
+        (((lit(a) * col("h") + lit(b)) % P) % CmsWidth).as("bucket"))
+    }.reduce(_ unionAll _)
+    val sketch = sketchRows.groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = ProbeWords.flatMap { w =>
+      val h = wordHash(w)
+      (0 until CmsDepth).map(d => (w, h, d, cmsBucket(h, d)))
+    }.toDF("word", "h", "depth", "bucket")
+    val est = probes.join(sketch, Seq("depth", "bucket"), "left")
+      .groupBy(col("word"), col("h"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+    val exact = wh.filter(col("h").isin(ProbeWords.map(wordHash): _*))
+      .groupBy(col("h").as("eh"))
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, col("h") === col("eh"), "left")
+      .select(col("word"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
+  val cmsWordCountsSql: String = {
+    import graft.ext.Hashing.wordHashesSql
+    val sketchRows = (0 until CmsDepth).map { d =>
+      val a = graft.functions.HashKernels.permA(d)
+      val b = graft.functions.HashKernels.permB(d)
+      s"SELECT $d AS depth, (($a*h + $b) % $P) % $CmsWidth AS bucket FROM wh"
+    }.mkString("\n  UNION ALL\n  ")
+    val probeRows = ProbeWords.flatMap { w =>
+      val h = wordHash(w)
+      (0 until CmsDepth).map(d => s"('$w', ${h}, $d, ${cmsBucket(h, d)})")
+    }.mkString(",\n  ")
+    s"""WITH wh AS (
+       |  SELECT unnest(${wordHashesSql("text")}) AS h FROM documents),
+       |rows AS (
+       |  $sketchRows),
+       |sketch AS (SELECT depth, bucket, COUNT(*) AS cnt FROM rows GROUP BY 1, 2),
+       |probes(word, h, depth, bucket) AS (VALUES
+       |  $probeRows),
+       |est AS (
+       |  SELECT word, h, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+       |  FROM probes LEFT JOIN sketch USING (depth, bucket)
+       |  GROUP BY word, h),
+       |exact AS (SELECT h AS eh, COUNT(*) AS exact_count FROM wh GROUP BY h)
+       |SELECT word, est_count,
+       |  CAST(COALESCE(exact_count, 0) AS BIGINT) AS exact_count
+       |FROM est LEFT JOIN exact ON h = eh""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_kmv_distinct" -> (kmvDistinctWords _))
+    "sketch_kmv_distinct" -> (kmvDistinctWords _),
+    "sketch_cms_words" -> (cmsWordCounts _))
 
   val oracles: Map[String, String] = Map(
-    "sketch_kmv_distinct" -> kmvDistinctWordsSql)
+    "sketch_kmv_distinct" -> kmvDistinctWordsSql,
+    "sketch_cms_words" -> cmsWordCountsSql)
 }

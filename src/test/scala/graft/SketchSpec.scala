@@ -20,6 +20,20 @@ class SketchSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("CMS: estimates dominate exact counts, never undercount") {
+    val rows = Sketches.cmsWordCounts(spark, sf)
+      .select($"word", $"est_count", $"exact_count")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 5, "one row per probe word")
+    rows.foreach { case (w, est, exact) =>
+      assert(est >= exact, s"CMS must never undercount: $w est=$est exact=$exact")
+      assert(est >= 0 && exact >= 0)
+    }
+    // The corpus words are genuinely present — the sketch is not
+    // trivially all-zero.
+    assert(rows.exists(_._3 > 0))
+  }
+
   test("gapfill emits every (hour, type) cell and preserves totals") {
     val filled = ext.Events.gapfillHourly(spark, sf)
     val hours = filled.select("hour").distinct().count()
