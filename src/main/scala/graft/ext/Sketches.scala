@@ -112,13 +112,18 @@ object Sketches {
     import spark.implicits._
     val wh = Tables.documents(spark, sfDir)
       .select(explode(GraftFunctions.wordHashes(col("text"))).as("h"))
-    val sketchRows = (0 until CmsDepth).map { d =>
+    // ONE pass: each hash explodes into its CmsDepth (depth, bucket)
+    // rows inline — a union of per-depth branches would rescan the
+    // corpus once per depth (Catalyst does not merge common subplans
+    // across union branches).
+    val depthBuckets = array((0 until CmsDepth).map { d =>
       val a = graft.functions.HashKernels.permA(d)
       val b = graft.functions.HashKernels.permB(d)
-      wh.select(lit(d).as("depth"),
+      struct(lit(d).as("depth"),
         (((lit(a) * col("h") + lit(b)) % P) % CmsWidth).as("bucket"))
-    }.reduce(_ unionAll _)
-    val sketch = sketchRows.groupBy(col("depth"), col("bucket"))
+    }: _*)
+    val sketch = wh.select(explode(depthBuckets).as("db"))
+      .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val probes = ProbeWords.flatMap { w =>
       val h = wordHash(w)

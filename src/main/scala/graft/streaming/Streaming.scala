@@ -38,8 +38,10 @@ object Streaming {
     * of all update rows, finalized by the caller's max_by). Complete
     * mode overwrites ONE `latest` directory per batch — each complete
     * batch IS the whole result, so overwrite is naturally idempotent
-    * under replay and the read-back touches exactly one copy (an empty
-    * source still writes the schema, so the read never fails).
+    * under replay and the read-back touches exactly one copy. A source
+    * with zero rows can fire ZERO batches and write nothing at all —
+    * the hasOutput guard below turns that into an empty frame instead
+    * of a schema-inference failure.
     *
     * This is the scale-safe gate path: a `memory`-format sink would
     * materialize every update row on the DRIVER — O(corpus) driver state
@@ -108,14 +110,19 @@ object Streaming {
       val d = Files.createTempDirectory("graft-stream-src-")
       val src = java.nio.file.Paths.get(s"$sfDir/$table.parquet")
       if (Files.isDirectory(src)) {
+        // Sort by filename: Files.list order is filesystem-dependent,
+        // and part-file NAME order is the seq order the in-order
+        // streaming contract (§7.7.5) rides on — an arbitrary listing
+        // could stage later parts as earlier files.
         val listing = Files.list(src)
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .zipWithIndex
-          .foreach { case (p, i) =>
-            Files.copy(p, d.resolve(f"part-$i%05d.parquet"))
-          }
-        finally listing.close()
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally listing.close()
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Files.copy(p, d.resolve(f"part-$i%05d.parquet"))
+        }
       } else Files.copy(src, d.resolve(s"$table.parquet"))
       d.toString
     })

@@ -66,9 +66,9 @@ class StreamingSpec extends SparkSpec {
     // return an empty frame with the right schema, not NPE or fail
     // schema inference (complete mode writes its schema even for 0 rows).
     val dir = Files.createTempDirectory("graft-empty-sf-").toString
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.read.parquet(s"$sf/documents.parquet")
       .limit(0).coalesce(1).write.parquet(s"$dir/documents.parquet")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spark.read.parquet(s"$sf/events.parquet")
       .limit(0).coalesce(1).write.parquet(s"$dir/events.parquet")
     assert(Streaming.dedupExactStream(spark, dir).count() == 0)
     assert(Streaming.windowedAgg(spark, dir).count() == 0)
