@@ -112,13 +112,21 @@ object Similarity {
     * per corpus density; SimilaritySpec measures recall vs exact ground
     * truth at a dense setting to prove the dial works. */
   def knnLshWith(spark: SparkSession, sfDir: String, tables: Int,
-      bits: Int): DataFrame = {
+      bits: Int): DataFrame =
+    lshTop3(spark, sfDir, tables, bits, _.filter(col("vec_id") % 50 === 0))
+
+  /** Body of [[knnLshWith]] with the query-set selector injected — the
+    * gated query uses the `% 50` workload predicate (map-side, no extra
+    * join); the recall audit passes a semi-join against the fixed
+    * 32-vector sample so all three methods rank the SAME queries. */
+  private def lshTop3(spark: SparkSession, sfDir: String, tables: Int,
+      bits: Int, pickQ: DataFrame => DataFrame): DataFrame = {
     val base = quantized(spark, sfDir)
     val bucketed = base
       .select(col("vec_id"),
         posexplode(GraftFunctions.hyperplaneBuckets(col("qv"), tables, bits)))
       .toDF("vec_id", "tbl", "bucket")
-    val q = bucketed.filter(col("vec_id") % 50 === 0)
+    val q = pickQ(bucketed)
       .select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
     val cands = q.join(c, Seq("tbl", "bucket"))
@@ -136,7 +144,9 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  val knnLshSql: String = {
+  val knnLshSql: String = knnLshSqlFor("q.vec_id % 50 = 0")
+
+  private def knnLshSqlFor(queryPred: String): String = {
     val cosExpr =
       """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
@@ -150,7 +160,7 @@ object Similarity {
        |  FROM n, tb),
        |cands AS (SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
        |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
-       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |  WHERE $queryPred AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
        |    $cosExpr AS cos,
@@ -182,7 +192,13 @@ object Similarity {
     * pass, and the cell equi-join is the only shuffle — the standard
     * IVF scale shape, with selectivity 1/K per probe independent of
     * corpus size. */
-  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTop3(spark, sfDir, _.filter(col("vec_id") % 50 === 0))
+
+  /** Body of [[knnIvf]] with the query-set selector injected (see
+    * [[lshTop3]] — same audit-vs-workload split). */
+  private def ivfTop3(spark: SparkSession, sfDir: String,
+      pickQ: DataFrame => DataFrame): DataFrame = {
     val base = quantized(spark, sfDir)
     val cent = base
       .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
@@ -200,8 +216,7 @@ object Similarity {
     // once — no distinct needed.
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid").as("cell"))
-    val q = ranked.filter(col("rn") <= IvfNprobe)
-      .filter(col("vec_id") % 50 === 0)
+    val q = pickQ(ranked.filter(col("rn") <= IvfNprobe))
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
         col("nrm").as("na"), col("cid").as("cell"))
     val c = assigned.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
@@ -215,7 +230,9 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  val knnIvfSql: String = {
+  val knnIvfSql: String = knnIvfSqlFor("q.vec_id % 50 = 0")
+
+  private def knnIvfSqlFor(queryPred: String): String = {
     val cosExpr =
       """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
@@ -231,7 +248,7 @@ object Similarity {
        |assigned AS (SELECT vec_id, qv, nrm, cid AS cell FROM ranked WHERE rn = 1),
        |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
        |  FROM ranked q JOIN assigned c ON q.cid = c.cell
-       |  WHERE q.rn <= $IvfNprobe AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |  WHERE q.rn <= $IvfNprobe AND $queryPred AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
        |    $cosExpr AS cos,
@@ -239,6 +256,67 @@ object Similarity {
        |      $cosExpr DESC, vec_b) AS rank
        |  FROM cands JOIN n a ON a.vec_id = vec_a JOIN n c ON c.vec_id = vec_b)
        |WHERE rank <= 3""".stripMargin
+  }
+
+  // ------------------------------------------------------- recall audit
+
+  /** Recall@3 of both ANN paths against the exact baseline, as a GATED
+    * query — the index-quality number a production ANN deployment is
+    * judged by, measured inside the engine rather than assumed. All
+    * three methods rank the SAME fixed 32-query sample (idHash order —
+    * constant-size at any SF, so the audit itself stays scale-safe:
+    * exact ground truth for a bounded query set is one broadcast
+    * nested-loop, never all-pairs). Output: one row per method with
+    * integer hit counts and recall in basis points (integer division —
+    * bit-identical across engines, no float accumulation). */
+  def knnRecallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = quantized(spark, sfDir)
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(32).select(col("vec_id").as("qid"))
+    def forSample(df: DataFrame): DataFrame =
+      df.join(broadcast(qs), col("vec_id") === col("qid"), "left_semi")
+    import spark.implicits._
+    // 96 rows — persisted so the ground truth is computed once and
+    // reused by the per-method hit joins and the totals row.
+    val exact = knnBruteForce(spark, sfDir).select("vec_a", "vec_b").persist()
+    val ann = lshTop3(spark, sfDir, LshTables, LshBits, forSample)
+      .select(col("vec_a"), col("vec_b"), lit("lsh").as("method"))
+      .unionAll(ivfTop3(spark, sfDir, forSample)
+        .select(col("vec_a"), col("vec_b"), lit("ivf").as("method")))
+    val hits = exact.join(ann, Seq("vec_a", "vec_b"))
+      .groupBy("method").agg(count(lit(1)).as("h"))
+    val ex = exact.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("vec_a")).as("n_queries"))
+    // Left join from the method list: a method with ZERO hits (a
+    // too-sparse dial) must still report its row, not vanish.
+    Seq("lsh", "ivf").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .withColumn("n_hits", coalesce(col("h"), lit(0L)))
+      .crossJoin(ex)
+      .select(col("method"), col("n_queries"), col("n_exact"), col("n_hits"),
+        when(col("n_exact") === 0, 0L)
+          .otherwise(expr("n_hits * 10000 div n_exact")).as("recall_bp"))
+  }
+
+  val knnRecallAuditSql: String = {
+    val samplePred =
+      s"q.vec_id IN (SELECT vec_id FROM n ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT 32)"
+    s"""WITH exact AS (SELECT vec_a, vec_b FROM ($knnBruteForceSql)),
+       |lsh AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred)})),
+       |ivf AS (SELECT vec_a, vec_b FROM (${knnIvfSqlFor(samplePred)})),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(DISTINCT vec_a) AS BIGINT) AS n_queries FROM exact),
+       |lh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact JOIN lsh USING (vec_a, vec_b)),
+       |ih AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact JOIN ivf USING (vec_a, vec_b))
+       |SELECT 'lsh' AS method, n_queries, n_exact, lh.n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0 ELSE lh.n_hits * 10000 // n_exact END AS recall_bp
+       |FROM ex, lh
+       |UNION ALL
+       |SELECT 'ivf', n_queries, n_exact, ih.n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0 ELSE ih.n_hits * 10000 // n_exact END AS recall_bp
+       |FROM ex, ih""".stripMargin
   }
 
   /** Per-label embedding statistics — the class-balance / norm-drift
@@ -270,11 +348,13 @@ object Similarity {
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_recall_audit" -> (knnRecallAudit _),
     "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce" -> knnBruteForceSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_recall_audit" -> knnRecallAuditSql,
     "embedding_label_stats" -> labelStatsSql)
 }

@@ -168,11 +168,100 @@ object Sketches {
        |FROM est LEFT JOIN exact ON h = eh""".stripMargin
   }
 
+  // ------------------------------------------------- bloom filter
+
+  private val BloomBits = 8192L
+  private val BloomHashes = 3
+
+  /** The bloom's k bit positions for an already-idHash'd key column —
+    * the same universal-hash perm family the CMS/MinHash layers use, so
+    * the DuckDB oracle computes the identical filter. */
+  private def bloomPositions(h: org.apache.spark.sql.Column) =
+    array((0 until BloomHashes).map { d =>
+      val a = graft.functions.HashKernels.permA(d)
+      val b = graft.functions.HashKernels.permB(d)
+      ((lit(a) * h + lit(b)) % P) % BloomBits
+    }: _*)
+
+  /** Bloom-filter membership pre-filter — the join-pruning sketch: build
+    * a deterministic m=8192-bit / k=3 bloom over the custkeys that
+    * ordered in March 1995 (~12% of customers at any SF), probe EVERY
+    * customer, and report the confusion counts. `n_false_negative` is
+    * structurally 0 (the bloom guarantee); `n_false_positive` is the
+    * price of the fixed bit budget and grows with fill ratio — the
+    * output makes that trade measurable instead of assumed.
+    *
+    * Scale shape: the filter is `≤ m` distinct bit rows — FIXED state
+    * regardless of corpus size (size m for the expected member count n;
+    * the sketch is mergeable by union, i.e. bitwise OR). Building it is
+    * one distinct + explode; probing is an equi-join against the tiny
+    * broadcast bit set (SF-independent ⇒ hint is safe under the
+    * broadcast policy) + a per-key count. At 100 TB this is exactly the
+    * pattern that pre-prunes a fact⋈fact join: ship the m-bit filter,
+    * drop the (1-FP)·non-member fraction of the big side before the
+    * shuffle. */
+  def bloomMembership(spark: SparkSession, sfDir: String): DataFrame = {
+    val members = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").between(lit("1995-03-01").cast("date"),
+        lit("1995-03-31").cast("date")))
+      .select(col("o_custkey").as("ck")).distinct()
+    val bits = members
+      .select(explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
+      .distinct()
+    val probeHits = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("ck"))
+      .select(col("ck"), explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy("ck").agg(count(lit(1)).as("nhit"))
+    val flagged = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("ck"))
+      .join(probeHits, Seq("ck"), "left")
+      .withColumn("bloom_pos",
+        coalesce(col("nhit"), lit(0L)) === BloomHashes)
+      .join(members.withColumn("is_member", lit(true)), Seq("ck"), "left")
+    flagged.agg(
+      count(lit(1)).as("n_probes"),
+      sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+      sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_positive"),
+      sum(when(col("bloom_pos") && col("is_member").isNull, 1L).otherwise(0L))
+        .as("n_false_positive"),
+      sum(when(!col("bloom_pos") && col("is_member"), 1L).otherwise(0L))
+        .as("n_false_negative"))
+      .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+  }
+
+  val bloomMembershipSql: String = {
+    val perms = (0 until BloomHashes).map { d =>
+      s"(${graft.functions.HashKernels.permA(d)}, ${graft.functions.HashKernels.permB(d)})"
+    }.mkString(", ")
+    s"""WITH perms(a, b) AS (VALUES $perms),
+       |members AS (SELECT DISTINCT o_custkey AS ck FROM orders
+       |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+       |bits AS (SELECT DISTINCT ((a*${Hashing.idHashSql("ck")} + b) % $P) % $BloomBits AS bit
+       |  FROM members, perms),
+       |ppos AS (SELECT c_custkey AS ck,
+       |    ((a*${Hashing.idHashSql("c_custkey")} + b) % $P) % $BloomBits AS bit
+       |  FROM customer, perms),
+       |flag AS (SELECT ppos.ck, COUNT(bits.bit) = $BloomHashes AS bloom_pos
+       |  FROM ppos LEFT JOIN bits ON ppos.bit = bits.bit GROUP BY ppos.ck),
+       |conf AS (SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |    CAST(SUM(CASE WHEN m.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       |    CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+       |    CAST(SUM(CASE WHEN bloom_pos AND m.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       |    CAST(SUM(CASE WHEN NOT bloom_pos AND m.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+       |  FROM flag LEFT JOIN members m ON flag.ck = m.ck)
+       |SELECT conf.*, (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+       |FROM conf""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinctWords _),
-    "sketch_cms_words" -> (cmsWordCounts _))
+    "sketch_cms_words" -> (cmsWordCounts _),
+    "sketch_bloom_filter" -> (bloomMembership _))
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctWordsSql,
-    "sketch_cms_words" -> cmsWordCountsSql)
+    "sketch_cms_words" -> cmsWordCountsSql,
+    "sketch_bloom_filter" -> bloomMembershipSql)
 }
