@@ -36,6 +36,7 @@ object SparkEntry {
         "events_windowed_agg" -> (ext.Events.windowedAgg _),
         "events_json_stats" -> (ext.Events.jsonStats _),
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
+        "events_click_attribution" -> (ext.Events.clickAttribution _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _))
 
@@ -60,6 +61,7 @@ object SparkEntry {
       "events_windowed_agg" -> ext.Events.windowedAggSql,
       "events_json_stats" -> ext.Events.jsonStatsSql,
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
+      "events_click_attribution" -> ext.Events.clickAttributionSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql)
 }

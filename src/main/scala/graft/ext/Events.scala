@@ -137,6 +137,34 @@ object Events {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Click→purchase attribution: every (purchase, click) pair for the
+    * same user with the click in the 2 h before the purchase — the
+    * batch twin of the stream-stream join gate
+    * (graft.streaming.Streaming.clickAttributionStream shares this
+    * oracle). Scale shape: an equi-join on user_id (ONE shuffle) with
+    * the time predicate evaluated inside the join — the per-user event
+    * list is small relative to the corpus, so the range condition never
+    * becomes an all-pairs blow-up. */
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+        col("ts").as("cts"))
+    p.join(c, col("user_id") === col("cuid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+        col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
+  val clickAttributionSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""".stripMargin
+
   val sessionizeSql: String =
     """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (

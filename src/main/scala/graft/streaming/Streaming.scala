@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.Tables
 import graft.kv.KvOp
@@ -290,6 +291,89 @@ object Streaming {
       }
   }
 
+  /** Stream-stream JOIN: click→purchase attribution — each purchase
+    * joined to the same user's clicks from the preceding 2 h, both
+    * sides live micro-batch streams. The time-interval condition plus
+    * the per-side watermarks bound the join STATE: a buffered click can
+    * be evicted once the watermark says no future purchase can reach
+    * back to it, so state is O(events in the watermark window), not
+    * O(stream). Inner joins emit pairs as soon as both sides arrive
+    * (append mode), so the drained stream equals the batch join —
+    * gated against the batch clickAttribution oracle. The 3 h delay
+    * covers the 2 h join reach-back plus reordering slack; the source
+    * files are event-time-ordered (§7.7.5). */
+  def clickAttributionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        // Stream-stream join event time must be TIMESTAMP (ltz); the
+        // session TZ is pinned UTC, so the cast from ntz is faithful
+        // and the joined output carries no timestamp column anyway.
+        col("ts").cast("timestamp").as("pts"))
+      .withWatermark("pts", "3 hours")
+    val c = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+        col("ts").cast("timestamp").as("cts"))
+      .withWatermark("cts", "3 hours")
+    val joined = p.join(c, col("user_id") === col("cuid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+        col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+    runToParquet(joined, OutputMode.Append(), "click-attrib")
+  }
+
+  /** Per-user session state for [[SessionizeProcessor]]. */
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** [[sessionizeUpdates]] re-expressed on the transformWithState API
+    * (Spark 4's arbitrary-state surface): explicit named ValueState,
+    * the state schema evolvable and inspectable by the state reader —
+    * the forward-looking twin of the mapGroupsWithState path. Same
+    * fold, same §7.7.5 in-order tripwire, same oracle. */
+  private class SessionizeProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(e => (e._2, e._3))
+      var SessState(lastTs, nSessions, nEvents) =
+        if (st.exists()) st.get() else SessState(Long.MinValue, 0L, 0L)
+      if (sorted.nonEmpty && sorted.head._2 < lastTs)
+        throw new IllegalStateException(
+          s"SessionizeProcessor: out-of-order event for user $uid: " +
+            s"incoming ts ${sorted.head._2} < last applied $lastTs")
+      sorted.foreach { case (_, tsu, _) =>
+        if (lastTs == Long.MinValue || tsu - lastTs > 1800000000L)
+          nSessions += 1
+        lastTs = tsu
+        nEvents += 1
+      }
+      st.update(SessState(lastTs, nSessions, nEvents))
+      Iterator((uid, nSessions, nEvents))
+    }
+  }
+
+  /** Driver-gated entry; oracle = the batch sessionize oracle. */
+  def sessionizeTwsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val typed = eventStream(spark, sfDir).select(
+      col("user_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("tsu"),
+      col("event_id").cast("long")).as[(Long, Long, Long)]
+    val updates = typed.groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_sessions", "n_events")
+    runToParquet(updates, OutputMode.Update(), "sessionize-tws")
+      .groupBy("user_id")
+      .agg(max_by(col("n_sessions"), col("n_events")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
+
   /** Streaming exact dedup — first-seen-wins per content hash with
     * keyed state, the shape of a streaming ingestion dedup stage. State
     * per hash is (keeper = min doc_id, cnt); each update is stamped with
@@ -325,11 +409,15 @@ object Streaming {
     "dedup_exact_stream" -> (dedupExactStream _),
     "events_stream_windowed_agg" -> (windowedAgg _),
     "kv_replay_stream" -> (kvReplayStream _),
-    "events_stream_sessionize" -> (sessionizeStream _))
+    "events_stream_sessionize" -> (sessionizeStream _),
+    "events_stream_sessionize_tws" -> (sessionizeTwsStream _),
+    "events_stream_click_attrib" -> (clickAttributionStream _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
     "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,
     "kv_replay_stream" -> graft.kv.KvReplay.oracleSql,
-    "events_stream_sessionize" -> graft.ext.Events.sessionizeSql)
+    "events_stream_sessionize" -> graft.ext.Events.sessionizeSql,
+    "events_stream_sessionize_tws" -> graft.ext.Events.sessionizeSql,
+    "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql)
 }

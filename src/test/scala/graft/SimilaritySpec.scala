@@ -88,6 +88,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf >= 0.2, s"IVF recall collapsed: $ivf")
   }
 
+  test("gated recall audit reports consistent integer recall") {
+    val rows = Similarity.knnRecallAudit(spark, sf)
+      .select($"method", $"n_queries", $"n_exact", $"n_hits", $"recall_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("lsh", "ivf"), "one row per method")
+    rows.foreach { case (m, nq, ne, nh, bp) =>
+      assert(nq > 0 && nq <= 32 && ne <= 3 * nq, s"$m: bad totals ($nq, $ne)")
+      assert(nh >= 0 && nh <= ne, s"$m: hits out of range")
+      assert(bp == (if (ne == 0) 0L else nh * 10000 / ne),
+        s"$m: recall_bp must be exactly hits*10000 div exact")
+    }
+  }
+
   test("knn LSH returns a subset of each bucket, ranked like brute force") {
     val lsh = Similarity.knnLsh(spark, sf)
       .select($"vec_a", $"vec_b", $"cos", $"rank")

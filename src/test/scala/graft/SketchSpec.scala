@@ -34,6 +34,17 @@ class SketchSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0))
   }
 
+  test("bloom filter: no false negatives, bounded bits, honest positives") {
+    val row = Sketches.bloomMembership(spark, sf).collect().head
+    val Seq(nProbes, nMembers, nPos, nFp, nFn, bitsSet) =
+      (0 until 6).map(row.getLong)
+    assert(nFn == 0, "a bloom filter can NEVER false-negative")
+    assert(nPos == nMembers + nFp, "positives = members + false positives")
+    assert(bitsSet <= 8192 && bitsSet <= 3 * nMembers,
+      "≤ m bits, ≤ k per member")
+    assert(nProbes > 0 && nMembers > 0)
+  }
+
   test("gapfill emits every (hour, type) cell and preserves totals") {
     val filled = ext.Events.gapfillHourly(spark, sf)
     val hours = filled.select("hour").distinct().count()

@@ -265,4 +265,21 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(streamKv == batchKv)
   }
+
+  test("stream-stream click attribution equals the batch join") {
+    val streamed = Streaming.clickAttributionStream(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = ext.Events.clickAttribution(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, "drained inner stream-stream join must equal batch")
+  }
+
+  test("transformWithState sessionize equals the mapGroupsWithState path") {
+    val tws = Streaming.sessionizeTwsStream(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val mgws = Streaming.sessionizeStream(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tws == mgws, "the two arbitrary-state APIs must fold identically")
+    assert(tws.nonEmpty)
+  }
 }
