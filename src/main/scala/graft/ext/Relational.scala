@@ -719,6 +719,49 @@ object Relational {
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'""".stripMargin
 
+  /** Navigation + distribution window functions over each customer's
+    * order history: lag (days since previous order), lead (days to
+    * next), first_value (first order date), ntile (per-customer spend
+    * quartile). One year of orders, ONE shuffle on o_custkey shared by
+    * all four functions (two window specs over the same partitioning —
+    * Spark plans one Exchange and two in-partition Sort+Window passes).
+    * Gaps are -1 at history edges (COALESCE, not NULL, keeps the
+    * column integer-typed for the hash gate on both engines). */
+  def ordersOrderIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bySpend = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        quant(col("o_totalprice"), 100).as("price_c"))
+      .withColumn("gap_days",
+        coalesce(datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(byDate)), lit(-1)).cast("long"))
+      .withColumn("days_to_next",
+        coalesce(datediff(lead(col("o_orderdate"), 1).over(byDate),
+          col("o_orderdate")), lit(-1)).cast("long"))
+      .withColumn("first_order_date", first(col("o_orderdate")).over(byDate))
+      .withColumn("spend_quartile", ntile(4).over(bySpend).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("gap_days"), col("days_to_next"), col("first_order_date"),
+        col("spend_quartile"))
+  }
+
+  val ordersOrderIntervalsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(COALESCE(datediff('day', lag(o_orderdate) OVER byDate, o_orderdate), -1) AS BIGINT) AS gap_days,
+      |  CAST(COALESCE(datediff('day', o_orderdate, lead(o_orderdate) OVER byDate), -1) AS BIGINT) AS days_to_next,
+      |  first_value(o_orderdate) OVER byDate AS first_order_date,
+      |  CAST(ntile(4) OVER bySpend AS BIGINT) AS spend_quartile
+      |FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+      |WINDOW byDate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  bySpend AS (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey)""".stripMargin
+
   /** TPC-H Q21-shaped: suppliers who kept waiting multi-supplier
     * orders — the fact SELF semi+anti join shape. A line is "blamed"
     * when some OTHER supplier participated in the order (left-semi)
@@ -811,6 +854,7 @@ object Relational {
     "q21_late_suppliers" -> (q21LateSuppliers _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "orders_running_total" -> (ordersRunningTotal _),
+    "orders_order_intervals" -> (ordersOrderIntervals _),
     "orders_cube" -> (ordersCube _),
     "orders_grouping_sets" -> (ordersGroupingSets _),
     "set_ops_customers" -> (setOpsCustomers _),
@@ -834,6 +878,7 @@ object Relational {
     "q21_late_suppliers" -> q21Sql,
     "q22_idle_customers" -> q22Sql,
     "orders_running_total" -> ordersRunningTotalSql,
+    "orders_order_intervals" -> ordersOrderIntervalsSql,
     "orders_cube" -> ordersCubeSql,
     "orders_grouping_sets" -> ordersGroupingSetsSql,
     "set_ops_customers" -> setOpsCustomersSql,
