@@ -138,6 +138,27 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("click attribution: equi-join on user, range as residual, no cartesian") {
+    val p = plan(ext.Events.clickAttribution(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "time-range condition must ride the user_id equi-join, not a cross product")
+    assert(p.contains("EqualTo(event_type,purchase)") ||
+      p.contains("Filter"), "type filters should reach the scans")
+  }
+
+  test("bloom filter: the bit-set side is broadcast, never shuffled large") {
+    val p = plan(ext.Sketches.bloomMembership(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "probe⋈bits must broadcast the bits")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("order intervals: both window specs share one custkey exchange") {
+    val p = plan(ext.Relational.ordersOrderIntervals(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected ONE custkey exchange reused by both windows, got $exchanges\n$p")
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))
