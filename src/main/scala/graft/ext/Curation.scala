@@ -97,13 +97,60 @@ object Curation {
       |    AS char_share
       |FROM per_source""".stripMargin
 
+  /** Columns the profiler audits (text is deliberately excluded:
+    * COUNT(DISTINCT text) over a 100 TB corpus is the job the dedup
+    * layer's fingerprint/minhash sketches exist to avoid). */
+  private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  /** Data-profiling audit: one row per column with null count, exact
+    * distinct count, and min/max (canonical strings) — the schema
+    * sanity report every ingestion batch gets before entering the mix.
+    *
+    * Scale shape: ONE scan; the multi-column COUNT(DISTINCT) plans as
+    * Spark's Expand (×4 rows map-side, one shuffle). That is the right
+    * trade at audit cardinalities (ids, langs, sources, lengths); a
+    * 100 TB profile of a high-cardinality free-text column would swap
+    * the exact distinct for the KMV sketch (Sketches.kmvDistinctWords)
+    * — the rest of the report is plain map-side aggregation. */
+  def corpusProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val aggExprs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val agged = d.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', nu_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ")
+    agged.select(col("n_rows"), expr(
+      s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  val corpusProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
-    "source_mixture" -> (sourceMixture _))
+    "source_mixture" -> (sourceMixture _),
+    "corpus_profile" -> (corpusProfile _))
 
   val oracles: Map[String, String] = Map(
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "source_mixture" -> sourceMixtureSql)
+    "source_mixture" -> sourceMixtureSql,
+    "corpus_profile" -> corpusProfileSql)
 }
