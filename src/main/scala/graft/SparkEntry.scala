@@ -37,6 +37,7 @@ object SparkEntry {
         "events_json_stats" -> (ext.Events.jsonStats _),
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
+        "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _))
 
@@ -62,6 +63,7 @@ object SparkEntry {
       "events_json_stats" -> ext.Events.jsonStatsSql,
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,
+      "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql)
 }

@@ -137,6 +137,36 @@ object Events {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Per-minute click vs purchase counts, FULL OUTER joined — the one
+    * join type the surface didn't yet exercise: minutes where only one
+    * side has traffic keep the other side's count at 0 instead of
+    * dropping the row. Scale shape: two partial-agg branches over one
+    * scan family, then a full-outer equi-join on the minute key — both
+    * sides already reduced to per-minute cardinality before the join,
+    * so the outer join never carries raw events. */
+  def minuteFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    def perMinute(kind: String, out: String): DataFrame =
+      ev.filter(col("event_type") === kind)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as(out))
+    perMinute("click", "n_clicks")
+      .join(perMinute("purchase", "n_purchases"), Seq("minute"), "full_outer")
+      .select(col("minute"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+  }
+
+  val minuteFullOuterSql: String =
+    """WITH c AS (SELECT date_trunc('minute', ts) AS m, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |p AS (SELECT date_trunc('minute', ts) AS m, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT COALESCE(c.m, p.m) AS minute,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+      |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases
+      |FROM c FULL OUTER JOIN p ON c.m = p.m""".stripMargin
+
   /** Click→purchase attribution: every (purchase, click) pair for the
     * same user with the click in the 2 h before the purchase — the
     * batch twin of the stream-stream join gate

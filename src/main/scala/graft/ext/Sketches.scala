@@ -73,6 +73,53 @@ object Sketches {
        |FROM mink""".stripMargin
   }
 
+  /** KMV as a GROUPED aggregate — the production usage: one k-row
+    * sketch PER GROUP (here: distinct 3-word shingles per document
+    * source), estimated and compared against the exact per-group
+    * distinct. Scale shape: distinct (group, h) reduces map-side, the
+    * per-group k-smallest ranking rides the SAME group-keyed exchange
+    * (row_number window), and per-group state is ≤ k rows regardless
+    * of group size — the sketch family's mergeability point, proven
+    * per-key instead of globally. Exact counts are test-scale
+    * audit columns, as in [[kmvDistinctWords]]. */
+  def kmvGroupedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(GraftFunctions.shingleHashes(
+        GraftFunctions.wordHashes(col("text")), 3)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val mink = sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+    val scale = (K - 1).toLong * P
+    val est = mink.groupBy(col("source")).agg(
+      count(col("h")).as("n_hashes"),
+      max(col("h")).as("kth_hash"),
+      expr(s"CASE WHEN count(h) < $K OR max(h) <= 0 THEN count(h) " +
+        s"ELSE ${scale}L div max(h) END").as("est_distinct"))
+    val exact = sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq("source"))
+  }
+
+  val kmvGroupedShinglesSql: String = {
+    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql}
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, unnest(sh) AS h FROM (
+       |    SELECT source, ${shingleHashesSql("whs", 3)} AS sh FROM (
+       |      SELECT source, ${wordHashesSql("text")} AS whs FROM documents))),
+       |mink AS (SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM sh) WHERE rn <= $K),
+       |est AS (SELECT source, COUNT(h) AS n_hashes, MAX(h) AS kth_hash,
+       |    CASE WHEN COUNT(h) < $K OR MAX(h) <= 0 THEN COUNT(h)
+       |         ELSE ${(K - 1).toLong * P} // MAX(h) END AS est_distinct
+       |  FROM mink GROUP BY source),
+       |exact AS (SELECT source, COUNT(*) AS exact_distinct FROM sh GROUP BY source)
+       |SELECT est.source, n_hashes, kth_hash, est_distinct, exact_distinct
+       |FROM est JOIN exact ON est.source = exact.source""".stripMargin
+  }
+
   // ------------------------------------------------- count-min sketch
 
   private val CmsDepth = 4
@@ -258,10 +305,12 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinctWords _),
     "sketch_cms_words" -> (cmsWordCounts _),
-    "sketch_bloom_filter" -> (bloomMembership _))
+    "sketch_bloom_filter" -> (bloomMembership _),
+    "sketch_kmv_grouped" -> (kmvGroupedShingles _))
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctWordsSql,
     "sketch_cms_words" -> cmsWordCountsSql,
-    "sketch_bloom_filter" -> bloomMembershipSql)
+    "sketch_bloom_filter" -> bloomMembershipSql,
+    "sketch_kmv_grouped" -> kmvGroupedShinglesSql)
 }

@@ -323,6 +323,30 @@ object Streaming {
     runToParquet(joined, OutputMode.Append(), "click-attrib")
   }
 
+  /** Streaming ID-dedup on the BUILT-IN operator: the event stream is
+    * unioned with itself (the at-least-once-delivery shape an ingest
+    * edge actually produces) and collapsed by
+    * `dropDuplicatesWithinWatermark` on event_id — the complement of
+    * [[dedupExactStream]]'s custom keyed-state dedup. State per id is
+    * evicted once the watermark passes its event time plus the delay,
+    * so dedup state is O(rate × window), not O(stream); duplicates
+    * here arrive within a micro-batch or two, far inside the 1 h
+    * delay. Rows carried through are identical per id, so the drained
+    * append output equals the batch DISTINCT oracle. */
+  def dedupIdsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    def side() = eventStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val deduped = side().unionAll(side())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    runToParquet(deduped, OutputMode.Append(), "dedup-ids")
+  }
+
+  val dedupIdsSql: String =
+    "SELECT DISTINCT event_id, user_id, event_type FROM events"
+
   /** Per-user session state for [[SessionizeProcessor]]. */
   case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
@@ -411,7 +435,8 @@ object Streaming {
     "kv_replay_stream" -> (kvReplayStream _),
     "events_stream_sessionize" -> (sessionizeStream _),
     "events_stream_sessionize_tws" -> (sessionizeTwsStream _),
-    "events_stream_click_attrib" -> (clickAttributionStream _))
+    "events_stream_click_attrib" -> (clickAttributionStream _),
+    "events_stream_dedup_ids" -> (dedupIdsStream _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
@@ -419,5 +444,6 @@ object Streaming {
     "kv_replay_stream" -> graft.kv.KvReplay.oracleSql,
     "events_stream_sessionize" -> graft.ext.Events.sessionizeSql,
     "events_stream_sessionize_tws" -> graft.ext.Events.sessionizeSql,
-    "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql)
+    "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql,
+    "events_stream_dedup_ids" -> dedupIdsSql)
 }

@@ -72,6 +72,9 @@ class StreamingSpec extends SparkSpec {
       .limit(0).coalesce(1).write.parquet(s"$dir/events.parquet")
     assert(Streaming.dedupExactStream(spark, dir).count() == 0)
     assert(Streaming.windowedAgg(spark, dir).count() == 0)
+    assert(Streaming.clickAttributionStream(spark, dir).count() == 0)
+    assert(Streaming.dedupIdsStream(spark, dir).count() == 0)
+    assert(Streaming.sessionizeTwsStream(spark, dir).count() == 0)
   }
 
   test("in-order contract violation raises instead of folding wrong") {
@@ -264,6 +267,16 @@ class StreamingSpec extends SparkSpec {
     val batchKv = KvReplay.fromEvents(spark, sf)
       .as[(String, String)].collect().toMap
     assert(streamKv == batchKv)
+  }
+
+  test("built-in watermark dedup collapses a self-unioned stream exactly") {
+    val deduped = Streaming.dedupIdsStream(spark, sf)
+      .as[(Long, Long, String)].collect()
+    val batch = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type")
+      .distinct().as[(Long, Long, String)].collect()
+    assert(deduped.length == batch.length, "each id must survive exactly once")
+    assert(deduped.toSet == batch.toSet)
   }
 
   test("stream-stream click attribution equals the batch join") {
