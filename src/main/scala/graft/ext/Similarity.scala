@@ -276,9 +276,12 @@ object Similarity {
     def forSample(df: DataFrame): DataFrame =
       df.join(broadcast(qs), col("vec_id") === col("qid"), "left_semi")
     import spark.implicits._
-    // 96 rows — persisted so the ground truth is computed once and
-    // reused by the per-method hit joins and the totals row.
-    val exact = knnBruteForce(spark, sfDir).select("vec_a", "vec_b").persist()
+    // 96 rows — localCheckpoint (not persist) so the ground truth is
+    // computed once for the hit joins and the totals row, and the
+    // materialized copy is context-cleaned when unreferenced instead
+    // of pinning a cache entry for the session's lifetime.
+    val exact = knnBruteForce(spark, sfDir).select("vec_a", "vec_b")
+      .localCheckpoint()
     val ann = lshTop3(spark, sfDir, LshTables, LshBits, forSample)
       .select(col("vec_a"), col("vec_b"), lit("lsh").as("method"))
       .unionAll(ivfTop3(spark, sfDir, forSample)

@@ -255,16 +255,16 @@ object Sketches {
     val bits = members
       .select(explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
       .distinct()
-    val probeHits = Tables.customer(spark, sfDir)
-      .select(col("c_custkey").as("ck"))
-      .select(col("ck"), explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
-      .join(broadcast(bits), Seq("bit"), "left_semi")
-      .groupBy("ck").agg(count(lit(1)).as("nhit"))
+    // ONE probe-side scan: left-join the exploded (ck, bit) rows
+    // against the broadcast bit set with a hit flag — every customer
+    // keeps its k rows, so no second scan is needed to recover
+    // zero-hit customers (mirrors the oracle's ppos LEFT JOIN bits).
     val flagged = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("ck"))
-      .join(probeHits, Seq("ck"), "left")
-      .withColumn("bloom_pos",
-        coalesce(col("nhit"), lit(0L)) === BloomHashes)
+      .select(col("ck"), explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy("ck").agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+      .withColumn("bloom_pos", col("nhit") === BloomHashes)
       .join(members.withColumn("is_member", lit(true)), Seq("ck"), "left")
     flagged.agg(
       count(lit(1)).as("n_probes"),

@@ -142,8 +142,9 @@ class PlanSpec extends SparkSpec {
     val p = plan(ext.Events.clickAttribution(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "time-range condition must ride the user_id equi-join, not a cross product")
-    assert(p.contains("EqualTo(event_type,purchase)") ||
-      p.contains("Filter"), "type filters should reach the scans")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"),
+      "both event_type filters must be pushed to their scans")
   }
 
   test("bloom filter: the bit-set side is broadcast, never shuffled large") {
