@@ -34,6 +34,7 @@ object SparkEntry {
         "customers_without_orders" -> (ext.Relational.customersWithoutOrders _),
         "nations_with_customers" -> (ext.Relational.nationsWithCustomers _),
         "events_windowed_agg" -> (ext.Events.windowedAgg _),
+        "events_sliding_agg" -> (ext.Events.slidingAgg _),
         "events_json_stats" -> (ext.Events.jsonStats _),
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
@@ -60,6 +61,7 @@ object SparkEntry {
       "customers_without_orders" -> ext.Relational.customersWithoutOrdersSql,
       "nations_with_customers" -> ext.Relational.nationsWithCustomersSql,
       "events_windowed_agg" -> ext.Events.windowedAggSql,
+      "events_sliding_agg" -> ext.Events.slidingAggSql,
       "events_json_stats" -> ext.Events.jsonStatsSql,
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,

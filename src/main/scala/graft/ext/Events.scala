@@ -26,6 +26,31 @@ object Events {
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** SLIDING windows (2 h span, 1 h slide) — each event lands in two
+    * overlapping windows, the overlap-aware complement of the tumbling
+    * [[windowedAgg]]. Spark's `window()` expands the per-event window
+    * list map-side (span/slide = 2 rows per event), then it is one
+    * ordinary grouped agg — the same single exchange as tumbling, just
+    * with the fan-out factor in the map stage. The oracle unnests the
+    * two hour-aligned starts explicitly. */
+  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  val slidingAggSql: String =
+    """SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM (SELECT event_type, value,
+      |        unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Sessionization: per user, a new session starts after a >30 min gap.
     * One shuffle on user_id serves both window functions and the final
     * per-user rollup (Catalyst reuses the partitioning). */

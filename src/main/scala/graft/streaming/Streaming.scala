@@ -323,6 +323,36 @@ object Streaming {
     runToParquet(joined, OutputMode.Append(), "click-attrib")
   }
 
+  /** Stream-STATIC join: the live event stream enriched against a
+    * batch-computed dimension (per-user first-seen timestamp) — the
+    * third streaming join mode next to stream-stream
+    * ([[clickAttributionStream]]) and the stateful folds. The static
+    * side is planned per micro-batch like any batch join (broadcast
+    * while small, shuffled when not); no watermark is needed for a
+    * stream-static inner join because no cross-stream state buffers.
+    * Minutes are exact integer micros division on both engines — no
+    * calendar datediff('minute'), whose boundary-crossing semantics
+    * differ from floor division. */
+  def enrichStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    val enriched = eventStream(spark, sfDir)
+      .join(firstSeen, Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) - " +
+          "unix_micros(cast(first_ts as timestamp))) div 60000000")
+          .as("mins_since_first"))
+    runToParquet(enriched, OutputMode.Append(), "enrich")
+  }
+
+  val enrichSql: String =
+    """WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id,
+      |  CAST((epoch_us(e.ts) - epoch_us(f.first_ts)) // 60000000 AS BIGINT)
+      |    AS mins_since_first
+      |FROM events e JOIN f ON e.user_id = f.user_id""".stripMargin
+
   /** Streaming ID-dedup on the BUILT-IN operator: the event stream is
     * unioned with itself (the at-least-once-delivery shape an ingest
     * edge actually produces) and collapsed by
@@ -436,7 +466,8 @@ object Streaming {
     "events_stream_sessionize" -> (sessionizeStream _),
     "events_stream_sessionize_tws" -> (sessionizeTwsStream _),
     "events_stream_click_attrib" -> (clickAttributionStream _),
-    "events_stream_dedup_ids" -> (dedupIdsStream _))
+    "events_stream_dedup_ids" -> (dedupIdsStream _),
+    "events_stream_enrich" -> (enrichStream _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
@@ -445,5 +476,6 @@ object Streaming {
     "events_stream_sessionize" -> graft.ext.Events.sessionizeSql,
     "events_stream_sessionize_tws" -> graft.ext.Events.sessionizeSql,
     "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql,
-    "events_stream_dedup_ids" -> dedupIdsSql)
+    "events_stream_dedup_ids" -> dedupIdsSql,
+    "events_stream_enrich" -> enrichSql)
 }

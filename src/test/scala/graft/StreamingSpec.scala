@@ -75,6 +75,7 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.clickAttributionStream(spark, dir).count() == 0)
     assert(Streaming.dedupIdsStream(spark, dir).count() == 0)
     assert(Streaming.sessionizeTwsStream(spark, dir).count() == 0)
+    assert(Streaming.enrichStream(spark, dir).count() == 0)
   }
 
   test("in-order contract violation raises instead of folding wrong") {
