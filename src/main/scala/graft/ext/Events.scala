@@ -13,18 +13,27 @@ object Events {
   /** Tumbling-hour aggregation per event type. `value` has 2 decimals in
     * the data; summed exactly in integer cents (see Relational's note on
     * cross-engine double determinism). */
+  /** The cross-engine money rule in ONE place: sum exact integer cents,
+    * divide once at the end. Three queries (tumbling, sliding, and the
+    * streaming twin) share this — a precision change must not be able
+    * to drift between engines or copies. */
+  def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
+
+  def centsSumSql(e: String): String =
+    s"CAST(SUM(CAST(round($e*100) AS BIGINT)) AS DOUBLE)/100.0"
+
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("sum_value"))
+        centsSum(col("value")).as("sum_value"))
 
   val windowedAggSql: String =
-    """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+       |  ${centsSumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** SLIDING windows (2 h span, 1 h slide) — each event lands in two
     * overlapping windows, the overlap-aware complement of the tumbling
@@ -35,21 +44,25 @@ object Events {
     * two hour-aligned starts explicitly. */
   def slidingAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
+      // Spark's window() silently drops NULL-timestamp rows; filter
+      // explicitly and mirror it in the oracle so both engines share
+      // the stated contract (windows are over valid-time events) even
+      // on data with NULL ts.
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("sum_value"))
+        centsSum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
   val slidingAggSql: String =
-    """SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
-      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
-      |FROM (SELECT event_type, value,
-      |        unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
-      |      FROM events)
-      |GROUP BY 1, 2""".stripMargin
+    s"""SELECT ws AS window_start, event_type, COUNT(*) AS cnt,
+       |  ${centsSumSql("value")} AS sum_value
+       |FROM (SELECT event_type, value,
+       |        unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+       |      FROM events WHERE ts IS NOT NULL)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Sessionization: per user, a new session starts after a >30 min gap.
     * One shuffle on user_id serves both window functions and the final

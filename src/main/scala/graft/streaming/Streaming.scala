@@ -143,8 +143,7 @@ object Streaming {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
-          .as("sum_value"))
+        graft.ext.Events.centsSum(col("value")).as("sum_value"))
     runToParquet(agg, OutputMode.Complete(), "windowed-agg")
   }
 

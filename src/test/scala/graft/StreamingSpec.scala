@@ -270,6 +270,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamKv == batchKv)
   }
 
+  test("stream-static enrichment equals the batch join, across micro-batches") {
+    // Gate-path parity first (single staged micro-batch).
+    val streamed = Streaming.enrichStream(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val firstSeen = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val batch = Tables.events(spark, sf)
+      .join(firstSeen, Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) - " +
+          "unix_micros(cast(first_ts as timestamp))) div 60000000"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+
+    // Multi-batch: two part files, one per trigger — the static side
+    // is re-planned per micro-batch and the appended union must still
+    // equal the batch join.
+    val src = Files.createTempDirectory("graft-enrich-mb-").toString
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$src/f=0")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$src/f=1")
+    val schema = spark.read.parquet(s"$src/f=*").schema
+    val out = Files.createTempDirectory("graft-enrich-out-").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*")
+      .join(firstSeen, Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("(unix_micros(cast(ts as timestamp)) - " +
+          "unix_micros(cast(first_ts as timestamp))) div 60000000")
+          .as("mins_since_first"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.Sinks.idempotentParquet(out)(df, id)
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val multi = spark.read.parquet(out).drop("batch")
+      .as[(Long, Long, Long)].collect()
+    assert(multi.length == batch.size, "no row lost or duplicated across batches")
+    assert(multi.toSet == batch)
+  }
+
   test("built-in watermark dedup collapses a self-unioned stream exactly") {
     val deduped = Streaming.dedupIdsStream(spark, sf)
       .as[(Long, Long, String)].collect()
