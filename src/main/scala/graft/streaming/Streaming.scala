@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.Tables
 import graft.kv.KvOp
@@ -288,6 +288,78 @@ object Streaming {
           if (ready.nonEmpty) Iterator((key, value, st.applied + ready.size))
           else Iterator.empty
       }
+  }
+
+  /** One buffered out-of-order op in [[KvEventTimeProcessor]] state. */
+  case class PendingOp(tsMs: Long, seq: Long, op: String, value: String)
+
+  /** [[kvReplayEventTimeUpdates]] re-expressed on transformWithState
+    * with EVENT-TIME TIMERS — the modern form of the same pattern:
+    * ops buffer in explicit ListState until the watermark passes them;
+    * a registered event-time timer fires [[handleExpiredTimer]] when
+    * the watermark advances past the earliest buffered op even if the
+    * key receives no further input, so the buffer drains without new
+    * per-key data (the TWS twin of EventTimeTimeout). Spec-pinned
+    * equal to the flatMapGroupsWithState path on an out-of-order
+    * source. */
+  private class KvEventTimeProcessor
+      extends StatefulProcessor[String, TimedOp, (String, String, Long)] {
+    @transient private var applied: ValueState[(String, Long)] = _
+    @transient private var pending: ListState[PendingOp] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      applied = getHandle.getValueState[(String, Long)]("applied",
+        Encoders.product[(String, Long)], TTLConfig.NONE)
+      pending = getHandle.getListState[PendingOp]("pending",
+        Encoders.product[PendingOp], TTLConfig.NONE)
+    }
+
+    /** Apply every op at-or-before the watermark in (ts, seq) order,
+      * re-buffer the rest, re-arm a timer at the earliest remaining
+      * ts. A stale timer (already-drained buffer) emits nothing —
+      * timers are re-armed, never deleted, which is harmless. */
+    private def drain(key: String, incoming: List[PendingOp],
+        wm: Long): Iterator[(String, String, Long)] = {
+      val (ready, rest) =
+        (pending.get().toList ++ incoming).partition(_.tsMs <= wm)
+      pending.clear()
+      if (rest.nonEmpty) {
+        pending.put(rest.toArray)
+        getHandle.registerTimer(rest.map(_.tsMs).min)
+      }
+      if (ready.isEmpty) Iterator.empty
+      else {
+        var (value, n) = if (applied.exists()) applied.get() else ("", 0L)
+        ready.sortBy(p => (p.tsMs, p.seq)).foreach { p =>
+          if (p.op == "put") value = p.value
+          else if (p.op == "append") value += p.value
+        }
+        n += ready.size
+        applied.update((value, n))
+        Iterator((key, value, n))
+      }
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TimedOp],
+        timerValues: TimerValues): Iterator[(String, String, Long)] =
+      drain(key,
+        rows.map(o => PendingOp(o.ts.getTime, o.seq, o.op, o.value)).toList,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(String, String, Long)] =
+      drain(key, Nil, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** Entry point for the TWS event-time replay (see
+    * [[KvEventTimeProcessor]]); emits (key, value, applied-count)
+    * updates, applied strictly increasing per key. */
+  def kvReplayEventTimeTws(ops: Dataset[TimedOp],
+      delay: String): Dataset[(String, String, Long)] = {
+    import ops.sparkSession.implicits._
+    ops.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .transformWithState(new KvEventTimeProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Stream-stream JOIN: click→purchase attribution — each purchase

@@ -171,6 +171,53 @@ class StreamingSpec extends SparkSpec {
       s"got ${finalK.toSeq}")
   }
 
+  test("transformWithState timers replay late ops like the timeout path") {
+    import Streaming.TimedOp
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    val src = Files.createTempDirectory("graft-kv-et-tws-").toString
+    // Same fixture as the flatMapGroupsWithState test: a late op (L at
+    // 10:05) must fold between 10:00 and 10:10 → "aLbc"; the sentinel
+    // advances the watermark so the registered TIMER (not new input for
+    // key k) flushes the final buffered op.
+    Seq(TimedOp(ts("10:00"), 1, "k", "put", "a"),
+        TimedOp(ts("10:10"), 3, "k", "append", "b"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=0")
+    Seq(TimedOp(ts("10:05"), 2, "k", "append", "L"),
+        TimedOp(ts("11:00"), 4, "k", "append", "c"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=1")
+    Seq(TimedOp(ts("23:00"), 9, "flush", "put", "x"))
+      .toDS().coalesce(1).write.parquet(s"$src/f=2")
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$src/f=*").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*").as[TimedOp]
+      val q = Streaming.kvReplayEventTimeTws(stream, "30 minutes")
+        .toDF("key", "value", "applied")
+        .writeStream.format("memory").queryName("kv_et_tws_updates")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val finalK = spark.table("kv_et_tws_updates")
+        .filter(col("key") === "k")
+        .orderBy(col("applied").desc)
+        .select("value").as[String].collect()
+      assert(finalK.nonEmpty && finalK.head == "aLbc", s"got ${finalK.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("checkpoint recovery: keyed state survives a restart, on RocksDB") {
     // The scale-path state backend: RocksDB provider + a restart from the
     // same checkpoint. Run 1 processes f=0 and stops; run 2 sees only the
