@@ -160,6 +160,13 @@ class PlanSpec extends SparkSpec {
       s"expected ONE custkey exchange reused by both windows, got $exchanges\n$p")
   }
 
+  test("grouped KMV: per-source k-smallest runs on the bounded-heap operator") {
+    val p = plan(ext.Sketches.kmvGroupedShingles(spark, sf))
+    assert(p.contains("TopKPerKey"),
+      s"rn<=k over window must rewrite to TopKPerKeyExec (O(k) per key, " +
+        s"no full per-group sort)\n$p")
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))

@@ -373,6 +373,54 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.toSet == batch.toSet)
   }
 
+  test("stream-stream join buffers state ACROSS micro-batches") {
+    // The click arrives in batch 1, its purchase only in batch 2: the
+    // pair can only be produced if the click was held in join state
+    // across the batch boundary — the property the gate's single-batch
+    // run never exercises.
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    val src = Files.createTempDirectory("graft-ssj-mb-").toString
+    Seq((1L, ts("10:00"), 7L, "click", 0.0, "{}"),
+        (2L, ts("10:05"), 8L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$src/f=0")
+    Seq((3L, ts("10:30"), 7L, "purchase", 1.0, "{}"),
+        (4L, ts("13:30"), 8L, "purchase", 1.0, "{}")) // outside 2 h reach-back
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$src/f=1")
+
+    val schema = spark.read.parquet(s"$src/f=*").schema
+    def side() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*")
+    val p = side().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp").as("pts"))
+      .withWatermark("pts", "3 hours")
+    val c = side().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
+        col("ts").cast("timestamp").as("cts"))
+      .withWatermark("cts", "3 hours")
+    val out = Files.createTempDirectory("graft-ssj-out-").toString
+    val q = p.join(c, col("user_id") === col("cuid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+        col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.Sinks.idempotentParquet(out)(df, id)
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(out).drop("batch")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 1L, 7L)),
+      s"only user 7's in-window pair, matched across batches; got $pairs")
+  }
+
   test("stream-stream click attribution equals the batch join") {
     val streamed = Streaming.clickAttributionStream(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
