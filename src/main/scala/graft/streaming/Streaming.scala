@@ -315,19 +315,26 @@ object Streaming {
 
     /** Apply every op at-or-before the watermark in (ts, seq) order,
       * re-buffer the rest, re-arm a timer at the earliest remaining
-      * ts. A stale timer (already-drained buffer) emits nothing —
-      * timers are re-armed, never deleted, which is harmless. */
+      * ts. While the watermark lags, the buffer only APPENDS (no
+      * full-list rewrite per batch — ListState.put is O(buffer) state
+      * writes); a stale timer with nothing ready touches no state and
+      * registers nothing. */
     private def drain(key: String, incoming: List[PendingOp],
         wm: Long): Iterator[(String, String, Long)] = {
       val (ready, rest) =
         (pending.get().toList ++ incoming).partition(_.tsMs <= wm)
-      pending.clear()
-      if (rest.nonEmpty) {
-        pending.put(rest.toArray)
-        getHandle.registerTimer(rest.map(_.tsMs).min)
-      }
-      if (ready.isEmpty) Iterator.empty
-      else {
+      if (ready.isEmpty) {
+        if (incoming.nonEmpty) {
+          pending.appendList(incoming.toArray)
+          getHandle.registerTimer(rest.map(_.tsMs).min)
+        }
+        Iterator.empty
+      } else {
+        pending.clear()
+        if (rest.nonEmpty) {
+          pending.put(rest.toArray)
+          getHandle.registerTimer(rest.map(_.tsMs).min)
+        }
         var (value, n) = if (applied.exists()) applied.get() else ("", 0L)
         ready.sortBy(p => (p.tsMs, p.seq)).foreach { p =>
           if (p.op == "put") value = p.value
@@ -373,8 +380,13 @@ object Streaming {
     * gated against the batch clickAttribution oracle. The 3 h delay
     * covers the 2 h join reach-back plus reordering slack; the source
     * files are event-time-ordered (§7.7.5). */
-  def clickAttributionStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = eventStream(spark, sfDir)
+  /** The attribution join itself, over two event-shaped streaming
+    * frames — separated from the gated entry so specs can drive the
+    * PRODUCTION join (watermarks, interval, condition) over their own
+    * multi-batch sources instead of a hand-copied replica. */
+  def clickAttributionJoin(purchaseEvents: DataFrame,
+      clickEvents: DataFrame): DataFrame = {
+    val p = purchaseEvents
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         // Stream-stream join event time must be TIMESTAMP (ltz); the
@@ -382,17 +394,21 @@ object Streaming {
         // and the joined output carries no timestamp column anyway.
         col("ts").cast("timestamp").as("pts"))
       .withWatermark("pts", "3 hours")
-    val c = eventStream(spark, sfDir)
+    val c = clickEvents
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
         col("ts").cast("timestamp").as("cts"))
       .withWatermark("cts", "3 hours")
-    val joined = p.join(c, col("user_id") === col("cuid") &&
+    p.join(c, col("user_id") === col("cuid") &&
         col("cts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
         col("cts") <= col("pts"))
       .select(col("purchase_id"), col("click_id"), col("user_id"))
-    runToParquet(joined, OutputMode.Append(), "click-attrib")
   }
+
+  def clickAttributionStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(
+      clickAttributionJoin(eventStream(spark, sfDir), eventStream(spark, sfDir)),
+      OutputMode.Append(), "click-attrib")
 
   /** Stream-STATIC join: the live event stream enriched against a
     * batch-computed dimension (per-user first-seen timestamp) — the

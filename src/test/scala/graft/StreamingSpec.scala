@@ -134,14 +134,15 @@ class StreamingSpec extends SparkSpec {
       "2026-01-01 00:00:00" -> 10.0, "2026-01-01 01:00:00" -> 20.0))
   }
 
-  test("event-time replay reorders late ops the in-order path cannot") {
+  /** Shared out-of-order fixture: f0 has ops at 10:00/10:10, f1
+    * delivers a LATE op (10:05) plus 11:00, f2 is a sentinel advancing
+    * the watermark past everything. Correct event-time fold for key k:
+    * put(a);append(L);append(b);append(c) = "aLbc" (arrival order
+    * would give "abLc"). */
+  private def etFixture(): String = {
     import Streaming.TimedOp
     def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
     val src = Files.createTempDirectory("graft-kv-et-").toString
-    // f0: ops at 10:00 and 10:10; f1 delivers a LATE op (ts 10:05) out of
-    // order plus 11:00; f2 is a sentinel advancing the watermark past
-    // everything. Correct event-time fold: put(a);append(L);append(b);
-    // append(c) = "aLbc". An arrival-order fold would give "abLc".
     Seq(TimedOp(ts("10:00"), 1, "k", "put", "a"),
         TimedOp(ts("10:10"), 3, "k", "append", "b"))
       .toDS().coalesce(1).write.parquet(s"$src/f=0")
@@ -150,66 +151,56 @@ class StreamingSpec extends SparkSpec {
       .toDS().coalesce(1).write.parquet(s"$src/f=1")
     Seq(TimedOp(ts("23:00"), 9, "flush", "put", "x"))
       .toDS().coalesce(1).write.parquet(s"$src/f=2")
+    src
+  }
 
+  /** Run one of the event-time replay variants over [[etFixture]] and
+    * return every (key, value, applied) update it emitted. */
+  private def runEtReplay(name: String,
+      replay: org.apache.spark.sql.Dataset[Streaming.TimedOp] =>
+        org.apache.spark.sql.Dataset[(String, String, Long)]): Set[(String, String, Long)] = {
+    val src = etFixture()
     val schema = spark.read.parquet(s"$src/f=*").schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*").as[TimedOp]
-    val q = Streaming.kvReplayEventTimeUpdates(stream, "30 minutes")
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*")
+      .as[Streaming.TimedOp]
+    val q = replay(stream)
       .toDF("key", "value", "applied")
-      .writeStream.format("memory").queryName("kv_et_updates")
+      .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update())
       .option("checkpointLocation",
         Files.createTempDirectory("graft-ckpt-").toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val finalK = spark.table("kv_et_updates")
-      .filter(col("key") === "k")
-      .orderBy(col("applied").desc)
-      .select("value").as[String].collect()
-    assert(finalK.nonEmpty && finalK.head == "aLbc",
-      s"got ${finalK.toSeq}")
+    spark.table(name).as[(String, String, Long)].collect().toSet
+  }
+
+  test("event-time replay reorders late ops the in-order path cannot") {
+    val updates = runEtReplay("kv_et_updates",
+      Streaming.kvReplayEventTimeUpdates(_, "30 minutes"))
+    val finalK = updates.filter(_._1 == "k").maxBy(_._3)
+    assert(finalK._2 == "aLbc", s"got $updates")
   }
 
   test("transformWithState timers replay late ops like the timeout path") {
-    import Streaming.TimedOp
-    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
-    val src = Files.createTempDirectory("graft-kv-et-tws-").toString
-    // Same fixture as the flatMapGroupsWithState test: a late op (L at
-    // 10:05) must fold between 10:00 and 10:10 → "aLbc"; the sentinel
-    // advances the watermark so the registered TIMER (not new input for
-    // key k) flushes the final buffered op.
-    Seq(TimedOp(ts("10:00"), 1, "k", "put", "a"),
-        TimedOp(ts("10:10"), 3, "k", "append", "b"))
-      .toDS().coalesce(1).write.parquet(s"$src/f=0")
-    Seq(TimedOp(ts("10:05"), 2, "k", "append", "L"),
-        TimedOp(ts("11:00"), 4, "k", "append", "c"))
-      .toDS().coalesce(1).write.parquet(s"$src/f=1")
-    Seq(TimedOp(ts("23:00"), 9, "flush", "put", "x"))
-      .toDS().coalesce(1).write.parquet(s"$src/f=2")
-
+    // Not just the final value: EVERY (key, value, applied) update the
+    // TWS-with-timers variant emits must equal the
+    // flatMapGroupsWithState timeout path's output on the same
+    // out-of-order fixture — including the sentinel flush key and the
+    // applied counts of intermediate emissions.
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val schema = spark.read.parquet(s"$src/f=*").schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*").as[TimedOp]
-      val q = Streaming.kvReplayEventTimeTws(stream, "30 minutes")
-        .toDF("key", "value", "applied")
-        .writeStream.format("memory").queryName("kv_et_tws_updates")
-        .outputMode(OutputMode.Update())
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-ckpt-").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val finalK = spark.table("kv_et_tws_updates")
-        .filter(col("key") === "k")
-        .orderBy(col("applied").desc)
-        .select("value").as[String].collect()
-      assert(finalK.nonEmpty && finalK.head == "aLbc", s"got ${finalK.toSeq}")
+      val tws = runEtReplay("kv_et_tws_updates",
+        Streaming.kvReplayEventTimeTws(_, "30 minutes"))
+      val fmgws = runEtReplay("kv_et_fmgws_updates",
+        Streaming.kvReplayEventTimeUpdates(_, "30 minutes"))
+      assert(tws == fmgws, s"tws=$tws fmgws=$fmgws")
+      val finalK = tws.filter(_._1 == "k").maxBy(_._3)
+      assert(finalK._2 == "aLbc", s"got $tws")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(provKey, v)
@@ -392,19 +383,10 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$src/f=*").schema
     def side() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$src/f=*")
-    val p = side().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").cast("timestamp").as("pts"))
-      .withWatermark("pts", "3 hours")
-    val c = side().filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("cuid"),
-        col("ts").cast("timestamp").as("cts"))
-      .withWatermark("cts", "3 hours")
     val out = Files.createTempDirectory("graft-ssj-out-").toString
-    val q = p.join(c, col("user_id") === col("cuid") &&
-        col("cts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
-        col("cts") <= col("pts"))
-      .select(col("purchase_id"), col("click_id"), col("user_id"))
+    // Drives the PRODUCTION join (watermarks, interval, condition) —
+    // not a local replica that could drift from the shipped code.
+    val q = Streaming.clickAttributionJoin(side(), side())
       .writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         graft.streaming.Sinks.idempotentParquet(out)(df, id)
