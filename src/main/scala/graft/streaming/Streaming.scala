@@ -147,6 +147,37 @@ object Streaming {
     runToParquet(agg, OutputMode.Complete(), "windowed-agg")
   }
 
+  /** Watermarked tumbling windows in APPEND mode — the
+    * closed-windows-only emission discipline (each window written
+    * exactly once, when the watermark passes its end) that downstream
+    * consumers of a streaming sink rely on. The drained result is every
+    * window whose end the FINAL watermark (max event time − 30 min)
+    * passed — a deterministic, oracle-expressible subset; the 30 min
+    * delay lands mid-hour on real timestamps, so the window-end
+    * comparison never sits on the boundary. Complete-mode twin:
+    * [[windowedAgg]]. */
+  def windowedAppendStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        graft.ext.Events.centsSum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    runToParquet(agg, OutputMode.Append(), "windowed-append")
+  }
+
+  val windowedAppendSql: String =
+    s"""WITH m AS (SELECT MAX(ts) AS max_ts FROM events)
+       |SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+       |  ${graft.ext.Events.centsSumSql("value")} AS sum_value
+       |FROM events
+       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+       |  <= (SELECT max_ts FROM m) - INTERVAL 30 MINUTE
+       |GROUP BY 1, 2""".stripMargin
+
   /** Streaming twin of KvReplay.replay: per-key fold over the op stream
     * with `mapGroupsWithState`. Within a micro-batch ops are sorted by
     * `seq`; across batches the file source delivers in file order (the
@@ -554,7 +585,8 @@ object Streaming {
     "events_stream_sessionize_tws" -> (sessionizeTwsStream _),
     "events_stream_click_attrib" -> (clickAttributionStream _),
     "events_stream_dedup_ids" -> (dedupIdsStream _),
-    "events_stream_enrich" -> (enrichStream _))
+    "events_stream_enrich" -> (enrichStream _),
+    "events_stream_windowed_append" -> (windowedAppendStream _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
@@ -564,5 +596,6 @@ object Streaming {
     "events_stream_sessionize_tws" -> graft.ext.Events.sessionizeSql,
     "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql,
     "events_stream_dedup_ids" -> dedupIdsSql,
-    "events_stream_enrich" -> enrichSql)
+    "events_stream_enrich" -> enrichSql,
+    "events_stream_windowed_append" -> windowedAppendSql)
 }

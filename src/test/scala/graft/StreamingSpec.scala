@@ -76,6 +76,7 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.dedupIdsStream(spark, dir).count() == 0)
     assert(Streaming.sessionizeTwsStream(spark, dir).count() == 0)
     assert(Streaming.enrichStream(spark, dir).count() == 0)
+    assert(Streaming.windowedAppendStream(spark, dir).count() == 0)
   }
 
   test("in-order contract violation raises instead of folding wrong") {
