@@ -7,14 +7,16 @@ import graft.Tables
 import graft.engine.Tokenizer
 import graft.functions.GraftFunctions
 
-/** Deterministic cardinality sketch: KMV (k-minimum-values).
+/** Deterministic cardinality sketches: KMV (k-minimum-values) and an
+  * integer-exact HyperLogLog.
   *
   * Spark's `approx_count_distinct` is HyperLogLog++ — a fine estimator
   * but not reproducible in another engine, so it can't be oracle-gated.
-  * KMV over our explicit 31-bit polynomial hash IS: both engines take
+  * Both sketches here are built over our explicit 31-bit polynomial
+  * hash, so DuckDB computes the identical state. KMV: both engines take
   * the k smallest DISTINCT hash values and compute the same integer
   * estimate  est = (k-1)·P div h_k  (the classic KMV estimator with
-  * hashes uniform on [0, P)).
+  * hashes uniform on [0, P)). HLL: see [[hllDistinctShingles]].
   *
   * Scale shape: hash map-side, distinct + take-ordered(k) — the shuffle
   * carries at most k values per partition (TakeOrdered partial), never
@@ -302,15 +304,118 @@ object Sketches {
        |FROM conf""".stripMargin
   }
 
+  // ------------------------------------------------- hyperloglog
+
+  private val HllM = 64 // registers (p = 6 bucket bits)
+  // Remaining-word width: h < 2^31 = P+1, so h div 64 < 2^25.
+  private val HllWBits = 25
+  // alpha_64 = 0.709 (Flajolet et al., HyperLogLog, AofA 2007) kept as
+  // the exact rational 709/1000 so the estimate is integer arithmetic.
+  private val HllAlphaNum = 709L
+  private val HllAlphaDen = 1000L
+
+  /** rho(w) = leading zeros of w as a 25-bit word, plus 1 (w = 0 → 26).
+    * ONE CASE string parsed by BOTH engines (Spark `expr` and DuckDB),
+    * so the registers agree bit-for-bit with zero float involvement. */
+  private val hllRhoCase: String = {
+    val branches = (1 to HllWBits)
+      .map(rho => s"WHEN w >= ${1L << (HllWBits - rho)} THEN $rho")
+      .mkString(" ")
+    s"CASE $branches ELSE ${HllWBits + 1} END"
+  }
+
+  /** Linear-counting table for the small-range branch: round(m·ln(m/v))
+    * for v = 1..m zero registers, computed ONCE here and embedded as the
+    * same integer literals in both engines — no runtime ln(), no float
+    * drift across libm implementations. */
+  private val hllLcTable: Seq[Long] =
+    (1 to HllM).map(v => Math.round(HllM * Math.log(HllM.toDouble / v)))
+
+  /** Deterministic HyperLogLog over the corpus's 3-word shingle hashes —
+    * the same universe [[kmvDistinctWords]] estimates, so the two
+    * sketches are directly comparable. Unlike KMV this consumes the RAW
+    * shingle stream (no distinct): max() over rhos is idempotent, which
+    * is the whole point of HLL — per-partition state is m registers
+    * (64 bytes here), merge = element-wise max, and the input never
+    * needs deduplication. Spark's own `approx_count_distinct` IS
+    * HLL++, but its hash is not reproducible in another engine; this
+    * one is, because every step — bucket = h mod m, rho via a shared
+    * CASE over the 25-bit remainder, Σ2^(-reg) scaled by 2^26 into an
+    * exact BIGINT, alpha as 709/1000 under integer division, and a
+    * precomputed integer linear-counting table — is exact integer math
+    * both engines evaluate identically.
+    *
+    * Scale shape: one scan, map-side max partials onto ≤ m register
+    * rows, a 1-row final fold. The exact-distinct audit column is
+    * test-scale only (it is the expensive global distinct the sketch
+    * exists to avoid); at 100 TB you drop it and keep the sketch. */
+  def hllDistinctShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = HllWBits + 1 // empty register (reg = 0) contributes 2^S
+    val wh = Tables.documents(spark, sfDir)
+      .select(explode(GraftFunctions.shingleHashes(
+        GraftFunctions.wordHashes(col("text")), 3)).as("h"))
+    val regs = wh
+      .selectExpr(s"h % $HllM AS bucket", s"h div $HllM AS w")
+      .select(col("bucket"), expr(hllRhoCase).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    val numer = (HllAlphaNum * HllM * HllM) << S // 709·4096·2^26 < 2^48
+    val est = regs
+      .agg(count(lit(1)).as("nb"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $S - reg)")), lit(0L))
+          .as("spp"))
+      .select((lit(HllM.toLong) - col("nb")).as("zero_regs"),
+        (col("spp") + (lit(HllM.toLong) - col("nb")) * (1L << S)).as("sum_pow"))
+      .withColumn("est_raw", expr(s"${numer}L div ($HllAlphaDen * sum_pow)"))
+      .select(col("zero_regs"), col("sum_pow"),
+        when(col("zero_regs") > 0 && col("est_raw") * 2 <= 5L * HllM,
+          element_at(array(hllLcTable.map(lit): _*),
+            col("zero_regs").cast("int")))
+          .otherwise(col("est_raw")).as("est_distinct"))
+    est.crossJoin(wh.agg(count(lit(1)).as("n_items"),
+      count_distinct(col("h")).as("exact_distinct")))
+      .select(col("n_items"), col("zero_regs"), col("sum_pow"),
+        col("est_distinct"), col("exact_distinct"))
+  }
+
+  val hllDistinctShinglesSql: String = {
+    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql}
+    val S = HllWBits + 1
+    val numer = (HllAlphaNum * HllM * HllM) << S
+    s"""WITH wh AS (
+       |  SELECT unnest(sh) AS h FROM (
+       |    SELECT ${shingleHashesSql("whs", 3)} AS sh FROM (
+       |      SELECT ${wordHashesSql("text")} AS whs FROM documents))),
+       |b AS (SELECT h % $HllM AS bucket, h // $HllM AS w FROM wh),
+       |regs AS (SELECT bucket, MAX($hllRhoCase) AS reg FROM b GROUP BY bucket),
+       |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(COALESCE(SUM(1::BIGINT << ($S - reg)), 0) AS BIGINT) AS spp
+       |  FROM regs),
+       |s AS (SELECT $HllM - nb AS zero_regs,
+       |    spp + ($HllM - nb) * ${1L << S} AS sum_pow FROM a),
+       |e AS (SELECT zero_regs, sum_pow,
+       |    $numer // ($HllAlphaDen * sum_pow) AS est_raw FROM s)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wh) AS n_items,
+       |  CAST(zero_regs AS BIGINT) AS zero_regs,
+       |  CAST(sum_pow AS BIGINT) AS sum_pow,
+       |  CAST(CASE WHEN zero_regs > 0 AND est_raw * 2 <= ${5 * HllM}
+       |       THEN list_extract([${hllLcTable.mkString(", ")}],
+       |         CAST(zero_regs AS INT))
+       |       ELSE est_raw END AS BIGINT) AS est_distinct,
+       |  (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM wh) AS exact_distinct
+       |FROM e""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinctWords _),
     "sketch_cms_words" -> (cmsWordCounts _),
     "sketch_bloom_filter" -> (bloomMembership _),
-    "sketch_kmv_grouped" -> (kmvGroupedShingles _))
+    "sketch_kmv_grouped" -> (kmvGroupedShingles _),
+    "sketch_hll_distinct" -> (hllDistinctShingles _))
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctWordsSql,
     "sketch_cms_words" -> cmsWordCountsSql,
     "sketch_bloom_filter" -> bloomMembershipSql,
-    "sketch_kmv_grouped" -> kmvGroupedShinglesSql)
+    "sketch_kmv_grouped" -> kmvGroupedShinglesSql,
+    "sketch_hll_distinct" -> hllDistinctShinglesSql)
 }

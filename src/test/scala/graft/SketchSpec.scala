@@ -45,6 +45,34 @@ class SketchSpec extends SparkSpec {
     assert(nProbes > 0 && nMembers > 0)
   }
 
+  test("HLL at sf0.001: estimate within 15% of exact, register math sane") {
+    val row = Sketches.hllDistinctShingles(spark, sf).collect().head
+    val (n, zeroRegs, sumPow, est, exact) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(n >= exact, "raw stream is at least as long as its distinct set")
+    assert(zeroRegs >= 0 && zeroRegs <= 64)
+    // Σ 2^(26-reg) over 64 registers: at least 64 (all regs maxed at 26
+    // is unreachable but bounds it), at most 64·2^26 (all empty).
+    assert(sumPow >= 64 && sumPow <= (64L << 26))
+    // m=64 gives σ ≈ 1.04/√64 = 13%; one σ of slack on this fixed corpus.
+    assert(math.abs(est - exact).toDouble / exact <= 0.15,
+      s"est $est vs exact $exact")
+  }
+
+  test("HLL on a tiny stream: duplicates don't move the registers") {
+    // Same universe fed twice = same registers = same estimate; proven
+    // via the production path by writing a doubled corpus to parquet.
+    val dir = java.nio.file.Files.createTempDirectory("hlldup").toString
+    val docs = Tables.documents(spark, sf)
+    docs.union(docs).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val once = Sketches.hllDistinctShingles(spark, sf).collect().head
+    val twice = Sketches.hllDistinctShingles(spark, dir).collect().head
+    assert(twice.getLong(0) == 2 * once.getLong(0), "stream doubled")
+    assert(twice.getLong(2) == once.getLong(2), "registers unchanged")
+    assert(twice.getLong(3) == once.getLong(3), "estimate unchanged")
+  }
+
   test("gapfill emits every (hour, type) cell and preserves totals") {
     val filled = ext.Events.gapfillHourly(spark, sf)
     val hours = filled.select("hour").distinct().count()
