@@ -405,17 +405,106 @@ object Sketches {
        |FROM e""".stripMargin
   }
 
+  // ------------------------------------------------- histogram quantiles
+
+  /** Bin width in cents (power of two so `div` is exact): the estimate's
+    * worst-case error. l_extendedprice spans ~[90k, 10.5M] cents, so the
+    * histogram holds ≤ ~2.6k bins — bounded by the DOMAIN, not the data. */
+  private val QBinW = 4096L
+
+  /** Mergeable histogram-quantile sketch vs the exact sort — the scale
+    * counterpart of [[graft.ext.Events.priceQuantiles]] (which ranks
+    * every row with a per-group window sort: the thing you cannot afford
+    * at 100 TB). One map-side-combinable groupBy folds the fact table
+    * onto ≤ ~2.6k (flag, bin) rows; the cumulative walk and quantile
+    * pick then run on sketch-sized data. State is fixed by the value
+    * domain, merge = counter addition — the same contract as CMS.
+    *
+    * Estimate = the LOWER EDGE of the first bin whose cumulative count
+    * reaches ceil(p·n) (ranks via integer formulas, no floats), so
+    * est ≤ exact < est + binW always — the spec asserts that bound, the
+    * gate pins the values. Exact columns are the test-scale audit, as
+    * everywhere in this file. */
+  def quantilePrices(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .selectExpr("l_returnflag", s"cents div $QBinW AS bin")
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag"))))
+    val est = cum.groupBy(col("l_returnflag")).agg(
+      (min(when(col("cum") >= expr("(n + 3) div 4"), col("bin"))) * QBinW)
+        .as("est_p25_cents"),
+      (min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))) * QBinW)
+        .as("est_p50_cents"),
+      (min(when(col("cum") >= expr("(3*n + 3) div 4"), col("bin"))) * QBinW)
+        .as("est_p75_cents"),
+      count(lit(1)).as("n_bins"))
+    val exact = graft.ext.Events.priceQuantiles(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("p25_cents").as("exact_p25_cents"),
+        col("p50_cents").as("exact_p50_cents"),
+        col("p75_cents").as("exact_p75_cents"))
+    est.join(exact, Seq("l_returnflag"))
+  }
+
+  val quantilePricesSql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |hist AS (
+       |  SELECT l_returnflag, cents // $QBinW AS bin, COUNT(*) AS cnt
+       |  FROM c GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM hist),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    CAST(MIN(CASE WHEN cum >= (n + 3) // 4 THEN bin END) * $QBinW AS BIGINT) AS est_p25_cents,
+       |    CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * $QBinW AS BIGINT) AS est_p50_cents,
+       |    CAST(MIN(CASE WHEN cum >= (3*n + 3) // 4 THEN bin END) * $QBinW AS BIGINT) AS est_p75_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS n_bins
+       |  FROM cum GROUP BY l_returnflag),
+       |exact AS (
+       |  SELECT l_returnflag,
+       |    MAX(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN cents END) AS exact_p25_cents,
+       |    MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN cents END) AS exact_p50_cents,
+       |    MAX(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN cents END) AS exact_p75_cents
+       |  FROM (
+       |    SELECT l_returnflag, cents,
+       |      row_number() OVER (PARTITION BY l_returnflag
+       |        ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+       |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |    FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+       |        CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+       |      FROM lineitem))
+       |  GROUP BY l_returnflag)
+       |SELECT est.l_returnflag, est_p25_cents, est_p50_cents, est_p75_cents,
+       |  n_bins, exact_p25_cents, exact_p50_cents, exact_p75_cents
+       |FROM est JOIN exact ON est.l_returnflag = exact.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinctWords _),
     "sketch_cms_words" -> (cmsWordCounts _),
     "sketch_bloom_filter" -> (bloomMembership _),
     "sketch_kmv_grouped" -> (kmvGroupedShingles _),
-    "sketch_hll_distinct" -> (hllDistinctShingles _))
+    "sketch_hll_distinct" -> (hllDistinctShingles _),
+    "sketch_quantile_prices" -> (quantilePrices _))
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctWordsSql,
     "sketch_cms_words" -> cmsWordCountsSql,
     "sketch_bloom_filter" -> bloomMembershipSql,
     "sketch_kmv_grouped" -> kmvGroupedShinglesSql,
-    "sketch_hll_distinct" -> hllDistinctShinglesSql)
+    "sketch_hll_distinct" -> hllDistinctShinglesSql,
+    "sketch_quantile_prices" -> quantilePricesSql)
 }

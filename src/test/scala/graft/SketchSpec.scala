@@ -73,6 +73,20 @@ class SketchSpec extends SparkSpec {
     assert(twice.getLong(3) == once.getLong(3), "estimate unchanged")
   }
 
+  test("histogram quantiles: est <= exact < est + binW, bins bounded") {
+    val rows = Sketches.quantilePrices(spark, sf).collect()
+    assert(rows.length == 3, "one row per return flag")
+    rows.foreach { r =>
+      val nBins = r.getLong(4)
+      assert(nBins > 0 && nBins <= 2700, "state bounded by the domain")
+      Seq((1, 5), (2, 6), (3, 7)).foreach { case (e, x) =>
+        val (est, exact) = (r.getLong(e), r.getLong(x))
+        assert(est <= exact && exact < est + 4096L,
+          s"quantile bound violated: est=$est exact=$exact")
+      }
+    }
+  }
+
   test("gapfill emits every (hour, type) cell and preserves totals") {
     val filled = ext.Events.gapfillHourly(spark, sf)
     val hours = filled.select("hour").distinct().count()
