@@ -142,15 +142,84 @@ object Curation {
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // --------------------------------------------------- decontamination
+
+  /** Shingle width for eval-set decontamination: long n-grams (8 words)
+    * so only real verbatim overlap — not topical similarity — fires. */
+  private val DecontamK = 8
+
+  /** Held-out docs in the fixed eval set: CONSTANT at any SF (smallest
+    * idHash order), so the broadcast shingle universe stays bounded —
+    * the same invariant as every audit sample in Dedup/Similarity. */
+  private val DecontamEvalN = 16
+
+  /** Benchmark decontamination: flag training docs whose 8-word-shingle
+    * sets overlap a held-out eval set — the standard train/test-leakage
+    * gate an LLM data pipeline runs before a corpus ships.
+    *
+    * Shape at 100 TB: the eval side is a FIXED 16-doc sample, so its
+    * distinct shingle universe is constant-size and broadcasts; the
+    * corpus streams through one broadcast hash probe + one groupBy on
+    * doc_id (map-side combinable). No all-pairs term anywhere — the
+    * quadratic object (doc × eval-doc) never materializes, only
+    * (shingle, hit) rows bounded by corpus shingle mass. A real run
+    * swaps the sample for the actual benchmark suite, which is equally
+    * constant-size relative to the training corpus.
+    *
+    * `contaminated` fires at ≥10% shingle overlap, cross-multiplied so
+    * both engines compare exact integers. */
+  def decontamOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Hashing.shingleHashes(Hashing.wordHashes(col("text")), DecontamK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val eval = sh
+      .orderBy(Hashing.idHash(col("doc_id")), col("doc_id"))
+      .limit(DecontamEvalN)
+    val evalIds = eval.select(col("doc_id").as("eval_id"))
+    val evalSh = eval.select(explode(col("sh")).as("h")).distinct()
+      .withColumn("m", lit(1L))
+    sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("h"))
+      .join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sum(coalesce(col("m"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        when(col("n_hit") * 10 >= col("n_sh"), 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  val decontamOverlapSql: String =
+    s"""WITH sh0 AS (SELECT doc_id, ${Hashing.wordHashesSql("text")} AS whs
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${Hashing.shingleHashesSql("whs", DecontamK)} AS sh
+       |  FROM sh0),
+       |shf AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |ev AS (SELECT doc_id, sh FROM shf
+       |  ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id LIMIT $DecontamEvalN),
+       |evh AS (SELECT DISTINCT unnest(sh) AS h FROM ev),
+       |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM shf
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+       |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+       |  CAST(SUM(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hit,
+       |  CAST(CASE WHEN SUM(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) * 10
+       |    >= n_sh THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM ex LEFT JOIN evh ON ex.h = evh.h
+       |GROUP BY doc_id, n_sh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
     "source_mixture" -> (sourceMixture _),
-    "corpus_profile" -> (corpusProfile _))
+    "corpus_profile" -> (corpusProfile _),
+    "decontam_overlap" -> (decontamOverlap _))
 
   val oracles: Map[String, String] = Map(
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,
     "source_mixture" -> sourceMixtureSql,
-    "corpus_profile" -> corpusProfileSql)
+    "corpus_profile" -> corpusProfileSql,
+    "decontam_overlap" -> decontamOverlapSql)
 }

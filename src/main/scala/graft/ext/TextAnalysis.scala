@@ -172,17 +172,74 @@ object TextAnalysis {
        |  ${Hashing.stringHashSql("text")} AS fp_roll
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------ tf-idf terms
+
+  /** Distinctive terms per doc: the 5 words with the highest tf/df
+    * ratio — TF-IDF with the idf monotonically re-expressed as an exact
+    * integer score `(tf * 1e6) div df` (the corpus-size factor N is
+    * constant within a per-doc ranking, and a float log would not
+    * reproduce bit-for-bit across engines; `div` floors identically on
+    * the non-negative operands in both). Ties broken by word, so the
+    * ranking is total.
+    *
+    * Shape at 100 TB: this is inverted-index scoring. tf = one grouped
+    * agg on (doc, word); df = a second agg on word over tf's output
+    * (already combined — one row per doc×word, NOT one per token); the
+    * tf⋈df join is shuffle-keyed on word (the df side is
+    * vocabulary-sized — sublinear but unbounded, so broadcasting it
+    * would be the `% k`-sample mistake; co-partitioned hash join is the
+    * scale-stable plan). Top-5 per doc is a bounded rank filter —
+    * TopKPerKeyExec's territory, never a global sort. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern))
+          .as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("word"))
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, word, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+      |  FROM tf JOIN df USING (word))
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, word) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "lang_id_confusion" -> (langIdConfusion _),
-    "doc_fingerprint" -> (fingerprint _))
+    "doc_fingerprint" -> (fingerprint _),
+    "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "lang_id_confusion" -> langIdConfusionSql,
-    "doc_fingerprint" -> fingerprintSql)
+    "doc_fingerprint" -> fingerprintSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql)
 }
