@@ -20,6 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A typo'd filter name would otherwise silently dump nothing and look
+    // like success during local iteration — fail loudly instead.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error(s"[verify] unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

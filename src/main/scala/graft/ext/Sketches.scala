@@ -250,13 +250,20 @@ object Sketches {
     * drop the (1-FP)·non-member fraction of the big side before the
     * shuffle. */
   def bloomMembership(spark: SparkSession, sfDir: String): DataFrame = {
+    // Both frames fan out to multiple consumers below (members → bits +
+    // is_member join; bits → probe join + bits_set count), so cut the
+    // lineage ONCE each — otherwise the orders scan and the
+    // distinct/explode re-run per consumer (same pattern as
+    // knnRecallAudit's exact baseline).
     val members = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate").between(lit("1995-03-01").cast("date"),
         lit("1995-03-31").cast("date")))
       .select(col("o_custkey").as("ck")).distinct()
+      .localCheckpoint()
     val bits = members
       .select(explode(bloomPositions(Hashing.idHash(col("ck")))).as("bit"))
       .distinct()
+      .localCheckpoint()
     // ONE probe-side scan: left-join the exploded (ck, bit) rows
     // against the broadcast bit set with a hit flag — every customer
     // keeps its k rows, so no second scan is needed to recover
