@@ -31,26 +31,47 @@ object Bench {
     // startup would otherwise be billed to whichever query runs first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // A rep that throws must NOT feed its time-to-failure into the
+      // median (a fast crash would make the graded total look good);
+      // failed reps are dropped and reported in "errors" instead.
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.size / 2), times.head)
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = runs.filter(_._2).map(_._1).sorted
+      val failed = runs.count(!_._2)
+      // Median of the successful reps; for even counts average the two
+      // middle elements (upper-middle alone biases high). -1 = all failed.
+      val med =
+        if (good.isEmpty) -1.0
+        else if (good.size % 2 == 1) good(good.size / 2)
+        else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
+      (name, med, if (good.isEmpty) -1.0 else good.head, failed)
     }
     // 3-decimal (ms) precision keeps the line short: the driver stores
     // only the line's tail, so "queries" (the graded medians) goes LAST
     // and every char saved widens the visible window.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    def row(sel: ((String, Double, Double)) => Double) =
-      results.map { case t @ (k, _, _) => s"\"" + k + "\":" + r3(sel(t)) }
+    def row(sel: ((String, Double, Double, Int)) => Double) =
+      results.map { case t @ (k, _, _, _) => s"\"" + k + "\":" + r3(sel(t)) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries_min":${row(_._3)},"queries":${row(_._2)},"sf":"$sfDir"}"""
+    // Failed queries carry -1 sentinels and are EXCLUDED from the total
+    // (an honest gap, not a fake fast time); "errors" lists failed reps.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errors = results.filter(_._4 > 0)
+      .map { case (k, _, _, f) => s"\"$k\":$f" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"errors":$errors,"queries_min":${row(_._3)},"queries":${row(_._2)},"sf":"$sfDir"}"""
     println(line)
     // Full, untruncated copy for the end-of-round snapshot / local triage.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // Resolved against the repo root (not the process cwd) so it lands in
+    // a known place; a failed write warns instead of vanishing silently.
+    val benchOut = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
+    try java.nio.file.Files.writeString(benchOut, line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"WARN: could not write $benchOut: ${e.getMessage}") }
     spark.stop()
   }
 }

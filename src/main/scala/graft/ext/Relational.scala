@@ -453,11 +453,19 @@ object Relational {
     * aggregates; exact Long revenue means the equality join cannot be
     * bitten by float drift. */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    // `rev` fans out to TWO consumers (the scalar max and the final
+    // join); without a lineage cut, each consumer re-runs the filtered
+    // lineitem scan + aggregation — a wasted full fact pass at 100 TB.
+    // localCheckpoint materializes the per-supplier frame (supplier-
+    // cardinality rows, tiny next to the fact) exactly once. Same
+    // multi-consumer pattern as Sketches.bloomMembership, same
+    // executor-local-storage caveat documented there.
     val rev = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp_ntz") &&
         col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPriceE6(col("l_extendedprice"), col("l_discount"))).as("rev_e6"))
+      .localCheckpoint()
     val mx = rev.agg(max(col("rev_e6")).as("mx"))
     rev.join(broadcast(mx), col("rev_e6") === col("mx"))
       .join(Tables.supplier(spark, sfDir)

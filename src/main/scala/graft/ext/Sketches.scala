@@ -255,6 +255,15 @@ object Sketches {
     // lineage ONCE each — otherwise the orders scan and the
     // distinct/explode re-run per consumer (same pattern as
     // knnRecallAudit's exact baseline).
+    // localCheckpoint() is eager and stores blocks on EXECUTOR-LOCAL
+    // (non-replicated) storage with the lineage truncated: if an executor
+    // dies, the blocks are gone and the job cannot recompute them. That
+    // trade is deliberate here — both frames are small (≤ distinct
+    // custkeys / ≤ m bit rows), re-running the whole query on a lost
+    // executor is cheap, and persist()+unpersist() would leave the second
+    // scan in place until an action ran. On a long-lived cluster job,
+    // prefer reliable checkpoint() or persist(DISK_ONLY_2) for frames
+    // whose loss is expensive.
     val members = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate").between(lit("1995-03-01").cast("date"),
         lit("1995-03-31").cast("date")))

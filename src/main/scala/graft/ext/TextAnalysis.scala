@@ -189,7 +189,16 @@ object TextAnalysis {
     * vocabulary-sized — sublinear but unbounded, so broadcasting it
     * would be the `% k`-sample mistake; co-partitioned hash join is the
     * scale-stable plan). Top-5 per doc is a bounded rank filter —
-    * TopKPerKeyExec's territory, never a global sort. */
+    * TopKPerKeyExec's territory, never a global sort.
+    *
+    * tf fans out to TWO consumers (df and the join), and the optimizer's
+    * column pruning makes the two tf subtrees DIFFER (the df branch drops
+    * the count), so ReuseExchange cannot collapse them — without a
+    * lineage cut the corpus is scanned + tokenized + shuffled twice
+    * (observed in the executed plan, round 6). localCheckpoint
+    * materializes tf once; it is the largest frame this query touches
+    * (one row per doc×word — the combined output of the first shuffle),
+    * but storing that beats re-running scan+explode+shuffle at 100 TB. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
@@ -198,6 +207,7 @@ object TextAnalysis {
           .as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("word"))
       .withColumn("score", expr("(tf * 1000000L) div df"))

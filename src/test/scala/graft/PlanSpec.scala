@@ -167,6 +167,35 @@ class PlanSpec extends SparkSpec {
         s"no full per-group sort)\n$p")
   }
 
+  test("q15: single fact pass — rev materialized once, no lineitem rescan") {
+    // rev feeds both the scalar max and the final join; the localCheckpoint
+    // cut means the final plan reads the materialized frame (ExistingRDD)
+    // and the ONLY file scan left is the supplier dim. A regression back
+    // to two filtered-lineitem scans fails here, not at 100 TB.
+    val df = ext.Relational.q15TopSupplier(spark, sf)
+    df.collect()
+    // The AQE tree prints final AND initial plans; pin the final one.
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("lineitem"), "lineitem must not be rescanned:\n" + p)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "expected exactly one file scan (supplier):\n" + p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "both consumers must read the checkpointed rev frame:\n" + p)
+  }
+
+  test("tfidf: documents scanned once (tf materialized) and rnk<=5 on TopKPerKeyExec") {
+    // Without the tf lineage cut the optimizer's column pruning makes the
+    // two tf subtrees differ (df's drops the count), ReuseExchange cannot
+    // fire, and the corpus is scanned+tokenized+shuffled TWICE.
+    val df = ext.TextAnalysis.tfidfTopTerms(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("FileScan"),
+      "documents must come from the one materialized tf frame:\n" + p)
+    assert(p.contains("TopKPerKey"),
+      "rnk<=5 over window must ride TopKPerKeyExec (O(k) per key):\n" + p)
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))
