@@ -1,0 +1,226 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sequence packing — the standard post-curation step of an LLM training
+  * pipeline: fold documents into fixed token-budget training rows.
+  *
+  * Two semantics, both shipped because production pipelines use both:
+  *
+  *  1. [[corpusPack]] — DOC-ATOMIC greedy next-fit: every document lands
+  *     whole in exactly one pack (truncated to the budget if oversize),
+  *     packs never exceed the budget. This is the "no document straddles
+  *     a sequence boundary" mode used when attention must not cross
+  *     document boundaries mid-doc.
+  *  2. [[corpusPackChunked]] — CONCAT-AND-CHUNK: the token stream is
+  *     packed contiguously and a document may straddle pack boundaries
+  *     (GPT-style pretraining packing). Every pack is exactly full, so
+  *     fill is 100% by construction.
+  *
+  * Scale design — the interesting part. Greedy next-fit is inherently a
+  * SEQUENTIAL scan (each placement depends on the running fill), so a
+  * faithful global implementation cannot be parallelized without a
+  * composed-function scan whose state is piecewise in the incoming fill.
+  * Instead the packer makes the sequence LOCALLY sequential: docs are
+  * ordered by the order-scrambling idHash (the same deterministic
+  * shuffle-order every audit sample uses) and cut into SEGMENTS whose
+  * boundary density adapts to the corpus — segment = idHash div W with
+  * W = P·S/N (N = corpus size), so a segment holds ~S docs at ANY corpus
+  * size, from the 500-doc test table to 100 TB. Packing is sequential
+  * within a segment (a ~S-element in-memory fold) and embarrassingly
+  * parallel across segments: ONE shuffle on segment id, no global state,
+  * no driver round-trip. The price is ≤ one partially-filled tail pack
+  * per segment; [[corpusPackStats]] makes that loss a measured number
+  * (fill_bp) instead of a claim. Chunked packing has no such loss and
+  * needs a GLOBAL running token offset; that is a distributed prefix
+  * sum, built declaratively: range-partition by the sort key, per-
+  * partition sums (one tiny frame, rows = #partitions) cumulated and
+  * broadcast back as partition offsets, plus a within-partition running
+  * window — no single-partition window over the data, no driver collect.
+  *
+  * Determinism: idHash order, integer token counts, and integer division
+  * only — the pack assignment is a pure function of the corpus, identical
+  * at any parallelism, reproduced row-for-row by the DuckDB oracles
+  * (next-fit as a per-segment recursive CTE; chunking as a window cumsum).
+  */
+object Packing {
+
+  /** Token budget per pack. Real pipelines use the model context (2k/4k/
+    * 8k); 512 here so the ~54-token synthetic docs yield multi-doc packs
+    * AND multi-pack segments — both boundary cases exercised at test SF.
+    * A dial, not a constant the semantics depend on. */
+  val Budget = 512L
+
+  /** Target docs per segment (expected; actual counts are Poisson(S)).
+    * Bounds the per-task sequential fold at any corpus size. */
+  val SegTarget = 32L
+
+  /** pack_id = seg * Stride + pack-within-segment. Stride caps packs per
+    * segment: a segment holds O(SegTarget) docs ≪ 100k, and
+    * seg ≤ 2^31 ⇒ pack_id < 2^48 — no overflow. */
+  val PackIdStride = 100000L
+
+  // Not `private`: Dataset encoder codegen instantiates these from
+  // generated classes outside this object's scope.
+  case class PackIn(seg: Long, k: Long, doc_id: Long, n_tok: Long)
+  case class PackOut(doc_id: Long, n_tok: Long, pack_id: Long,
+      pack_off: Long)
+
+  /** (doc_id, n_tok, k=idHash, seg) — shared head of both packers.
+    * n_tok is capped at the budget only in atomic mode (truncation:
+    * a doc longer than the sequence length can never fit whole). */
+  private def tokenized(spark: SparkSession, sfDir: String,
+      capAtBudget: Boolean): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.engine.Tokenizer.tokens(col("text"))).cast("long")
+          .as("raw_tok"),
+        Hashing.idHash(col("doc_id")).as("k"))
+    val nTok = if (capAtBudget) least(col("raw_tok"), lit(Budget))
+               else col("raw_tok")
+    val n = raw.agg(count(lit(1)).as("n"))
+    raw.crossJoin(broadcast(n))
+      .select(col("doc_id"), nTok.as("n_tok"), col("k"),
+        expr(s"k div greatest(1L, ${Hashing.P * SegTarget}L div n)").as("seg"))
+  }
+
+  /** Doc-atomic greedy next-fit (see object doc): one row per document
+    * with its pack and token offset inside the pack. */
+  def corpusPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, sfDir, capAtBudget = true)
+      .select(col("seg"), col("k"), col("doc_id"), col("n_tok"))
+      .as[PackIn]
+      .groupByKey(_.seg)
+      .flatMapGroups { (seg, it) =>
+        // Segment-local sequential fold: ~SegTarget docs, O(S log S).
+        val docs = it.toArray.sortBy(d => (d.k, d.doc_id))
+        val out = Array.newBuilder[PackOut]
+        var pack = 0L
+        var fill = 0L
+        docs.foreach { d =>
+          if (fill + d.n_tok > Budget) { pack += 1; fill = 0L }
+          out += PackOut(d.doc_id, d.n_tok, seg * PackIdStride + pack, fill)
+          fill += d.n_tok
+        }
+        out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Shared oracle CTE chain: tokenize → segment → rank-within-segment →
+    * next-fit replayed one rank per recursive step (all segments advance
+    * in parallel; iterations = max segment size, ~SegTarget). */
+  private val packCtes: String =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id,
+       |    least(CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),
+       |      t -> t <> '')) AS BIGINT), $Budget) AS n_tok,
+       |    ${Hashing.idHashSql("doc_id")} AS k
+       |  FROM documents),
+       |w AS (SELECT greatest(1, ${Hashing.P * SegTarget} // COUNT(*)) AS w FROM d0),
+       |d AS (
+       |  SELECT doc_id, n_tok, k, k // (SELECT w FROM w) AS seg,
+       |    row_number() OVER (PARTITION BY k // (SELECT w FROM w)
+       |      ORDER BY k, doc_id) AS rn
+       |  FROM d0),
+       |rec AS (
+       |  SELECT seg, rn, doc_id, n_tok, 0::BIGINT AS pack, 0::BIGINT AS off,
+       |    n_tok AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.seg, d.rn, d.doc_id, d.n_tok,
+       |    CASE WHEN r.fill + d.n_tok <= $Budget THEN r.pack ELSE r.pack + 1 END,
+       |    CASE WHEN r.fill + d.n_tok <= $Budget THEN r.fill ELSE 0::BIGINT END,
+       |    CASE WHEN r.fill + d.n_tok <= $Budget THEN r.fill + d.n_tok ELSE d.n_tok END
+       |  FROM rec r JOIN d ON d.seg = r.seg AND d.rn = r.rn + 1)""".stripMargin
+
+  val corpusPackSql: String =
+    s"""$packCtes
+       |SELECT doc_id, n_tok, seg * $PackIdStride + pack AS pack_id,
+       |  off AS pack_off
+       |FROM rec""".stripMargin
+
+  /** Per-pack audit: doc count, token fill, and fill ratio in integer
+    * basis points — the segment-tail loss of the parallel next-fit as a
+    * gated NUMBER (and the no-pack-exceeds-budget invariant as data:
+    * fill_bp ≤ 10000 on every row the oracle hashes). */
+  def corpusPackStats(spark: SparkSession, sfDir: String): DataFrame =
+    corpusPack(spark, sfDir)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens * 10000L) div ${Budget}L").as("fill_bp"))
+
+  val corpusPackStatsSql: String =
+    s"""$packCtes
+       |SELECT seg * $PackIdStride + pack AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(n_tok) AS BIGINT) * 10000) // $Budget AS fill_bp
+       |FROM rec GROUP BY 1""".stripMargin
+
+  /** Concat-and-chunk packing: documents laid end-to-end in idHash order
+    * and cut every Budget tokens; a doc spans packs pack_first..pack_last.
+    * The global running offset is the distributed prefix sum described in
+    * the object doc — partition offsets (a #partitions-row frame) are
+    * cumulated with a window over that TINY frame and broadcast back;
+    * the per-row window below partitions by spark_partition_id, so no
+    * data-sized single-partition window exists anywhere in the plan.
+    * The result is partition-count-invariant: offset(p) + local prefix
+    * is the global (k, doc_id)-order prefix under any partitioning. */
+  def corpusPackChunked(spark: SparkSession, sfDir: String): DataFrame = {
+    val sorted = tokenized(spark, sfDir, capAtBudget = false)
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val partOffsets = sorted.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("psum"))
+      .select(col("pid"),
+        (coalesce(sum(col("psum")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .as("poff"))
+    val localWin = Window.partitionBy(col("pid"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(partOffsets), "pid")
+      .withColumn("start_off",
+        col("poff") + coalesce(sum(col("n_tok")).over(localWin), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        expr(s"start_off div ${Budget}L").as("pack_first"),
+        expr(s"greatest(start_off, start_off + n_tok - 1) div ${Budget}L")
+          .as("pack_last"))
+  }
+
+  val corpusPackChunkedSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),
+       |      t -> t <> '')) AS BIGINT) AS n_tok,
+       |    ${Hashing.idHashSql("doc_id")} AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM d0)
+       |SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+       |  CAST(start_off AS BIGINT) // $Budget AS pack_first,
+       |  greatest(CAST(start_off AS BIGINT),
+       |    CAST(start_off AS BIGINT) + n_tok - 1) // $Budget AS pack_last
+       |FROM c""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pack" -> (corpusPack _),
+    "corpus_pack_stats" -> (corpusPackStats _),
+    "corpus_pack_chunked" -> (corpusPackChunked _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_pack" -> corpusPackSql,
+    "corpus_pack_stats" -> corpusPackStatsSql,
+    "corpus_pack_chunked" -> corpusPackChunkedSql)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the sequence packers — the "done" bar from the round-5
+  * verdict: no pack exceeds the budget, every doc lands exactly once,
+  * offsets are consistent, and the chunked stream covers every token
+  * exactly once with full packs. */
+class PackingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val pack = ext.Packing.corpusPack(spark, sf).cache()
+  private lazy val chunked = ext.Packing.corpusPackChunked(spark, sf).cache()
+
+  test("atomic: every document lands in exactly one pack") {
+    val nDocs = docs.count()
+    assert(pack.count() == nDocs)
+    assert(pack.select("doc_id").distinct().count() == nDocs)
+  }
+
+  test("atomic: no pack exceeds the token budget") {
+    val over = pack.groupBy("pack_id").agg(sum("n_tok").as("t"))
+      .filter(col("t") > ext.Packing.Budget).count()
+    assert(over == 0)
+  }
+
+  test("atomic: packs dense from 0 per segment; offsets = running fill") {
+    val rows = pack.orderBy("pack_id", "pack_off")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(1)))
+    rows.groupBy(_._1 / ext.Packing.PackIdStride).foreach { case (_, seg) =>
+      val packsInSeg =
+        seg.map(_._1 % ext.Packing.PackIdStride).distinct.sorted.toSeq
+      assert(packsInSeg == (0L until packsInSeg.size.toLong).toSeq,
+        s"pack ids within a segment must be dense from 0: $packsInSeg")
+    }
+    rows.groupBy(_._1).foreach { case (_, inPack) =>
+      var fill = 0L
+      inPack.sortBy(_._2).foreach { case (_, off, nTok) =>
+        assert(off == fill, s"pack_off must equal the running fill")
+        fill += nTok
+      }
+    }
+  }
+
+  test("atomic: truncation caps n_tok at the budget") {
+    assert(pack.filter(col("n_tok") > ext.Packing.Budget).count() == 0)
+  }
+
+  test("chunked: contiguous token stream — next start = prev end, full coverage") {
+    val rows = chunked.orderBy("start_off").collect()
+      .map(r => (r.getLong(2), r.getLong(1))) // (start_off, n_tok)
+    var expected = 0L
+    rows.foreach { case (start, nTok) =>
+      assert(start == expected, "stream must be gap- and overlap-free")
+      expected = start + nTok
+    }
+    val totalTok = docs.select(
+      sum(size(engine.Tokenizer.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(expected == totalTok, "every token must land exactly once")
+  }
+
+  test("chunked: pack span matches the token interval") {
+    val bad = chunked.filter(
+      col("pack_first") =!= expr(s"start_off div ${ext.Packing.Budget}L") ||
+      col("pack_last") <
+        expr(s"(start_off + n_tok - 1) div ${ext.Packing.Budget}L") &&
+        col("n_tok") > 0).count()
+    assert(bad == 0)
+  }
+
+  test("pack assignment is partition-invariant (4 vs 2 shuffle partitions)") {
+    val a = pack.orderBy("doc_id").collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = ext.Packing.corpusPack(spark, sf).orderBy("doc_id")
+        .collect().toSeq
+      assert(a == b, "next-fit result must not depend on parallelism")
+      val c1 = chunked.orderBy("doc_id").collect().toSeq
+      val c2 = ext.Packing.corpusPackChunked(spark, sf).orderBy("doc_id")
+        .collect().toSeq
+      assert(c1 == c2, "prefix sum must not depend on parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("stats: fill never exceeds 10000 bp and multi-doc packs exist") {
+    val stats = ext.Packing.corpusPackStats(spark, sf).collect()
+    assert(stats.forall(_.getLong(3) <= 10000L))
+    assert(stats.exists(_.getLong(1) > 1L),
+      "budget/corpus dials must produce multi-doc packs at test SF")
+  }
+}
