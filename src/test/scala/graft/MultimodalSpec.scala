@@ -44,6 +44,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash: banding finds planted value-noise near-dups exactly") {
+    // The image near-dup case: same bytes with a few VALUES changed in
+    // place (pixel noise), no stream shift. Plant two perturbed copies
+    // and one unrelated payload; only the planted pairs may surface.
+    val rng = new scala.util.Random(7)
+    val base = Array.fill[Byte](600)((rng.nextInt(200) + 30).toByte)
+    val nearA = base.clone(); nearA(17) = 3; nearA(430) = 127
+    val nearB = base.clone(); nearB(99) = 0
+    val far = Array.fill[Byte](600)((rng.nextInt(200) + 30).toByte)
+    val ph = Seq(
+      (1L, Multimodal.phashOf(base)), (2L, Multimodal.phashOf(nearA)),
+      (3L, Multimodal.phashOf(nearB)), (4L, Multimodal.phashOf(far)))
+      .toDF("doc_id", "phash")
+    val pairs = Multimodal.phashPairs(ph)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)), s"planted near-dups must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated payload must not pair: $pairs")
+  }
+
+  test("phash: hamming to a value-noise copy ≪ hamming to unrelated bytes") {
+    val rng = new scala.util.Random(11)
+    val base = Array.fill[Byte](900)((rng.nextInt(220) + 20).toByte)
+    val noisy = base.clone()
+    (0 until 9).foreach(i => noisy(i * 100) = (rng.nextInt(255) - 128).toByte)
+    val other = Array.fill[Byte](900)((rng.nextInt(220) + 20).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hNear = ham(Multimodal.phashOf(base), Multimodal.phashOf(noisy))
+    val hFar = ham(Multimodal.phashOf(base), Multimodal.phashOf(other))
+    assert(hNear <= Multimodal.PhashHammingMax, s"value noise moved $hNear bits")
+    assert(hFar > Multimodal.PhashHammingMax, s"unrelated only $hFar bits apart")
+  }
+
   test("metadata-only consumers prune the payload column at the scan") {
     // Leaf scans (parquet or a cached InMemoryTableScan) must read only
     // doc_id — neither text nor the derived payload column.

@@ -196,6 +196,13 @@ class PlanSpec extends SparkSpec {
       "rnk<=5 over window must ride TopKPerKeyExec (O(k) per key):\n" + p)
   }
 
+  test("dedup_phash: band equi-join bounds candidates — no all-pairs") {
+    val p = plan(ext.Multimodal.dedupPhash(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "phash candidates must come from the band equi-join:\n" + p)
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))
