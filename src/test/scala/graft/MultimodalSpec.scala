@@ -78,6 +78,47 @@ class MultimodalSpec extends SparkSpec {
     assert(hFar > Multimodal.PhashHammingMax, s"unrelated only $hFar bits apart")
   }
 
+  test("PpmCodec: decodes a hand-written P6 with comments, exact pixels") {
+    val header = "P6\n# a comment\n2 2\n# another\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val pixels = Array[Byte](
+      10, 20, 30,  40, 50, 60,
+      70, 80, 90,  100, 110, 127)
+    val img = Multimodal.PpmCodec.decode(header ++ pixels)
+    assert(img.isDefined)
+    assert(img.get.width == 2 && img.get.height == 2 && img.get.maxval == 255)
+    assert(img.get.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("PpmCodec: rejects malformed input") {
+    val good = Multimodal.PpmCodec.encode(2, 2, 255, new Array[Byte](12))
+    assert(Multimodal.PpmCodec.decode(good).isDefined)
+    // wrong magic (P5 = greyscale, not handled by this RGB decoder)
+    assert(Multimodal.PpmCodec.decode(
+      "P5\n2 2\n255\n".getBytes ++ new Array[Byte](12)).isEmpty)
+    // truncated pixel plane
+    assert(Multimodal.PpmCodec.decode(good.dropRight(1)).isEmpty)
+    // missing header field
+    assert(Multimodal.PpmCodec.decode("P6\n2\n255\n".getBytes).isEmpty)
+    // maxval out of byte range
+    assert(Multimodal.PpmCodec.decode(
+      "P6\n2 2\n65535\n".getBytes ++ new Array[Byte](24)).isEmpty)
+    // empty / garbage
+    assert(Multimodal.PpmCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.PpmCodec.decode("JFIF".getBytes).isEmpty)
+  }
+
+  test("decodePpm: header fields come from the parse, sums from the plane") {
+    val out = Multimodal.decodePpm(spark, sf)
+      .as[Multimodal.PpmDecoded].collect()
+    assert(out.nonEmpty)
+    out.foreach { d =>
+      assert(d.width == 2 + d.doc_id % 4 && d.height == 2 + d.doc_id % 3)
+      assert(d.maxval == 255)
+      assert(d.sum_r > 0 && d.sum_g > 0 && d.sum_b > 0)
+    }
+  }
+
   test("metadata-only consumers prune the payload column at the scan") {
     // Leaf scans (parquet or a cached InMemoryTableScan) must read only
     // doc_id — neither text nor the derived payload column.
