@@ -61,6 +61,90 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: crash after batch N resumes, replays once, equals uninterrupted run") {
+    // The round-5 verdict's ask, made a measured invariant. Stateful
+    // count-per-key in Update mode through the idempotent batch-id sink:
+    //  phase A: drain 3 source files (batches 0-2), then simulate a KILL
+    //    MID-BATCH by deleting the checkpoint's newest commit marker —
+    //    exactly the on-disk state a crash between offset-write and
+    //    commit-write leaves behind;
+    //  phase B: add 3 more files and restart from the SAME checkpoint:
+    //    the engine must REPLAY batch 2 (at-least-once upstream of the
+    //    sink), continue with batches 3-5 (resume, not restart-at-0),
+    //    not re-read committed files 0-1, and restore the key counts
+    //    accumulated in phase A;
+    //  the final read-back must equal an UNINTERRUPTED run over all 6
+    //    files and the batch ground truth.
+    val src = Files.createTempDirectory("graft-rec-src-").toString
+    val ckpt = Files.createTempDirectory("graft-rec-ckpt-").toString
+    val sink = Files.createTempDirectory("graft-rec-sink-").toString
+    def writeFile(part: Int): Unit =
+      (0 until 50).map(i => (s"u${(part * 50 + i) % 7}", part * 50L + i))
+        .toDF("key", "x").coalesce(1).write.parquet(s"$src/part=$part")
+    def runOnce(ck: String, out: String) = {
+      // A just-stopped AvailableNow run can deregister asynchronously;
+      // starting against the same checkpoint during teardown trips the
+      // concurrent-use guard. Wait until the manager shows no active run.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val schema = spark.read.parquet(s"$src/part=*").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/part=*")
+        .groupBy("key").count()
+        .writeStream
+        .foreachBatch(graft.streaming.Sinks.idempotentParquet(out))
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop() // deregister before the next run reuses the checkpoint
+      q.recentProgress.filter(_.numInputRows > 0)
+        .map(p => (p.batchId, p.numInputRows)).toSeq
+    }
+    def finalCounts(out: String): Map[String, Long] =
+      spark.read.parquet(out)
+        .groupBy("key").agg(max_by(col("count"), col("batch")).as("count"))
+        .as[(String, Long)].collect().toMap
+
+    (0 until 3).foreach(writeFile)
+    val phaseA = runOnce(ckpt, sink)
+    assert(phaseA.map(_._1) == Seq(0L, 1L, 2L), s"phase A batches: $phaseA")
+    // Crash simulation: offsets/2 exists, commits/2 vanishes.
+    val lastCommit = java.nio.file.Paths.get(ckpt, "commits", "2")
+    assert(Files.exists(lastCommit), "checkpoint layout moved; fix the test")
+    Files.delete(lastCommit)
+    // Local FS keeps a checksum sidecar next to each commit file; a real
+    // crash leaves neither, and a stale .crc makes the replay's
+    // rename-based commit write collide (FileAlreadyExistsException).
+    Files.deleteIfExists(lastCommit.resolveSibling(".2.crc"))
+
+    (3 until 6).foreach(writeFile)
+    val phaseB = runOnce(ckpt, sink)
+    assert(phaseB.map(_._1) == Seq(2L, 3L, 4L, 5L),
+      s"restart must replay the uncommitted batch 2 then continue: $phaseB")
+    assert(phaseB.map(_._2).sum == 200L,
+      s"committed files 0-1 must not be re-read: $phaseB")
+
+    val truth = (0 until 300).groupBy(i => s"u${i % 7}")
+      .map { case (k, v) => (k, v.size.toLong) }
+    assert(finalCounts(sink) == truth,
+      "state must carry across the crash (counts span both phases)")
+
+    // Uninterrupted twin over the same 6 files ⇒ identical final result.
+    val ckpt2 = Files.createTempDirectory("graft-rec-ckpt2-").toString
+    val sink2 = Files.createTempDirectory("graft-rec-sink2-").toString
+    val clean = runOnce(ckpt2, sink2)
+    assert(clean.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(finalCounts(sink2) == finalCounts(sink))
+
+    // Idle restart: everything committed ⇒ no data batches, result stable.
+    val phaseC = runOnce(ckpt, sink)
+    assert(phaseC.isEmpty, s"nothing left to process: $phaseC")
+    assert(finalCounts(sink) == truth)
+  }
+
   test("gated streaming queries survive an EMPTY source (0-row corpus)") {
     // Empty documents/events tables: the parquet-sink read-back must
     // return an empty frame with the right schema, not NPE or fail
