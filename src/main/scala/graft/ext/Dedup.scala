@@ -69,8 +69,9 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** (doc_id, sh: array<long>) — distinct 3-word-shingle hashes. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, sh: array<long>) — distinct 3-word-shingle hashes. Shared
+    * with the cross-snapshot verifier ([[Incremental]]). */
+  private[ext] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         shingleHashes(wordHashes(col("text")), 3).as("sh"))
@@ -88,14 +89,20 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("sh")).as("sig"))
 
+  /** (doc_id, band, bh) — the LSH band-bucket table. This IS the dedup
+    * state a snapshot persists: [[Incremental]] joins a new batch's
+    * buckets against a prior snapshot's copy of this frame. */
+  private[ext] def bandBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSigs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.minhashBands(col("sig"), bandsOf)))
+      .toDF("doc_id", "band", "bh")
+
   /** LSH band-bucket candidate pairs (doc_a < doc_b) — the shared
     * candidate stage both near-dup verifiers (Jaccard, edit distance)
     * refine. */
   def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashSigs(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.minhashBands(col("sig"), bandsOf)))
-      .toDF("doc_id", "band", "bh")
+    val bands = bandBuckets(spark, sfDir)
     bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
