@@ -24,6 +24,7 @@ object SparkEntry {
       ext.Relational.queries ++ ext.AsOf.queries ++
       ext.RangeJoin.queries ++ ext.Sketches.queries ++
       ext.Components.queries ++ ext.Packing.queries ++
+      ext.Incremental.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -51,7 +52,8 @@ object SparkEntry {
       kv.Sharding.oracles ++ ext.Curation.oracles ++
       ext.Relational.oracles ++ ext.AsOf.oracles ++
       ext.RangeJoin.oracles ++ ext.Sketches.oracles ++
-      ext.Components.oracles ++ ext.Packing.oracles ++ Map(
+      ext.Components.oracles ++ ext.Packing.oracles ++
+      ext.Incremental.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

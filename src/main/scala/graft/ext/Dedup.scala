@@ -83,20 +83,26 @@ object Dedup {
     * identical but shuffled one row per doc; this computes the same 16
     * mins inline). Docs with zero shingles are dropped, matching the
     * explode path. */
-  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
-    shingled(spark, sfDir)
-      .filter(size(col("sh")) > 0)
+  private[ext] def sigsOf(sh: DataFrame): DataFrame =
+    sh.filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig(col("sh")).as("sig"))
 
-  /** (doc_id, band, bh) — the LSH band-bucket table. This IS the dedup
-    * state a snapshot persists: [[Incremental]] joins a new batch's
-    * buckets against a prior snapshot's copy of this frame. */
-  private[ext] def bandBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSigs(spark, sfDir)
+  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    sigsOf(shingled(spark, sfDir))
+
+  /** (doc_id, band, bh) — the LSH band-bucket table from a `(doc_id, sh)`
+    * frame. This IS the dedup state a snapshot persists: [[Incremental]]
+    * joins a new batch's buckets against a prior snapshot's copy of this
+    * frame. */
+  private[ext] def bucketsOf(sh: DataFrame): DataFrame =
+    sigsOf(sh)
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.minhashBands(col("sig"), bandsOf)))
       .toDF("doc_id", "band", "bh")
+
+  private[ext] def bandBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    bucketsOf(shingled(spark, sfDir))
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b) — the shared
     * candidate stage both near-dup verifiers (Jaccard, edit distance)
@@ -151,9 +157,11 @@ object Dedup {
     s"""sh0 AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
        |sh AS (SELECT doc_id, ${shingleHashesSql("whs", 3)} AS sh FROM sh0)""".stripMargin
 
-  /** Shared candidate CTE chain (shingles → sigs → bands → cands),
-    * used by both the Jaccard and edit-distance oracles. */
-  private lazy val lshCandsSqlCtes: String = {
+  /** Shared CTE chain (shingles → sigs → bands), used by the Jaccard and
+    * edit-distance oracles here and the cross-snapshot oracles in
+    * [[Incremental]]. Exposes CTEs `sh` (doc_id, sh) and `bands`
+    * (doc_id, band, bh). */
+  private[ext] lazy val bandsSqlCtes: String = {
     val minCols = (0 until NumPerms)
       .map(i => s"MIN((${permA(i)}*h + ${permB(i)}) % $P) AS s${i}").mkString(",\n    ")
     val bandRows = (0 until bandsOf).map { b =>
@@ -167,12 +175,16 @@ object Dedup {
        |  SELECT doc_id, $minCols
        |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh) GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  /** [[bandsSqlCtes]] plus the self-join candidate CTE `cands`. */
+  private lazy val lshCandsSqlCtes: String =
+    s"""$bandsSqlCtes,
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
-  }
 
   val editDistanceDedupSql: String =
     s"""WITH $lshCandsSqlCtes
