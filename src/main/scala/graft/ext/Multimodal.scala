@@ -314,6 +314,12 @@ object Multimodal {
       .toDF()
   }
 
+  /** NOTE: the Spark side cycles UTF-8 *bytes* of the text while this
+    * oracle indexes *characters* (`ascii(substr(...))` with len = char
+    * length) — identical only on an ASCII corpus (byte i == code point
+    * of char i+1), the same corpus assumption every media-payload oracle
+    * here leans on (see [[mediaTable]]). A non-ASCII corpus would need
+    * both sides rebuilt over an encoded blob. */
   val decodePpmSql: String = {
     def chanSum(off: Int): String =
       s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, w*h), " +
@@ -352,7 +358,14 @@ object Multimodal {
     * exact integers — no float means, no division. On a real image this
     * would run on the decoded 8×8 luma grid; on the opaque payload it is
     * the same locality-sensitive shape: near-identical byte streams get
-    * near-identical hashes. One pass per row, map-side only. */
+    * near-identical hashes. One pass per row, map-side only.
+    *
+    * Arithmetic bounds: window offsets use Long cross-multiplication
+    * (w*n overflows Int past ~34 MB payloads). The mean comparison
+    * `ws*n > total*(e-s)` stays exact in Long for payloads up to ~1.5 GB
+    * (ws ≤ 255·n/63, so ws·n < 2^63 while n < 1.5e9) — far above any
+    * single image/frame this stage would see; larger blobs belong in a
+    * chunked decode, not a whole-payload hash. */
   def phashOf(payload: Array[Byte]): Long = {
     val n = payload.length
     var total = 0L
@@ -361,8 +374,8 @@ object Multimodal {
     var h = 0L
     var w = 0
     while (w < PhashBits) {
-      val s = w * n / PhashBits
-      val e = (w + 1) * n / PhashBits
+      val s = (w.toLong * n / PhashBits).toInt
+      val e = ((w + 1).toLong * n / PhashBits).toInt
       var ws = 0L
       var j = s
       while (j < e) { ws += payload(j) & 0xffL; j += 1 }
@@ -382,19 +395,18 @@ object Multimodal {
       .toDF()
   }
 
-  /** The phash computation as DuckDB SQL over `media` rows (n/total
-    * precomputed in the CTE below). */
-  private val phashSqlCtes: String = {
+  /** The phash computation as DuckDB SQL over any CTE exposing
+    * (doc_id, payload) rows (n/total precomputed in `nb`). */
+  private def phashCtesOver(src: String): String = {
     val winSum = s"list_sum(list_prepend(0::BIGINT, list_transform(" +
       s"range((w*n)//$PhashBits + 1, ((w+1)*n)//$PhashBits + 1), " +
       s"i -> CAST(ascii(substr(payload, CAST(i AS INTEGER), 1)) AS BIGINT))))"
-    s"""$mediaSqlCte,
-       |nb AS (
+    s"""nb AS (
        |  SELECT doc_id, payload, CAST(length(payload) AS BIGINT) AS n,
        |    CAST(list_sum(list_prepend(0::BIGINT, list_transform(
        |      range(1, length(payload) + 1),
        |      i -> CAST(ascii(substr(payload, CAST(i AS INTEGER), 1)) AS BIGINT)))) AS BIGINT) AS total
-       |  FROM media WHERE media_type = 'image'),
+       |  FROM $src),
        |ph AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, $PhashBits), w ->
@@ -403,6 +415,14 @@ object Multimodal {
        |      AS phash
        |  FROM nb)""".stripMargin
   }
+
+  private val imgsCtes: String =
+    s"""$mediaSqlCte,
+       |imgs AS (SELECT doc_id, payload FROM media WHERE media_type = 'image')""".stripMargin
+
+  private val phashSqlCtes: String =
+    s"""$imgsCtes,
+       |${phashCtesOver("imgs")}""".stripMargin
 
   val phashesSql: String =
     s"""WITH $phashSqlCtes
@@ -427,26 +447,89 @@ object Multimodal {
       .filter(col("hamming") <= PhashHammingMax)
   }
 
-  /** Image near-dup pairs: [[phashPairs]] over the corpus phashes.
+  /** Planted value-noise twins: a fixed idHash-ordered sample of
+    * [[TwinSampleN]] image rows, each re-emitted under doc_id +
+    * [[TwinIdOffset]] with [[TwinFlips]] byte VALUES perturbed in place
+    * (bit 4 xored — length and all other positions untouched). This is
+    * the noise class aHash is designed to absorb, so every twin lands
+    * within Hamming ≤ [[PhashHammingMax]] of its original and the gated
+    * pair set below is non-empty at every SF. Constant-size sample →
+    * constant twin count at 100 TB. */
+  private val TwinSampleN = 8
+  private[ext] val TwinIdOffset = 10000000L
+  private val TwinFlips = 4
+
+  private[ext] def perturb(payload: Array[Byte]): Array[Byte] = {
+    val out = payload.clone()
+    val n = out.length
+    (0 until TwinFlips).map(k => (k.toLong * n / TwinFlips).toInt).distinct
+      .foreach(p => if (p < n) out(p) = (out(p) ^ 16).toByte)
+    out
+  }
+
+  /** Corpus images plus the planted twins. */
+  private[ext] def imagesWithTwins(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val imgs = mediaTable(spark, sfDir).filter(col("media_type") === "image")
+    val twins = imgs
+      .orderBy(Hashing.idHash(col("doc_id")), col("doc_id"))
+      .limit(TwinSampleN)
+      .as[MediaRow]
+      .map(r => MediaRow(r.doc_id + TwinIdOffset, r.media_type, perturb(r.payload)))
+    imgs.union(twins)
+  }
+
+  /** Image near-dup pairs: [[phashPairs]] over the corpus phashes plus
+    * the planted value-noise twins.
     *
-    * HONEST 0-ROW NOTE: on the synthetic corpus this returns no pairs,
-    * and that is the CORRECT answer, not a gap — aHash-family hashes are
-    * robust to VALUE noise (a few changed pixels/bytes in place, the
-    * image near-dup case) but not to STREAM SHIFTS, and the corpus's
-    * planted near-dups are edit-distance text variants whose insertions
-    * shift every downstream byte across window boundaries (measured
-    * round 6: minimum pairwise hamming 9 of 63 > the 6 threshold; a
-    * shift-robust histogram hash was tried and rejected — it collapses
-    * the distance distribution and matches hundreds of false pairs).
-    * The pipeline is still fully gated: the signature table hash-matches
-    * the oracle row-for-row (multimodal_phash), the band+verify dataflow
-    * hash-matches on the empty result, and MultimodalSpec proves it
-    * finds planted value-noise near-dups exactly. */
+    * HONEST NOTE on the twins: on the raw synthetic corpus this pair set
+    * is empty, and that is the CORRECT answer, not a gap — aHash-family
+    * hashes are robust to VALUE noise (a few changed pixels/bytes in
+    * place, the image near-dup case) but not to STREAM SHIFTS, and the
+    * corpus's planted near-dups are edit-distance text variants whose
+    * insertions shift every downstream byte across window boundaries
+    * (measured round 6: minimum pairwise hamming 9 of 63 > the 6
+    * threshold; a shift-robust histogram hash was tried and rejected —
+    * it collapses the distance distribution and matches hundreds of
+    * false pairs). The deterministic twins above plant exactly the noise
+    * class the hash IS built for, so the gate exercises the full
+    * band-join + verify dataflow on non-empty output while the corpus
+    * result stays honest. */
   def dedupPhash(spark: SparkSession, sfDir: String): DataFrame =
-    phashPairs(phashes(spark, sfDir))
+    phashPairs(phashes2(imagesWithTwins(spark, sfDir)))
+
+  private def phashes2(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => PhashRow(r.doc_id, phashOf(r.payload)))).toDF()
+  }
+
+  /** Twin derivation as SQL: same sample, same in-place bit-4 xor. The
+    * 1-indexed perturbed positions are (k*n)//4 + 1; string rebuilt
+    * char-by-char (8 sampled rows only — O(n²) concat is irrelevant). */
+  private val twinsCtes: String = {
+    val positions = (0 until TwinFlips)
+      .map(k => s"($k*length(payload))//$TwinFlips + 1").mkString("[", ", ", "]")
+    s"""samp AS (
+       |  SELECT doc_id, payload FROM imgs
+       |  ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id LIMIT $TwinSampleN),
+       |twins AS (
+       |  SELECT doc_id + $TwinIdOffset AS doc_id,
+       |    CASE WHEN length(payload) = 0 THEN payload ELSE
+       |      list_reduce(list_transform(range(1, length(payload) + 1), i ->
+       |        CASE WHEN list_contains($positions, i)
+       |             THEN chr(CAST(xor(ascii(substr(payload, CAST(i AS INTEGER), 1)), 16) AS INTEGER))
+       |             ELSE substr(payload, CAST(i AS INTEGER), 1) END),
+       |        (a, b) -> a || b) END AS payload
+       |  FROM samp),
+       |allimgs AS (
+       |  SELECT doc_id, payload FROM imgs
+       |  UNION ALL SELECT doc_id, payload FROM twins)""".stripMargin
+  }
 
   val dedupPhashSql: String =
-    s"""WITH $phashSqlCtes,
+    s"""WITH $imgsCtes,
+       |$twinsCtes,
+       |${phashCtesOver("allimgs")},
        |bands AS (
        |  SELECT doc_id, phash, b,
        |    (phash // (1::BIGINT << CAST(b * $PhashBandBits AS INTEGER))) % ${1 << PhashBandBits} AS bv

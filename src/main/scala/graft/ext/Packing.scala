@@ -82,6 +82,10 @@ object Packing {
         Hashing.idHash(col("doc_id")).as("k"))
     val nTok = if (capAtBudget) least(col("raw_tok"), lit(Budget))
                else col("raw_tok")
+    // Second consumer of `documents` (the corpus count), the same
+    // multi-consumer shape as q15/tfidf — acceptable here because column
+    // pruning makes the count branch a metadata-only scan (zero data
+    // columns read), so there is no duplicated tokenize work to cut.
     val n = raw.agg(count(lit(1)).as("n"))
     raw.crossJoin(broadcast(n))
       .select(col("doc_id"), nTok.as("n_tok"), col("k"),

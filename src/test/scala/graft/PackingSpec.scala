@@ -71,6 +71,10 @@ class PackingSpec extends SparkSpec {
 
   test("pack assignment is partition-invariant (4 vs 2 shuffle partitions)") {
     val a = pack.orderBy("doc_id").collect().toSeq
+    // Materialize the cached frame BEFORE switching the conf — when this
+    // test runs in isolation a lazy cache would otherwise first fill at 2
+    // partitions, making the c1-vs-c2 comparison vacuously 2-vs-2.
+    chunked.count()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
