@@ -336,6 +336,161 @@ object Multimodal {
        |FROM d""".stripMargin
   }
 
+  // ------------------------------------------------------ real BMP codec
+
+  /** Second real decoder for a public, dependency-free byte layout:
+    * uncompressed 24-bit Windows BMP (BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, BGR byte order, rows stored bottom-up and padded
+    * to 4-byte boundaries — all of which [[decode]] must undo, and a
+    * golden byte fixture in MultimodalSpec pins so a symmetric
+    * encode/decode bug cannot cancel out). With [[PpmCodec]] this makes
+    * the codec boundary two-real-formats wide; [[FakeCodec]] remains
+    * only for formats whose codecs aren't in this container. */
+  object BmpCodec {
+    /** Decoded image: RGB, row-major, top-down (the natural order —
+      * file-layout quirks are the codec's job to hide). */
+    case class BmpImage(width: Int, height: Int, pixels: Array[Byte])
+
+    private val HeaderSize = 54 // 14 file header + 40 info header
+
+    private def rowSize(width: Int): Int = (3 * width + 3) / 4 * 4
+
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * width * height, "pixel plane size")
+      val rs = rowSize(width)
+      val out = new Array[Byte](HeaderSize + rs * height)
+      def put16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def put32(off: Int, v: Int): Unit = {
+        put16(off, v & 0xffff); put16(off + 2, (v >>> 16) & 0xffff)
+      }
+      out(0) = 'B'; out(1) = 'M'
+      put32(2, out.length)          // file size
+      put32(10, HeaderSize)         // pixel-data offset
+      put32(14, 40)                 // BITMAPINFOHEADER size
+      put32(18, width)
+      put32(22, height)             // positive = bottom-up
+      put16(26, 1)                  // planes
+      put16(28, 24)                 // bits per pixel
+      put32(30, 0)                  // BI_RGB (uncompressed)
+      put32(34, rs * height)        // image size
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val src = 3 * (y * width + x)
+          val dst = HeaderSize + (height - 1 - y) * rs + 3 * x
+          out(dst) = rgb(src + 2)     // B
+          out(dst + 1) = rgb(src + 1) // G
+          out(dst + 2) = rgb(src)     // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Parse 24-bit uncompressed BMP bytes; None on anything malformed
+      * (wrong magic, non-24bpp, compressed, negative/zero dims,
+      * truncated plane). Top-down files (negative height) are valid BMP
+      * but rejected here — the corpus writer never emits them and a
+      * silent accept would hide a row-order bug. */
+    def decode(bytes: Array[Byte]): Option[BmpImage] = {
+      def get16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def get32(off: Int): Int = get16(off) | (get16(off + 2) << 16)
+      if (bytes.length < HeaderSize || bytes(0) != 'B' || bytes(1) != 'M')
+        return None
+      val dataOff = get32(10)
+      val infoSize = get32(14)
+      val w = get32(18)
+      val h = get32(22)
+      if (infoSize < 40 || w <= 0 || h <= 0) return None
+      if (get16(26) != 1 || get16(28) != 24 || get32(30) != 0) return None
+      val rs = rowSize(w)
+      if (dataOff < HeaderSize ||
+          bytes.length.toLong < dataOff.toLong + rs.toLong * h) return None
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val src = dataOff + (h - 1 - y) * rs + 3 * x
+          val dst = 3 * (y * w + x)
+          rgb(dst) = bytes(src + 2)     // R
+          rgb(dst + 1) = bytes(src + 1) // G
+          rgb(dst + 2) = bytes(src)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Some(BmpImage(w, h, rgb))
+    }
+  }
+
+  /** Decoded BMP stats: dimensions as parsed, exact channel sums, and a
+    * position-weighted sum (Σ j·plane[j] over the decoded top-down RGB
+    * plane) — channel sums alone are row-order-invariant, so `wsum` is
+    * what catches a bottom-up flip the decoder forgot to undo. */
+  case class BmpDecoded(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** Encode→decode round trip with the REAL BMP codec, same contract as
+    * [[decodePpm]]: the oracle recomputes the stats from the raw text,
+    * so any padding/BGR/row-order parse bug hash-mismatches. */
+  def decodeBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 2 + (id % 5).toInt
+          val h = 2 + (id % 4).toInt
+          val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+          val img = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+            .getOrElse(sys.error(s"round-trip decode failed for doc $id"))
+          var r = 0L; var g = 0L; var b = 0L; var ws = 0L
+          var j = 0
+          while (j < img.pixels.length) {
+            val v = img.pixels(j) & 0xffL
+            (j % 3: @unchecked) match {
+              case 0 => r += v
+              case 1 => g += v
+              case 2 => b += v
+            }
+            ws += j * v
+            j += 1
+          }
+          BmpDecoded(id, img.width.toLong, img.height.toLong, r, g, b, ws)
+        }
+      }
+      .toDF()
+  }
+
+  /** Same ASCII-corpus byte==char assumption as [[decodePpmSql]]. */
+  val decodeBmpSql: String = {
+    def pix(idx: String): String =
+      s"CAST(ascii(substr(text, CAST(($idx) % len AS INTEGER) + 1, 1)) AS BIGINT)"
+    def chanSum(off: Int): String =
+      s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, w*h), " +
+        s"p -> ${pix(s"3*p + $off")}))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    2 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  ${chanSum(0)} AS sum_r,
+       |  ${chanSum(1)} AS sum_g,
+       |  ${chanSum(2)} AS sum_b,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, 3*w*h),
+       |    j -> j * ${pix("j")}))) AS BIGINT) AS wsum
+       |FROM d""".stripMargin
+  }
+
   // ------------------------------------------------- perceptual hashing
 
   /** Perceptual-hash bit width. 63 (not 64) so the sign bit is never
@@ -540,19 +695,91 @@ object Multimodal {
        |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashHammingMax""".stripMargin
 
+  /** phashOf at its REAL semantics: the payload is rendered to an RGB
+    * image, round-tripped through the real [[BmpCodec]], reduced to an
+    * integer luma plane (BT.601 weights 299/587/114 under integer
+    * division), and hashed on THAT — the decoded-luma path an image
+    * pipeline would run, not the raw-byte stand-in. Still one
+    * partition-local pass per row. */
+  def phashLuma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image" && length(col("payload")) > 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val tb = r.payload
+          val w = 4 + (r.doc_id % 5).toInt
+          val h = 4 + (r.doc_id % 3).toInt
+          val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+          val img = BmpCodec.decode(BmpCodec.encode(w, h, rgb))
+            .getOrElse(sys.error(s"round-trip decode failed for doc ${r.doc_id}"))
+          val luma = Array.tabulate(img.width * img.height) { p =>
+            val red = img.pixels(3 * p) & 0xff
+            val grn = img.pixels(3 * p + 1) & 0xff
+            val blu = img.pixels(3 * p + 2) & 0xff
+            ((299 * red + 587 * grn + 114 * blu) / 1000).toByte
+          }
+          PhashRow(r.doc_id, phashOf(luma))
+        }
+      }
+      .toDF()
+  }
+
+  /** [[phashCtesOver]] generalized to a CTE exposing (doc_id, vals
+    * LIST<BIGINT>) — same window fold, list indexing instead of
+    * substr. */
+  private def phashListCtesOver(src: String): String = {
+    val winSum = s"list_sum(list_prepend(0::BIGINT, list_transform(" +
+      s"range((w*n)//$PhashBits + 1, ((w+1)*n)//$PhashBits + 1), " +
+      s"i -> vals[CAST(i AS INTEGER)])))"
+    s"""nb AS (
+       |  SELECT doc_id, vals, CAST(len(vals) AS BIGINT) AS n,
+       |    CAST(list_sum(list_prepend(0::BIGINT, vals)) AS BIGINT) AS total
+       |  FROM $src),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, $PhashBits), w ->
+       |      CASE WHEN $winSum * n > total * (((w+1)*n)//$PhashBits - (w*n)//$PhashBits)
+       |           THEN (1::BIGINT << CAST(w AS INTEGER)) ELSE 0::BIGINT END))) AS BIGINT)
+       |      AS phash
+       |  FROM nb)""".stripMargin
+  }
+
+  val phashLumaSql: String = {
+    def pix(idx: String): String =
+      s"ascii(substr(payload, CAST(($idx) % len AS INTEGER) + 1, 1))"
+    s"""WITH $imgsCtes,
+       |dim AS (
+       |  SELECT doc_id, payload, CAST(length(payload) AS BIGINT) AS len,
+       |    4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+       |  FROM imgs WHERE length(payload) > 0),
+       |lum AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, w*h), p -> CAST(
+       |      (299*${pix("3*p")} + 587*${pix("3*p + 1")} + 114*${pix("3*p + 2")}) // 1000
+       |      AS BIGINT)) AS vals
+       |  FROM dim),
+       |${phashListCtesOver("lum")}
+       |SELECT doc_id, phash FROM ph""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (mediaMeta _),
     "multimodal_frames" -> (frameSamples _),
     "multimodal_resize" -> (resizeFeatures _),
     "multimodal_phash" -> (phashes _),
+    "multimodal_phash_luma" -> (phashLuma _),
     "dedup_phash" -> (dedupPhash _),
-    "multimodal_decode_ppm" -> (decodePpm _))
+    "multimodal_decode_ppm" -> (decodePpm _),
+    "multimodal_decode_bmp" -> (decodeBmp _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> mediaMetaSql,
     "multimodal_frames" -> frameSamplesSql,
     "multimodal_resize" -> resizeFeaturesSql,
     "multimodal_phash" -> phashesSql,
+    "multimodal_phash_luma" -> phashLumaSql,
     "dedup_phash" -> dedupPhashSql,
-    "multimodal_decode_ppm" -> decodePpmSql)
+    "multimodal_decode_ppm" -> decodePpmSql,
+    "multimodal_decode_bmp" -> decodeBmpSql)
 }

@@ -31,6 +31,20 @@ object Streaming {
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt-").toString
 
+  /** Fixed streaming-engine overhead (query planning/start, state-store
+    * provider setup, source listing — everything OUTSIDE the per-batch
+    * `triggerExecution` spans) accumulated since the last reset. Bench
+    * resets this per rep and reports it as `stream_init`, separate from
+    * the per-query plan cost: this dataflow cost is constant per stream
+    * start (NOT per row — at 100 TB a stream starts once and runs for
+    * months) and its 1.5–2× run-to-run wobble was the dominant noise in
+    * the streaming medians. */
+  @volatile private var initAccum = 0.0
+  def resetInitCost(): Unit = synchronized { initAccum = 0.0 }
+  def initCost: Double = initAccum
+  private def recordInit(s: Double): Unit =
+    synchronized { initAccum += math.max(s, 0.0) }
+
   /** Run a streaming frame to completion through a parquet sink and
     * read the result back as a batch frame.
     *
@@ -69,6 +83,7 @@ object Streaming {
       if (complete)
         (batch, _) => batch.write.mode("overwrite").parquet(s"$outDir/latest")
       else Sinks.idempotentParquet(outDir)
+    val t0 = System.nanoTime()
     val q = updates.writeStream
       .foreachBatch(sink)
       .outputMode(mode)
@@ -76,6 +91,14 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Engine-init = wall time minus the per-batch triggerExecution spans
+    // (which carry the actual plan + state-store work).
+    val wall = (System.nanoTime() - t0) / 1e9
+    val batchSecs = q.recentProgress.iterator.map { p =>
+      val d = p.durationMs.get("triggerExecution")
+      if (d == null) 0L else d.longValue
+    }.sum / 1000.0
+    recordInit(wall - batchSecs)
     // A source with zero rows can legitimately produce zero batches —
     // the sink dir is then empty and read.parquet cannot infer a
     // schema. "No data yet" is an empty result, not an error.

@@ -108,6 +108,96 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.PpmCodec.decode("JFIF".getBytes).isEmpty)
   }
 
+  test("BmpCodec: golden byte fixture pins BGR order, bottom-up rows, padding") {
+    // 2×2 RGB image, row-major top-down:
+    //   (10,20,30) (40,50,60)
+    //   (70,80,90) (100,110,120)
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val bytes = Multimodal.BmpCodec.encode(2, 2, rgb)
+    // Hand-derived layout: 54-byte header, rowSize = (3*2+3)/4*4 = 8
+    // (2 pad bytes per row), BOTTOM row first, each pixel B,G,R.
+    assert(bytes.length == 54 + 8 * 2)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    def get32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    assert(get32(2) == bytes.length && get32(10) == 54)
+    assert(get32(18) == 2 && get32(22) == 2)
+    assert((bytes(28) & 0xff) == 24 && get32(30) == 0)
+    val plane = bytes.drop(54).toSeq
+    assert(plane == Seq[Byte](
+      90, 80, 70, 120, 110, 100, 0, 0, // bottom row (y=1), BGR + 2 pad
+      30, 20, 10, 60, 50, 40, 0, 0))   // top row (y=0), BGR + 2 pad
+    // Decode of the fixture restores the original top-down RGB exactly.
+    val img = Multimodal.BmpCodec.decode(bytes)
+    assert(img.isDefined)
+    assert(img.get.width == 2 && img.get.height == 2)
+    assert(img.get.pixels.toSeq == rgb.toSeq)
+  }
+
+  test("BmpCodec: rejects malformed input") {
+    val good = Multimodal.BmpCodec.encode(2, 2, new Array[Byte](12))
+    assert(Multimodal.BmpCodec.decode(good).isDefined)
+    // wrong magic
+    assert(Multimodal.BmpCodec.decode("XX".getBytes ++ good.drop(2)).isEmpty)
+    // truncated pixel data
+    assert(Multimodal.BmpCodec.decode(good.dropRight(1)).isEmpty)
+    // 8bpp (palette) rejected
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(Multimodal.BmpCodec.decode(bpp8).isEmpty)
+    // compressed (BI_RLE8) rejected
+    val rle = good.clone(); rle(30) = 1
+    assert(Multimodal.BmpCodec.decode(rle).isEmpty)
+    // empty / garbage
+    assert(Multimodal.BmpCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.BmpCodec.decode("JFIF".getBytes).isEmpty)
+  }
+
+  test("decodeBmp: wsum is position-sensitive (catches a row-order bug)") {
+    val out = Multimodal.decodeBmp(spark, sf)
+      .as[Multimodal.BmpDecoded].collect()
+    assert(out.nonEmpty)
+    out.foreach { d =>
+      assert(d.width == 2 + d.doc_id % 5 && d.height == 2 + d.doc_id % 4)
+      assert(d.sum_r > 0 && d.sum_g > 0 && d.sum_b > 0)
+    }
+    // Recompute one row's wsum from first principles and from a
+    // deliberately row-flipped plane: they must differ (h ≥ 2 and the
+    // corpus rows are not palindromic), proving the stat would catch a
+    // decoder that forgot to undo bottom-up storage.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val d0 = out.head
+    val tb = docs(d0.doc_id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val (w, h) = (d0.width.toInt, d0.height.toInt)
+    val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+    def wsumOf(plane: Array[Byte]): Long =
+      plane.zipWithIndex.map { case (v, j) => j.toLong * (v & 0xffL) }.sum
+    assert(d0.wsum == wsumOf(rgb))
+    val flipped = (0 until h).reverse.toArray
+      .flatMap(y => rgb.slice(3 * y * w, 3 * (y + 1) * w))
+    assert(wsumOf(flipped) != d0.wsum)
+  }
+
+  test("phashLuma: luma plane drives the hash; equals driver-side recompute") {
+    val got = Multimodal.phashLuma(spark, sf)
+      .as[Multimodal.PhashRow].collect().sortBy(_.doc_id)
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    got.take(16).foreach { row =>
+      val tb = docs(row.doc_id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 4 + (row.doc_id % 5).toInt
+      val h = 4 + (row.doc_id % 3).toInt
+      val luma = Array.tabulate(w * h) { p =>
+        def px(i: Int): Int = tb(i % tb.length) & 0xff
+        ((299 * px(3 * p) + 587 * px(3 * p + 1) + 114 * px(3 * p + 2)) / 1000).toByte
+      }
+      assert(row.phash == Multimodal.phashOf(luma),
+        s"luma phash mismatch for doc ${row.doc_id}")
+    }
+  }
+
   test("decodePpm: header fields come from the parse, sums from the plane") {
     val out = Multimodal.decodePpm(spark, sf)
       .as[Multimodal.PpmDecoded].collect()
