@@ -24,7 +24,7 @@ object SparkEntry {
       ext.Relational.queries ++ ext.AsOf.queries ++
       ext.RangeJoin.queries ++ ext.Sketches.queries ++
       ext.Components.queries ++ ext.Packing.queries ++
-      ext.Incremental.queries ++
+      ext.Incremental.queries ++ ext.Quality.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -53,7 +53,7 @@ object SparkEntry {
       ext.Relational.oracles ++ ext.AsOf.oracles ++
       ext.RangeJoin.oracles ++ ext.Sketches.oracles ++
       ext.Components.oracles ++ ext.Packing.oracles ++
-      ext.Incremental.oracles ++ Map(
+      ext.Incremental.oracles ++ ext.Quality.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Repetition / quality-rule filters for a training-data pipeline — the
+  * Gopher-style (Rae et al. 2021, "Scaling Language Models") document
+  * quality heuristics: repetition signals (top-unigram share, duplicate
+  * token fraction, duplicate 2-gram fraction) and hard rule flags
+  * (word-count bounds, mean-word-length window, repetition caps)
+  * combined into a keep/drop decision.
+  *
+  * Scale shape: tokenization is one pass; the unigram and 2-gram
+  * frequency tables are map-side-combinable `groupBy(doc_id, gram)`
+  * aggregations (the classic wordcount shuffle, keyed so partial
+  * aggregation collapses each doc's repeats before the exchange); the
+  * per-doc rollups and the final join are all keyed by doc_id. Nothing
+  * is all-pairs, nothing collects to the driver, and the token frame is
+  * lineage-cut so the corpus is scanned + tokenized exactly ONCE for
+  * both branches (the q15/tfidf multi-consumer lesson — column pruning
+  * would otherwise defeat ReuseExchange and re-run the scan).
+  *
+  * Determinism: every metric is an exact integer count or a fixed-shape
+  * double division of exact integers; rule flags compare via integer
+  * cross-multiplication (`top_tf * 1000 <= 120 * n_tokens`), so no
+  * float rounding can flip a flag between engines.
+  */
+object Quality {
+
+  /** Rule thresholds (documented against the synthetic corpus so both
+    * pass and fail classes are non-empty at every SF — a gate where
+    * every doc passes would be vacuous): at sf0.01, n_words<30 fails
+    * 106/500, top-share>120 permille fails 90/500, the [4.0, 5.0]
+    * mean-word-length window splits the observed 3.7..5.3 range, and
+    * dup-2gram>80 permille splits the observed 0..133. */
+  private val MinWords = 30
+  private val MeanWordLenLoX10 = 40
+  private val MeanWordLenHiX10 = 50
+  private val TopSharePermille = 120
+  private val Dup2gramPermille = 80
+
+  /** Per-doc token/2-gram frequency stats — the shared base of both
+    * gated queries: (doc_id, n_tokens, n_distinct, top_tf, n_2grams,
+    * n_distinct_2g, sum_word_len).
+    *
+    * The words frame is localCheckpoint'd: it feeds THREE consumers
+    * (unigram branch, 2-gram branch, per-doc word-length sums) whose
+    * pruned subtrees differ, so without the cut the scan+tokenize would
+    * run three times. */
+  private def statsFrame(spark: SparkSession, sfDir: String): DataFrame =
+    statsOf(Tables.documents(spark, sfDir))
+
+  /** [[statsFrame]] over an explicit (doc_id, text) frame — the planted-
+    * document seam QualitySpec drives. */
+  private[graft] def statsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions._
+    // Planted frames arrive without going through Tables (which is what
+    // normally registers the kernel functions) — idempotent re-register.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ws = docs
+      .select(col("doc_id"),
+        graft.engine.Tokenizer.tokens(lower(col("text")),
+          TextAnalysis.LowerWordPattern).as("ws"),
+        letterCount(col("text")).as("sum_word_len"))
+      .localCheckpoint()
+    val uni = ws.select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+    // 2-grams of adjacent words; every corpus doc has >= 10 words so the
+    // size guard only protects degenerate inputs from a descending
+    // sequence(1, 0) fan-out.
+    val grams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array())
+    val bi = ws.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_distinct_2g"))
+    uni.join(bi, Seq("doc_id"))
+      .join(ws.select(col("doc_id"), col("sum_word_len")), Seq("doc_id"))
+  }
+
+  /** Shared oracle CTE chain mirroring [[statsFrame]]: exposes `stats`
+    * (doc_id, n_tokens, n_distinct, top_tf, n_2grams, n_distinct_2g,
+    * sum_word_len). */
+  private val statsSqlCtes: String = {
+    val words =
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')"
+    s"""w AS (SELECT doc_id, $words AS ws,
+       |  CAST(list_sum(list_prepend(0::BIGINT,
+       |    list_transform($words, x -> CAST(length(x) AS BIGINT)))) AS BIGINT)
+       |    AS sum_word_len
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |uni AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(MAX(tf) AS BIGINT) AS top_tf
+       |  FROM tf GROUP BY 1),
+       |g2 AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+       |  FROM w),
+       |gf AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |bi AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_2g
+       |  FROM gf GROUP BY 1),
+       |stats AS (
+       |  SELECT doc_id, n_tokens, n_distinct, top_tf, n_2grams,
+       |    n_distinct_2g, sum_word_len
+       |  FROM uni JOIN bi USING (doc_id)
+       |  JOIN (SELECT doc_id, sum_word_len FROM w) USING (doc_id))""".stripMargin
+  }
+
+  /** Gopher-style repetition report: exact counts + fixed-shape double
+    * fractions per doc. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    statsFrame(spark, sfDir).select(
+      col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tf"),
+      col("n_2grams"), col("n_distinct_2g"),
+      ((col("n_tokens") - col("n_distinct")).cast("double") /
+        col("n_tokens").cast("double")).as("dup_token_frac"),
+      (col("top_tf").cast("double") / col("n_tokens").cast("double"))
+        .as("top_share"),
+      ((col("n_2grams") - col("n_distinct_2g")).cast("double") /
+        col("n_2grams").cast("double")).as("dup_2gram_frac"))
+
+  val repetitionSql: String =
+    s"""WITH $statsSqlCtes
+       |SELECT doc_id, n_tokens, n_distinct, top_tf, n_2grams, n_distinct_2g,
+       |  CAST(n_tokens - n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+       |  CAST(top_tf AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS top_share,
+       |  CAST(n_2grams - n_distinct_2g AS DOUBLE)/CAST(n_2grams AS DOUBLE) AS dup_2gram_frac
+       |FROM stats""".stripMargin
+
+  /** Hard quality rules → keep/drop. All comparisons are integer
+    * cross-multiplications (no division, no floats). */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    rulesOf(statsFrame(spark, sfDir))
+
+  private[graft] def rulesOf(stats: DataFrame): DataFrame = {
+    val passN = col("n_tokens") >= MinWords
+    val passWl =
+      col("sum_word_len") * 10 >= col("n_tokens") * MeanWordLenLoX10 &&
+        col("sum_word_len") * 10 <= col("n_tokens") * MeanWordLenHiX10
+    val passTop = col("top_tf") * 1000 <= col("n_tokens") * TopSharePermille
+    val pass2g = (col("n_2grams") - col("n_distinct_2g")) * 1000 <=
+      col("n_2grams") * Dup2gramPermille
+    stats.select(
+      col("doc_id"), col("n_tokens").as("n_words"),
+      passN.as("pass_n_words"), passWl.as("pass_word_len"),
+      passTop.as("pass_top_share"), pass2g.as("pass_dup_2gram"),
+      (passN && passWl && passTop && pass2g).as("keep"))
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH $statsSqlCtes
+       |SELECT doc_id, n_tokens AS n_words,
+       |  n_tokens >= $MinWords AS pass_n_words,
+       |  sum_word_len*10 >= n_tokens*$MeanWordLenLoX10
+       |    AND sum_word_len*10 <= n_tokens*$MeanWordLenHiX10 AS pass_word_len,
+       |  top_tf*1000 <= n_tokens*$TopSharePermille AS pass_top_share,
+       |  (n_2grams - n_distinct_2g)*1000 <= n_2grams*$Dup2gramPermille AS pass_dup_2gram,
+       |  (n_tokens >= $MinWords)
+       |    AND (sum_word_len*10 >= n_tokens*$MeanWordLenLoX10
+       |         AND sum_word_len*10 <= n_tokens*$MeanWordLenHiX10)
+       |    AND (top_tf*1000 <= n_tokens*$TopSharePermille)
+       |    AND ((n_2grams - n_distinct_2g)*1000 <= n_2grams*$Dup2gramPermille)
+       |    AS keep
+       |FROM stats""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_repetition" -> (repetition _),
+    "quality_gopher_rules" -> (gopherRules _))
+
+  val oracles: Map[String, String] = Map(
+    "quality_repetition" -> repetitionSql,
+    "quality_gopher_rules" -> gopherRulesSql)
+}
