@@ -98,4 +98,15 @@ object Hashing {
     s"list_distinct(list_transform(range(0, greatest(len($whsExpr) - ${k - 1}, 0)), " +
       s"i -> list_reduce(list_prepend(0::BIGINT, list_slice($whsExpr, i + 1, i + $k)), " +
       s"(a, b) -> (a*1000003 + b) % 2147483647)))"
+
+  /** Positional k-word span hashes: [[shingleHashesSql]] without the
+    * distinct — multiplicity and order preserved (mirrors the native
+    * spanHashes kernel). */
+  def spanHashes(whs: Column, k: Int): Column =
+    graft.functions.GraftFunctions.spanHashes(whs, k)
+
+  def spanHashesSql(whsExpr: String, k: Int): String =
+    s"list_transform(range(0, greatest(len($whsExpr) - ${k - 1}, 0)), " +
+      s"i -> list_reduce(list_prepend(0::BIGINT, list_slice($whsExpr, i + 1, i + $k)), " +
+      s"(a, b) -> (a*1000003 + b) % 2147483647))"
 }

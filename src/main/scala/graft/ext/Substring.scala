@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Hashing._
+
+/** Exact substring-span deduplication signals — the distributed form of
+  * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better"): find spans of K consecutive words that recur across
+  * documents, and score each document by how much of it is covered by
+  * cross-document duplicated spans.
+  *
+  * The reference algorithm builds a corpus suffix array to find
+  * arbitrary-length duplicated substrings; the scale-stable distributed
+  * approximation is fixed-K rolling-hash spans (a duplicated substring
+  * of length >= K contains a duplicated K-span, so recall at granularity
+  * K is complete — the standard trade in production pipelines).
+  *
+  * Scale shape: one corpus scan; span hashes come out of a codegen'd
+  * kernel (position order, multiplicity preserved — NOT the set-semantic
+  * shingle kernel, because occurrence counts matter here); the explode
+  * feeds a map-side-combinable groupBy(h); the per-doc coverage is one
+  * keyed join on h. Span hashes are 31-bit polynomial folds, so ~n^2/2^31
+  * accidental collisions inflate the duplicate set slightly at very large
+  * n; production would widen to 64-bit + verify-on-collision, but the
+  * 31-bit family is what the cross-engine oracle can replay exactly.
+  */
+object Substring {
+
+  /** Span length in words. On the synthetic corpus K=5 yields ~1.1k
+    * cross-doc duplicated spans at every SF (measured at sf0.001 and
+    * sf0.01) — non-vacuous but far from saturated. */
+  private val SpanK = 5
+
+  /** (doc_id, h) — one row per span occurrence. */
+  private def spans(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(spanHashes(wordHashes(col("text")), SpanK)).as("h"))
+
+  private val spansSqlCte: String =
+    s"""w AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
+       |sp AS (SELECT doc_id, unnest(${spanHashesSql("whs", SpanK)}) AS h FROM w)""".stripMargin
+
+  /** Cross-document duplicated spans: every K-word span hash occurring in
+    * >= 2 distinct documents, with its document reach, total occurrence
+    * count, and first (minimum) document. */
+  def duplicatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    spans(spark, sfDir)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  val duplicatedSpansSql: String =
+    s"""WITH $spansSqlCte
+       |SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  MIN(doc_id) AS first_doc
+       |FROM sp GROUP BY h
+       |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
+  /** Per-document duplicated-span coverage — the Lee et al. removal
+    * signal: of a doc's spans, how many are duplicated ACROSS documents
+    * (span hashes this doc shares with at least one other doc).
+    *
+    * The span frame feeds two consumers (the duplicate-hash set and the
+    * coverage join) whose pruned subtrees differ, so it is lineage-cut to
+    * keep the corpus scan + span hashing single-pass (the q15/tfidf
+    * multi-consumer lesson). */
+  def spanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = spans(spark, sfDir).localCheckpoint()
+    val dup = sp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    sp.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_span_frac"))
+  }
+
+  val spanCoverageSql: String =
+    s"""WITH $spansSqlCte,
+       |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_span_frac
+       |FROM sp LEFT JOIN dup ON sp.h = dup.h
+       |GROUP BY sp.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_spans" -> (duplicatedSpans _),
+    "dedup_substring_coverage" -> (spanCoverage _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> duplicatedSpansSql,
+    "dedup_substring_coverage" -> spanCoverageSql)
+}

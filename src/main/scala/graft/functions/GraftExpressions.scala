@@ -58,6 +58,19 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class SpanHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_span_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.spanHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.spanHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class MinHashSig(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -204,6 +217,8 @@ object GraftExpressions {
     "graft_word_hashes" -> (args => WordHashes(args.head)),
     "graft_shingle_hashes" ->
       (args => ShingleHashes(args.head, intLit(args(1), "k"))),
+    "graft_span_hashes" ->
+      (args => SpanHashes(args.head, intLit(args(1), "k"))),
     "graft_minhash_sig" -> (args => MinHashSig(args.head)),
     "graft_minhash_bands" ->
       (args => MinHashBands(args.head, intLit(args(1), "bands"))),
@@ -237,6 +252,8 @@ object GraftFunctions {
   def wordHashes(c: Column): Column = call_function("graft_word_hashes", c)
   def shingleHashes(whs: Column, k: Int): Column =
     call_function("graft_shingle_hashes", whs, lit(k))
+  def spanHashes(whs: Column, k: Int): Column =
+    call_function("graft_span_hashes", whs, lit(k))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
   def minhashBands(sig: Column, bands: Int): Column =
     call_function("graft_minhash_bands", sig, lit(bands))

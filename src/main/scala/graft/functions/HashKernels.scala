@@ -99,6 +99,26 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(arr, w + 1))
   }
 
+  /** k-word span hashes in POSITION order with multiplicity preserved —
+    * the positional twin of [[shingleHashes]] (same fold, no sort, no
+    * dedup). Element i is the hash of the span starting at word i; the
+    * substring-dedup layer counts occurrences, so repeats must survive. */
+  def spanHashes(whs: ArrayData, k: Int): ArrayData = {
+    val n = whs.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = n - k + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 1000003 + whs.getLong(i + j)) % P; j += 1 }
+      arr(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
   /** 16-permutation MinHash signature of a shingle set: one pass, no
     * shuffle (twin of explode + groupBy + 16×min). Empty input yields
     * MaxValue sentinels — callers filter size(sh) > 0 first, matching the
