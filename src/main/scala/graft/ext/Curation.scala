@@ -66,6 +66,53 @@ object Curation {
        |WHERE ($h) % 100 < $rateSql""".stripMargin
   }
 
+  /** Rebalance-to-uniform mixture sampler — the training-mix reweighting
+    * twin of [[sampleStratified]]: instead of fixed config rates, the
+    * per-source acceptance rate is COMPUTED from corpus statistics, the
+    * shape a DoReMi-style mixture pass takes when the target weights are
+    * derived rather than hand-set. The balance unit is CHAR MASS, not
+    * doc count — training mixes are planned by token/char budget (the
+    * quantity [[sourceMixture]]'s char_share reports), and the synthetic
+    * corpus's sources are exactly uniform in doc count at every SF, so a
+    * count-based gate would be vacuous (all rates 1000).
+    *
+    * rate_pm(s) = min_char_mass * 1000 div char_mass_s (integer
+    * permille; the lightest source keeps everything at 1000 — `div`
+    * floors identically in both engines). Accept iff
+    * polyHash("mix:" + doc_id) mod 1000 < rate_pm — stateless hash
+    * thresholding: no RNG state, identical under retries and
+    * re-partitioning, and each doc's fate is independent of every other
+    * doc's, so the sample composes with incremental ingestion.
+    *
+    * Scale shape: the per-source mass is a tiny map-side-combinable
+    * aggregation (O(#sources) rows); the rate frame is broadcast back
+    * onto the corpus (hinted — #sources is SF-independent); the accept
+    * test is pure map-side. One scan + one broadcast join, no
+    * corpus-sized shuffle. */
+  def sampleMixtureBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mass = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sc"))
+    val minM = mass.agg(min(col("sc")).as("mn"))
+    val rates = mass.crossJoin(minM)
+      .select(col("source"), expr("mn * 1000 div sc").as("rate_pm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(GraftFunctions.polyHash(
+        concat_ws(":", lit("mix"), col("doc_id").cast("string"))) % 1000
+        < col("rate_pm"))
+      .select(col("doc_id"), col("source"), col("rate_pm"))
+  }
+
+  val sampleMixtureBalancedSql: String = {
+    val h = Hashing.stringHashSql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sc
+       |  FROM documents GROUP BY source),
+       |m AS (SELECT MIN(sc) AS mn FROM c),
+       |r AS (SELECT source, CAST(mn * 1000 // sc AS BIGINT) AS rate_pm FROM c, m)
+       |SELECT d.doc_id, d.source, r.rate_pm
+       |FROM documents d JOIN r USING (source)
+       |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
+  }
+
   /** Per-source corpus mixture report — the audit a training-data mix
     * is planned from: docs, exact char mass, distinct languages, and
     * each source's share of the corpus by chars. One groupBy on source
@@ -212,6 +259,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_mixture_balanced" -> (sampleMixtureBalanced _),
     "source_mixture" -> (sourceMixture _),
     "corpus_profile" -> (corpusProfile _),
     "decontam_overlap" -> (decontamOverlap _))
@@ -219,6 +267,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_mixture_balanced" -> sampleMixtureBalancedSql,
     "source_mixture" -> sourceMixtureSql,
     "corpus_profile" -> corpusProfileSql,
     "decontam_overlap" -> decontamOverlapSql)

@@ -46,4 +46,33 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixture rebalance: rates derived from char mass, min source kept whole") {
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    val docs = Tables.documents(spark, sf)
+    val mass = docs.groupBy("source")
+      .agg(sqlSum(col("n_chars")).as("sc"))
+      .as[(String, Long)].collect().toMap
+    val counts = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val mn = mass.values.min
+    val kept = Curation.sampleMixtureBalanced(spark, sf)
+    val rates = kept.select("source", "rate_pm").distinct()
+      .as[(String, Long)].collect().toMap
+    rates.foreach { case (s, r) =>
+      assert(r > 0 && r <= 1000, s"$s rate $r out of range")
+      assert(r == mn * 1000 / mass(s), s"$s rate mismatch")
+    }
+    // Non-vacuous: heavier sources must get a rate strictly below 1000.
+    assert(rates.values.exists(_ < 1000), "all rates 1000 — gate vacuous")
+    val keptCounts = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // Every minimum-mass source has rate 1000 → keeps all its docs.
+    mass.filter(_._2 == mn).keys.foreach { s =>
+      assert(keptCounts.getOrElse(s, 0L) == counts(s), s"min source $s not whole")
+    }
+    keptCounts.foreach { case (s, k) =>
+      assert(k <= counts(s), s"$s kept more than it had")
+    }
+  }
 }
