@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Distributed k-means over the embedding corpus + SemDeDup-style
+  * semantic deduplication (Abbas et al. 2023: cluster the embedding
+  * space, then search for near-duplicates only WITHIN a cluster — the
+  * trick that turns an O(n^2) semantic-dedup pass into K independent
+  * cell-bounded ones).
+  *
+  * K-means, the Spark way: one Lloyd iteration is (a) a broadcast of the
+  * K centroids, (b) one map-side argmin pass over the corpus, (c) a
+  * map-side-combinable (cluster, dim) partial-sum shuffle of K*64 rows.
+  * No driver-side loops over data, no collect; iterations are a fixed
+  * small count (init -> one update -> final assignment), each a flat
+  * dataflow stage. K is constant here (oracle-replayable); production
+  * scales K with corpus size to keep cells bounded, which changes only
+  * the broadcast size, not the plan shape.
+  *
+  * Cross-engine exactness: vectors ride [[Similarity]]'s integer
+  * quantization; squared-L2 distances are exact Longs
+  * (|v|^2 + |c|^2 - 2<v,c>, argmin tie-broken by centroid id); centroid
+  * means use integer division truncating toward zero — Spark's `div`
+  * and DuckDB's `//` agree on that semantics for any sign (verified:
+  * -7//2 = -3 in both). Inertia sums fit Long up to
+  * ~7e8 vectors per cluster at this quantization; an extreme-scale
+  * deployment would widen the final sum to DECIMAL(38).
+  */
+object Clustering {
+
+  private val K = 8
+
+  /** Semantic near-dup threshold: cos >= 0.4 within a cluster (measured
+    * non-vacuous on the synthetic embeddings: ~20 pairs at sf0.001). */
+  private val SemThreshold = 0.4
+
+  private def sqDist(nrm: Column, cnrm: Column, qv: Column, cqv: Column): Column =
+    nrm + cnrm - lit(2L) * GraftFunctions.dotLong(qv, cqv)
+
+  /** One argmin-assignment pass: every vector gets the centroid of
+    * minimum squared L2 distance (ties to the smaller cid). Centroids
+    * are K rows — always broadcast. */
+  private def assign(base: DataFrame, cent: DataFrame): DataFrame = {
+    val d = sqDist(col("nrm"), col("cnrm"), col("qv"), col("cqv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), d.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), col("dist"))
+  }
+
+  /** Init centroids: the K corpus vectors of smallest idHash — the same
+    * deterministic constant-size-sample rule as the IVF quantizer. */
+  private def initCentroids(base: DataFrame): DataFrame =
+    base.orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(K)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+
+  /** Assignment against the INIT centroids (pre-update) — exposed so the
+    * spec can pin that the Lloyd step actually reduces inertia. */
+  private[graft] def initAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Similarity.quantized(spark, sfDir)
+    assign(base, initCentroids(base))
+  }
+
+  /** Final per-vector assignment after init -> one exact-integer Lloyd
+    * update: (vec_id, qv, nrm, cid, dist). */
+  private[graft] def finalAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Similarity.quantized(spark, sfDir)
+    val a1 = assign(base, initCentroids(base))
+    // Exact-integer centroid update: component-wise floor(sum/count).
+    // K*64 partial-sum rows, map-side combinable; every init centroid is
+    // itself a corpus vector, so no cluster can be empty.
+    val sums = a1.select(col("cid"), posexplode(col("qv")))
+      .toDF("cid", "d", "v")
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("v")).as("s"))
+    val cnt = a1.groupBy(col("cid")).agg(count(lit(1)).as("nv"))
+    val cent1 = sums.join(cnt, Seq("cid"))
+      .select(col("cid"), col("d"),
+        expr("s div nv").as("mv")) // trunc-toward-zero == DuckDB `//`
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mv")))),
+        x => x.getField("mv")).as("cqv"))
+      .withColumn("cnrm", GraftFunctions.dotLong(col("cqv"), col("cqv")))
+    assign(base, cent1)
+  }
+
+  /** Gated k-means report: per-cluster size and exact integer inertia
+    * after one Lloyd update. The numbers a curation pipeline watches to
+    * size its semantic-dedup cells and spot collapsed clusters. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame =
+    finalAssign(spark, sfDir)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
+
+  /** SemDeDup: near-duplicate pairs (cos >= 0.4) searched only within a
+    * k-means cluster. The cluster equi-self-join bounds candidates by
+    * cell size — never corpus-quadratic; the assignment frame is
+    * lineage-cut because it feeds both sides of the self-join. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = finalAssign(spark, sfDir)
+      .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint()
+    val x = a.select(col("cid"), col("vec_id").as("vec_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val y = a.select(col("cid"), col("vec_id").as("vec_b"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val cos = GraftFunctions.dotLong(col("qa"), col("qb")).cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    x.join(y, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cid").as("cluster_id"), col("vec_a"), col("vec_b"),
+        cos.as("cos"))
+      .filter(col("cos") >= SemThreshold)
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i]*$b[i])) AS BIGINT)"
+
+  /** CTE chain ending in `a2` (vec_id, qv, nrm, cid, dist) — the final
+    * assignment both oracles read. */
+  private val assignSqlCtes: String = {
+    val idh = Hashing.idHashSql("vec_id")
+    s"""${Similarity.quantizedSqlCte},
+       |cent0 AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
+       |  ORDER BY $idh, vec_id LIMIT $K),
+       |r1 AS (SELECT vec_id, qv, nrm, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    (nrm + cnrm - 2*${dotSql("qv", "cqv")}) ASC, cid) AS rn
+       |  FROM n, cent0),
+       |a1 AS (SELECT vec_id, qv, nrm, cid FROM r1 WHERE rn = 1),
+       |sums AS (SELECT cid, d, CAST(SUM(qv[CAST(d+1 AS INTEGER)]) AS BIGINT) AS s
+       |  FROM a1, (SELECT unnest(range(0, 64)) AS d) dims GROUP BY cid, d),
+       |cnt AS (SELECT cid, COUNT(*) AS nv FROM a1 GROUP BY cid),
+       |mm AS (SELECT cid, d, CAST(s // nv AS BIGINT) AS mv
+       |  FROM sums JOIN cnt USING (cid)),
+       |cent1 AS (SELECT cid, list(mv ORDER BY d) AS cqv FROM mm GROUP BY cid),
+       |cent1n AS (SELECT cid, cqv,
+       |  CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS cnrm
+       |  FROM cent1),
+       |r2 AS (SELECT n.vec_id, n.qv, n.nrm, c.cid,
+       |  (n.nrm + c.cnrm - 2*${dotSql("n.qv", "c.cqv")}) AS dist,
+       |  row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |    (n.nrm + c.cnrm - 2*${dotSql("n.qv", "c.cqv")}) ASC, c.cid) AS rn
+       |  FROM n, cent1n c),
+       |a2 AS (SELECT vec_id, qv, nrm, cid, dist FROM r2 WHERE rn = 1)""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""WITH $assignSqlCtes
+       |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(dist) AS BIGINT) AS inertia
+       |FROM a2 GROUP BY cid""".stripMargin
+
+  val semanticDedupSql: String = {
+    val cosExpr = s"CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / " +
+      "sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))"
+    s"""WITH $assignSqlCtes
+       |SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  $cosExpr AS cos
+       |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE $cosExpr >= $SemThreshold""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_kmeans" -> (kmeans _),
+    "dedup_semantic" -> (semanticDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "embedding_kmeans" -> kmeansSql,
+    "dedup_semantic" -> semanticDedupSql)
+}

@@ -32,8 +32,10 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** (vec_id, qv: array<long>, nrm: long) */
-  private def quantized(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, qv: array<long>, nrm: long). Shared with the clustering /
+    * semantic-dedup layer ([[Clustering]]) — one quantization rule for
+    * every embedding consumer. */
+  private[ext] def quantized(spark: SparkSession, sfDir: String): DataFrame = {
     val qv = transform(col("embedding"),
       x => round(x.cast("double") * 10000).cast("long"))
     Tables.embeddings(spark, sfDir)
@@ -41,7 +43,7 @@ object Similarity {
       .withColumn("nrm", GraftFunctions.dotLong(col("qv"), col("qv")))
   }
 
-  private val quantizedSqlCte: String =
+  private[ext] val quantizedSqlCte: String =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM e)""".stripMargin
 

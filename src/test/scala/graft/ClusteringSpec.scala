@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Clustering
+
+/** K-means + SemDeDup: the Lloyd update must reduce inertia, the report
+  * must be partition-invariant, and the semantic-dedup gate must be
+  * non-vacuous with internally consistent pairs. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one Lloyd update strictly reduces total inertia") {
+    val before = Clustering.initAssign(spark, sf)
+      .agg(sum(col("dist"))).as[Long].head()
+    val after = Clustering.kmeans(spark, sf)
+      .agg(sum(col("inertia"))).as[Long].head()
+    assert(after < before, s"inertia $before -> $after did not improve")
+  }
+
+  test("cluster report: K clusters, sizes sum to corpus, inertia >= 0") {
+    val rows = Clustering.kmeans(spark, sf).collect()
+    assert(rows.length == 8)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    assert(rows.forall(_.getAs[Long]("inertia") >= 0))
+  }
+
+  test("kmeans report is shuffle-partition invariant") {
+    val a = Clustering.kmeans(spark, sf).collect().map(_.toString).sorted
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = Clustering.kmeans(spark, sf).collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("semantic dedup: non-vacuous, same-cluster, ordered, thresholded") {
+    val pairs = Clustering.semanticDedup(spark, sf).collect()
+    assert(pairs.nonEmpty, "no semantic near-dup pairs — gate vacuous")
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(pairs.forall(r => r.getAs[Double]("cos") >= 0.4))
+    // Every pair's endpoints really share the reported cluster.
+    val assignMap = Clustering.finalAssign(spark, sf)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    pairs.foreach { r =>
+      val c = r.getAs[Long]("cluster_id")
+      assert(assignMap(r.getAs[Long]("vec_a")) == c)
+      assert(assignMap(r.getAs[Long]("vec_b")) == c)
+    }
+  }
+}
