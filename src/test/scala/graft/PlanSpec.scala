@@ -203,6 +203,53 @@ class PlanSpec extends SparkSpec {
       "phash candidates must come from the band equi-join:\n" + p)
   }
 
+  test("quality stats: corpus tokenized once (ws materialized)") {
+    // The token frame feeds three consumers (unigram, 2-gram, word-length)
+    // whose pruned subtrees differ; without the lineage cut the scan+
+    // tokenize would run three times — the tfidf lesson.
+    val df = ext.Quality.repetition(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("FileScan"),
+      "documents must come from the one materialized ws frame:\n" + p)
+  }
+
+  test("substring coverage: span frame materialized once, spans scan single") {
+    val cov = ext.Substring.spanCoverage(spark, sf)
+    cov.collect()
+    val pc = plan(cov)
+    assert(!pc.contains("FileScan"),
+      "both consumers must read the checkpointed span frame:\n" + pc)
+    val ps = plan(ext.Substring.duplicatedSpans(spark, sf))
+    assert("FileScan".r.findAllIn(ps).size == 1,
+      "span table is one corpus scan + one keyed agg:\n" + ps)
+  }
+
+  test("kmeans: centroid set broadcast, never a shuffled join") {
+    val p = plan(ext.Clustering.kmeans(spark, sf))
+    // The K-row centroid frame rides a broadcast nested-loop cross (the
+    // argmin needs every (vector, centroid) pair — K is constant, so
+    // this is the correct bounded shape, unlike a corpus cartesian).
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semantic dedup: cluster equi-self-join, no cartesian") {
+    val df = ext.Clustering.semanticDedup(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the cid equi-join:\n" + p)
+  }
+
+  test("mixture rebalance: rate frame broadcast onto the corpus") {
+    val p = plan(ext.Curation.sampleMixtureBalanced(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the O(#sources) rate frame must never shuffle the corpus:\n" + p)
+  }
+
   test("kv_replay: exactly one exchange (repartition), then in-partition sort") {
     implicit val s = spark
     val p = plan(kv.KvReplay.fromEvents(spark, sf))
