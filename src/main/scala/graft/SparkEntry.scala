@@ -26,6 +26,7 @@ object SparkEntry {
       ext.Components.queries ++ ext.Packing.queries ++
       ext.Incremental.queries ++ ext.Quality.queries ++
       ext.Substring.queries ++ ext.Clustering.queries ++
+      ext.Formats.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -55,7 +56,8 @@ object SparkEntry {
       ext.RangeJoin.oracles ++ ext.Sketches.oracles ++
       ext.Components.oracles ++ ext.Packing.oracles ++
       ext.Incremental.oracles ++ ext.Quality.oracles ++
-      ext.Substring.oracles ++ ext.Clustering.oracles ++ Map(
+      ext.Substring.oracles ++ ext.Clustering.oracles ++
+      ext.Formats.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interchange-format round trips — the corpus export/import surface of
+  * a training-data pipeline. JSONL is the lingua franca of LLM corpus
+  * interchange (one JSON object per line; Spark's json source IS JSONL);
+  * CSV covers the tabular-exchange path. Each gate writes the documents
+  * table out, reads it back, and recomputes content fingerprints that
+  * the DuckDB oracle derives from the ORIGINAL parquet — any loss or
+  * corruption in the encode→decode cycle (quoting, escaping, type
+  * drift, row loss) hash-mismatches the gate.
+  *
+  * Scale shape: both writes are partition-parallel (one file per task —
+  * the lake layout), and read-back uses an EXPLICIT schema: schema
+  * inference would add a full extra pass over 100 TB and can silently
+  * drift types between exports. The fingerprint is the polyHash kernel,
+  * exact on both engines.
+  */
+object Formats {
+
+  private def scratch(sfDir: String, kind: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$kind/$sfName"
+  }
+
+  private def fingerprints(back: DataFrame): DataFrame =
+    back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      length(col("text")).cast("long").as("len_chars"),
+      Hashing.stringHash(col("text")).as("text_hash"))
+
+  /** Export the corpus as JSONL, re-import with the explicit schema,
+    * fingerprint the content. */
+  def jsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = scratch(sfDir, "jsonl")
+    docs.write.mode("overwrite").json(dir)
+    fingerprints(spark.read.schema(docs.schema).json(dir))
+  }
+
+  /** Same gate through the CSV sink/source (header + quoted text).
+    * The WRITER's ignore*WhiteSpace options default to true — i.e. the
+    * default CSV sink silently trims field edges, a lossy export no
+    * corpus pipeline should ship. Both are forced off here. */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = scratch(sfDir, "csv")
+    docs.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    fingerprints(
+      spark.read.schema(docs.schema).option("header", "true").csv(dir))
+  }
+
+  /** The oracle never sees the round trip — it fingerprints the source
+    * parquet directly, so the gate passes only if the export→import
+    * cycle is lossless. */
+  private val fingerprintsSql: String =
+    s"""SELECT doc_id, lang, source, n_chars,
+       |  CAST(length(text) AS BIGINT) AS len_chars,
+       |  ${Hashing.stringHashSql("text")} AS text_hash
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "export_jsonl_roundtrip" -> (jsonlRoundTrip _),
+    "export_csv_roundtrip" -> (csvRoundTrip _))
+
+  val oracles: Map[String, String] = Map(
+    "export_jsonl_roundtrip" -> fingerprintsSql,
+    "export_csv_roundtrip" -> fingerprintsSql)
+}

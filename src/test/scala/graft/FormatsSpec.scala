@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Interchange round trips on adversarial content: JSONL must preserve
+  * everything (JSON escapes control chars and quotes); CSV preserves
+  * everything except embedded newlines / empty strings — the documented
+  * boundary of a splittable (multiLine=false) CSV read at scale. */
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nasty = Seq(
+    (1L, "plain words"),
+    (2L, "comma, \"quoted\" text, trailing"),
+    (3L, "tab\there and\nembedded newline"),
+    (4L, "unicode é ü 中文"),
+    (5L, ""),
+    (6L, "   leading and trailing   "))
+    .toDF("doc_id", "text")
+
+  private def roundTrip(fmt: String, multiLine: Boolean = false) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-rt-$fmt").toString
+    val w = nasty.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")  // writer defaults trim —
+      .option("ignoreTrailingWhiteSpace", "false") // same fix as the gate
+    (if (fmt == "json") w.json(dir) else w.csv(dir))
+    val r = spark.read.schema(nasty.schema).option("header", "true")
+      .option("multiLine", multiLine)
+    val back = if (fmt == "json") r.json(dir) else r.csv(dir)
+    // Row-based collect: the CSV boundary cases produce NULL doc_id
+    // fragments (split rows), which a non-nullable Long encoder rejects.
+    back.collect().map(r =>
+      (if (r.isNullAt(0)) null else Long.box(r.getLong(0))) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+  }
+
+  test("JSONL round trip preserves ALL adversarial content") {
+    val back = roundTrip("json")
+    val orig = nasty.as[(Long, String)].collect().toMap
+    assert(back == orig)
+  }
+
+  test("CSV round trip: full fidelity on newline-free non-empty text") {
+    val back = roundTrip("csv")
+    val orig = nasty.as[(Long, String)].collect().toMap
+    // The splittable CSV read (multiLine=false) cannot reassemble rows
+    // whose text embeds a newline, and reads the empty string back as
+    // null — both documented boundaries of the format, not bugs in the
+    // plumbing. Everything else must round-trip exactly.
+    for (id <- Seq(1L, 2L, 4L, 6L)) assert(back(id) == orig(id), s"doc $id")
+    assert(back(5L) == null, "CSV empty-string asymmetry changed")
+  }
+
+  test("gated corpus round trips agree with the direct fingerprints") {
+    val direct = graft.ext.Formats // corpus text is newline-free ASCII
+    val a = direct.jsonlRoundTrip(spark, sf).collect().map(_.toString).sorted
+    val b = direct.csvRoundTrip(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "jsonl and csv gates disagree")
+    assert(a.length == Tables.documents(spark, sf).count())
+  }
+}
