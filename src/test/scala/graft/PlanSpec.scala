@@ -257,4 +257,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort") && !p.contains("rangepartitioning"),
       "expected partition-local sort, not a global one")
   }
+
+  test("chunking: explode+substring is pure map work — zero exchanges") {
+    val p = plan(ext.Chunking.chunkOverlap(spark, sf))
+    assert(!p.contains("Exchange"),
+      "chunking must stay shuffle-free (per-row fan-out only):\n" + p)
+    assert(p.contains("Generate explode"), p)
+  }
 }
