@@ -26,7 +26,7 @@ object SparkEntry {
       ext.Components.queries ++ ext.Packing.queries ++
       ext.Incremental.queries ++ ext.Quality.queries ++
       ext.Substring.queries ++ ext.Clustering.queries ++
-      ext.Formats.queries ++ ext.Chunking.queries ++
+      ext.Formats.queries ++ ext.Chunking.queries ++ ext.Redaction.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
@@ -57,7 +57,8 @@ object SparkEntry {
       ext.Components.oracles ++ ext.Packing.oracles ++
       ext.Incremental.oracles ++ ext.Quality.oracles ++
       ext.Substring.oracles ++ ext.Clustering.oracles ++
-      ext.Formats.oracles ++ ext.Chunking.oracles ++ Map(
+      ext.Formats.oracles ++ ext.Chunking.oracles ++
+      ext.Redaction.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,

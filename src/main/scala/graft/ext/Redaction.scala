@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PII detection + redaction — the scrubbing pass a public-web training
+  * corpus runs before anything else sees the text. Three detector
+  * classes (email, NANP-style phone, IPv4), each a plain regular
+  * expression valid in BOTH engines' regex dialects (no lookaround, no
+  * backreferences — the subset Java regex and RE2 agree on), applied as
+  * a fixed replace chain email → phone → ip.
+  *
+  * The synthetic corpus contains no PII, so the gate PLANTS it
+  * deterministically from doc_id (the dedup_phash value-noise-twin
+  * pattern): both engines derive the same augmented text, redact with
+  * the same chain, and compare match counts + a polyHash of the
+  * redacted text — a detector or replacement divergence of a single
+  * byte hash-mismatches. Docs with doc_id ∤ 3,5,7 stay clean, so the
+  * gate also proves the detectors DON'T fire on ordinary prose.
+  *
+  * Scale shape: redaction is per-row regex map work — no shuffle, no
+  * state, embarrassingly parallel, and codegen keeps the chain inside
+  * one WholeStageCodegen span. The summary rollup is a 3-row agg.
+  */
+object Redaction {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic plants: ~1/3 of docs get an email, ~1/5 a phone,
+    * ~1/7 an IPv4 (overlapping — some docs carry all three). */
+  private def augmented(docs: DataFrame): DataFrame =
+    docs.withColumn("aug", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex-"), (col("doc_id") % 7).cast("string"),
+          lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel 415-555-01"), (col("doc_id") % 10).cast("string"),
+          ((col("doc_id") + 3) % 10).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
+        .otherwise(lit(""))))
+
+  private def redactChain(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-doc detection counts + redacted-content fingerprint. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    augmented(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        length(redactChain(col("aug"))).cast("long").as("red_len"),
+        Hashing.stringHash(redactChain(col("aug"))).as("red_hash"))
+
+  /** Corpus-level audit: per detector class, docs hit + total matches. */
+  def piiSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = piiRedact(spark, sfDir)
+    def one(kind: String, c: String): DataFrame =
+      per.agg(
+        count(when(col(c) > 0, 1)).as("n_docs"),
+        sum(col(c)).as("n_matches"))
+        .select(lit(kind).as("pii_type"), col("n_docs"), col("n_matches"))
+    one("email", "n_emails")
+      .unionAll(one("phone", "n_phones"))
+      .unionAll(one("ipv4", "n_ips"))
+  }
+
+  // Oracle side: same plants, same chain, RE2 dialect. Backslashes are
+  // literal inside DuckDB single-quoted strings.
+  private val augSql: String =
+    """SELECT doc_id, text ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id ||
+      |     '@ex-' || (doc_id % 7) || '.org' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ' tel 415-555-01' ||
+      |     (doc_id % 10) || ((doc_id + 3) % 10) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || (doc_id % 256) ||
+      |     '.0.' || ((doc_id * 3) % 256) ELSE '' END) AS aug
+      |FROM documents""".stripMargin
+
+  private def redactChainSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')"
+
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(length(${redactChainSql("aug")}) AS BIGINT) AS red_len,
+       |  ${Hashing.stringHashSql(redactChainSql("aug"))} AS red_hash
+       |FROM ($augSql)""".stripMargin
+
+  val piiSummarySql: String =
+    s"""WITH per AS ($piiRedactSql)
+       |SELECT 'email' AS pii_type,
+       |  CAST(COUNT(CASE WHEN n_emails > 0 THEN 1 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_emails) AS BIGINT) AS n_matches FROM per
+       |UNION ALL
+       |SELECT 'phone', CAST(COUNT(CASE WHEN n_phones > 0 THEN 1 END) AS BIGINT),
+       |  CAST(SUM(n_phones) AS BIGINT) FROM per
+       |UNION ALL
+       |SELECT 'ipv4', CAST(COUNT(CASE WHEN n_ips > 0 THEN 1 END) AS BIGINT),
+       |  CAST(SUM(n_ips) AS BIGINT) FROM per""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> (piiRedact _),
+    "pii_summary" -> (piiSummary _))
+
+  val oracles: Map[String, String] = Map(
+    "pii_redact" -> piiRedactSql,
+    "pii_summary" -> piiSummarySql)
+}
