@@ -264,4 +264,10 @@ class PlanSpec extends SparkSpec {
       "chunking must stay shuffle-free (per-row fan-out only):\n" + p)
     assert(p.contains("Generate explode"), p)
   }
+
+  test("funnel: one user_id exchange serves windows + collapse, no self-join") {
+    val p = plan(ext.Funnel.funnelUsers(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "funnel must not expand into self-joins:\n" + p)
+  }
 }
