@@ -65,11 +65,31 @@ object Formats {
        |  ${Hashing.stringHashSql("text")} AS text_hash
        |FROM documents""".stripMargin
 
+  /** Hive-style partition layout: write the corpus partitionBy(lang),
+    * read ONE partition back. At 100 TB this is the difference between
+    * scanning the lake and scanning a directory — the filter must
+    * become a partition-pruning predicate (FormatsSpec pins the scan's
+    * partitionFilters), and the gate proves the pruned read is also
+    * CORRECT: fingerprints must match the oracle's `WHERE lang = 'en'`
+    * over the original table, so a doc routed to the wrong partition
+    * (or a type drift in the partition column) hash-mismatches. */
+  def partitionedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = scratch(sfDir, "bylang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    fingerprints(spark.read.parquet(dir).filter(col("lang") === "en"))
+  }
+
+  val partitionedScanSql: String =
+    s"$fingerprintsSql WHERE lang = 'en'"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "export_jsonl_roundtrip" -> (jsonlRoundTrip _),
-    "export_csv_roundtrip" -> (csvRoundTrip _))
+    "export_csv_roundtrip" -> (csvRoundTrip _),
+    "layout_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
     "export_jsonl_roundtrip" -> fingerprintsSql,
-    "export_csv_roundtrip" -> fingerprintsSql)
+    "export_csv_roundtrip" -> fingerprintsSql,
+    "layout_partitioned_scan" -> partitionedScanSql)
 }

@@ -51,6 +51,18 @@ class FormatsSpec extends SparkSpec {
     assert(back(5L) == null, "CSV empty-string asymmetry changed")
   }
 
+  test("partitioned layout: lang filter prunes partitions, not rows") {
+    val df = graft.ext.Formats.partitionedScan(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("(lang"),
+      "lang equality must be a partition filter:\n" + p)
+    // the data-filter slot must NOT re-test lang row-by-row (the scan
+    // prints on one line — slice out the PushedFilters segment)
+    val pushed = p.substring(p.indexOf("PushedFilters"),
+      p.indexOf("ReadSchema", p.indexOf("PushedFilters")))
+    assert(!pushed.contains("lang"), pushed)
+  }
+
   test("gated corpus round trips agree with the direct fingerprints") {
     val direct = graft.ext.Formats // corpus text is newline-free ASCII
     val a = direct.jsonlRoundTrip(spark, sf).collect().map(_.toString).sorted
