@@ -27,7 +27,8 @@ import graft.Tables
 object Funnel {
 
   val WindowMin = 120L
-  private val WMicros = WindowMin * 60L * 1000000L
+  /** Shared with the streaming twin (graft.streaming.Streaming). */
+  private[graft] val WMicros = WindowMin * 60L * 1000000L
 
   /** Stage per user for an arbitrary events frame (user_id, event_type,
     * ts) — the reusable operator; the gates apply it to the corpus. */

@@ -600,7 +600,77 @@ object Streaming {
       .select(col("h"), col("cnt"), col("keeper"))
   }
 
+  /** Streaming twin of ext.Funnel: the windowed any-entry funnel as a
+    * per-user SEQUENTIAL STATE MACHINE — the shape funnels actually
+    * take in production streams, where events arrive over days and the
+    * batch query's whole-partition window frames don't exist. State per
+    * user is four longs: last applied ts (the §7.7.5 in-order
+    * tripwire), newest view ts, newest QUALIFIED click ts, and the
+    * stage reached. The batch query's running maxima over
+    * strict-predecessor frames collapse to exactly these scalars when
+    * events are folded in (ts, event_id) order: a click qualifies iff
+    * the NEWEST strictly-earlier view is within the window (the newest
+    * view minimizes the gap, so it decides for all views), same for
+    * purchases against qualified clicks. Stage is monotone, so the
+    * final rollup is max per user; the oracle is the batch funnel's. */
+  def funnelUpdates(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val W = graft.ext.Funnel.WMicros
+    val typed = events.select(
+      col("user_id").cast("long"),
+      col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("tsu"),
+      col("event_id").cast("long")).as[(Long, String, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          val sorted = it.toArray.sortBy(e => (e._3, e._4))
+          var (lastApplied, lastView, lastQC, stage) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, Long.MinValue, 0L))
+          if (sorted.nonEmpty && sorted.head._3 < lastApplied)
+            throw new IllegalStateException(
+              s"funnelUpdates: out-of-order event for user $uid: " +
+                s"incoming ts ${sorted.head._3} < last applied $lastApplied; " +
+                "use an event-time/watermarked variant for this source")
+          var applied = 0L
+          sorted.foreach { case (_, tpe, tsu, _) =>
+            tpe match {
+              case "view" =>
+                if (tsu > lastView) lastView = tsu
+                if (stage < 1L) stage = 1L
+              case "click" =>
+                if (lastView != Long.MinValue && tsu > lastView &&
+                    tsu - lastView <= W) {
+                  if (tsu > lastQC) lastQC = tsu
+                  if (stage < 2L) stage = 2L
+                }
+              case "purchase" =>
+                if (lastQC != Long.MinValue && tsu > lastQC &&
+                    tsu - lastQC <= W) {
+                  if (stage < 3L) stage = 3L
+                }
+              case _ => ()
+            }
+            lastApplied = tsu
+            applied += 1
+          }
+          state.update((lastApplied, lastView, lastQC, stage))
+          (uid, stage, applied)
+      }
+      .toDF("user_id", "stage", "applied")
+  }
+
+  /** Driver-gated entry; oracle = the batch funnel-users oracle. */
+  def funnelStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(funnelUpdates(eventStream(spark, sfDir)),
+      OutputMode.Update(), "funnel")
+      .groupBy("user_id")
+      .agg(max(col("stage")).as("stage"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stream_funnel" -> (funnelStream _),
     "dedup_exact_stream" -> (dedupExactStream _),
     "events_stream_windowed_agg" -> (windowedAgg _),
     "kv_replay_stream" -> (kvReplayStream _),
@@ -612,6 +682,7 @@ object Streaming {
     "events_stream_windowed_append" -> (windowedAppendStream _))
 
   val oracles: Map[String, String] = Map(
+    "events_stream_funnel" -> graft.ext.Funnel.funnelUsersSql,
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
     "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,
     "kv_replay_stream" -> graft.kv.KvReplay.oracleSql,

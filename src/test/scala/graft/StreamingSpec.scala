@@ -377,6 +377,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("a", "xy")))
   }
 
+  test("streaming funnel state machine equals the batch funnel, multi-batch") {
+    import java.sql.Timestamp
+    def mts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // FunnelSpec's boundary cases, split in TIME so stage transitions
+    // cross the batch boundary (view/click in batch 1, purchase later).
+    val rows = Seq(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 90),
+      (2L, "click", 1), (2L, "view", 2), (2L, "purchase", 70),
+      (3L, "view", 1), (3L, "purchase", 2), (3L, "click", 65),
+      (4L, "error", 1),
+      (9L, "view", 1), (9L, "click", 125),
+      (10L, "view", 1), (10L, "click", 50), (10L, "purchase", 165),
+      (11L, "view", 1), (11L, "view", 100), (11L, "click", 130))
+      .zipWithIndex
+      .map { case ((u, t, m), i) => (i.toLong, u, t, mts(m)) }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val src = Files.createTempDirectory("graft-funnel-stream-").toString
+    ev.filter(col("ts") <= mts(60)).coalesce(1).write.parquet(s"$src/part=0")
+    ev.filter(col("ts") > mts(60)).coalesce(1).write.parquet(s"$src/part=1")
+    val all = spark.read.parquet(s"$src/part=*").drop("part")
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/part=*")
+    val q = Streaming.funnelUpdates(stream)
+      .writeStream.format("memory").queryName("funnel_spec_updates")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val updates = spark.table("funnel_spec_updates")
+    // Multi-batch really happened: users updated in both batches exist.
+    assert(updates.groupBy("user_id").count()
+      .filter(col("count") > 1).count() > 0)
+    val streamed = updates.groupBy("user_id")
+      .agg(max(col("stage")).as("stage"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ext.Funnel.stagesOf(all)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    // and the cross-batch chains landed where the semantics say
+    assert(batch(10L) == 3L && batch(9L) == 1L && batch(11L) == 2L)
+  }
+
   test("gated streaming queries equal their batch twins at sf0.001") {
     // hour is timestamp_ntz → compare canonical row strings, not encoders.
     val streamWin = Streaming.windowedAgg(spark, sf)
