@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew mitigation for shuffled equi-joins at scale.
   *
@@ -31,4 +33,33 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Gated end-to-end use: per-nation order revenue computed THROUGH
+    * the salted join (orders fact × customer build on custkey, 8
+    * salts), against an oracle that joins plain — the invariant that
+    * makes salting deployable is that it never changes the result set,
+    * and this proves it on real data, not just the spec's fixture.
+    * Money follows the integer-cents rule (Events.centsSum). */
+  def saltedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val build = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    saltedJoin(fact, build, "custkey", 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Events.centsSum(col("o_totalprice")).as("revenue"))
+  }
+
+  val saltedRevenueSql: String =
+    s"""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Events.centsSumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_revenue" -> (saltedRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "join_salted_revenue" -> saltedRevenueSql)
 }
