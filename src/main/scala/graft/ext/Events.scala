@@ -112,6 +112,59 @@ object Events {
       |FROM spine s CROSS JOIN types t
       |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type""".stripMargin
 
+  /** Trailing z-score anomaly scan over the gap-filled hourly series —
+    * the ops-dashboard query ("is this hour's volume abnormal vs the
+    * last day?"). The moments are kept INTEGER for as long as possible:
+    * s1 = Σcnt and s2 = Σcnt² accumulate exactly over the 24-row
+    * trailing frame, variance = (24·s2 − s1²)/24² is derived from them
+    * in one double division, and z needs one more subtract/divide/sqrt
+    * — IEEE ops on identical inputs, so both engines produce identical
+    * bits (Welford-style running stddev would be order-dependent float
+    * folding; stddev_samp is NOT cross-engine safe). Zero-variance
+    * frames yield NULL z / false flag. Only full 24-hour frames are
+    * scored, skipping ragged leading edges. s1² stays in Long up to
+    * ~4·10⁸ events/hour; beyond that the moments widen to DECIMAL.
+    *
+    * Scale: rides the dense gapfilled spine (hours × types — tiny at
+    * any SF); the window is a bounded 24-row frame per type. */
+  def hourlyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    gapfillHourly(spark, sfDir)
+      .withColumn("n_prev", count(lit(1)).over(fr))
+      .withColumn("s1", sum(col("cnt")).over(fr))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(fr))
+      .filter(col("n_prev") === 24)
+      .withColumn("num", lit(24L) * col("s2") - col("s1") * col("s1"))
+      .withColumn("z",
+        when(col("num") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("cnt").cast("double") - col("s1").cast("double") / 24.0) /
+              sqrt(col("num").cast("double") / 576.0)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
+      .select(col("hour"), col("event_type"), col("cnt"), col("z"),
+        col("is_anomaly"))
+  }
+
+  val hourlyAnomalySql: String =
+    s"""WITH g AS ($gapfillHourlySql),
+       |w AS (SELECT hour, event_type, cnt,
+       |    COUNT(*) OVER fr AS n_prev,
+       |    SUM(cnt) OVER fr AS s1,
+       |    SUM(cnt*cnt) OVER fr AS s2
+       |  FROM g
+       |  WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       |SELECT hour, event_type, CAST(cnt AS BIGINT) AS cnt,
+       |  CASE WHEN (24*s2 - s1*s1) = 0 THEN NULL
+       |       ELSE (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE)/24.0)
+       |            / sqrt(CAST(24*s2 - s1*s1 AS DOUBLE)/576.0) END AS z,
+       |  COALESCE(abs(CASE WHEN (24*s2 - s1*s1) = 0 THEN NULL
+       |       ELSE (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE)/24.0)
+       |            / sqrt(CAST(24*s2 - s1*s1 AS DOUBLE)/576.0) END) > 3.0,
+       |    FALSE) AS is_anomaly
+       |FROM w WHERE n_prev = 24""".stripMargin
+
   /** Deterministic discrete percentiles of the cents-quantized price per
     * return flag: the value at row ceil(p*n) of the sorted group —
     * explicit rank math, so both engines pick the identical element (no

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Events
+
+/** Pins the z-score algebra against a from-scratch recomputation: the
+  * gate's exactness story is integer moments + one terminal double
+  * chain, so an independent fold over the same 24 counts must land on
+  * the IDENTICAL double. */
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("z matches an independent recomputation from the raw series") {
+    val series = Events.gapfillHourly(spark, sf)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toVector).toMap
+    val got = Events.hourlyAnomaly(spark, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val hours = Events.gapfillHourly(spark, sf)
+      .select(col("hour")).distinct().orderBy(col("hour"))
+      .collect().map(_.getTimestamp(0))
+    var checked = 0
+    for ((tpe, counts) <- series; i <- 24 until counts.length) {
+      val frame = counts.slice(i - 24, i)
+      val s1 = frame.sum
+      val s2 = frame.map(c => c * c).sum
+      val num = 24L * s2 - s1 * s1
+      val expectZ =
+        if (num == 0L) None
+        else Some((counts(i).toDouble - s1.toDouble / 24.0) /
+          math.sqrt(num.toDouble / 576.0))
+      val (cnt, z, flag) = got((tpe, hours(i)))
+      assert(cnt == counts(i), s"$tpe ${hours(i)}")
+      assert(z == expectZ, s"$tpe ${hours(i)}: got $z expected $expectZ")
+      assert(flag == z.exists(v => math.abs(v) > 3.0))
+      checked += 1
+    }
+    assert(checked == got.size, "every scored row re-derived")
+  }
+}
