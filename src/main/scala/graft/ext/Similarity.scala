@@ -349,7 +349,46 @@ object Similarity {
        |FROM n JOIN embeddings e2 ON n.vec_id = e2.vec_id
        |GROUP BY e2.label""".stripMargin
 
+  /** Per-dimension feature profile — the embedding-table audit a
+    * feature store runs before anything trains on the vectors: count,
+    * exact sum / min / max, zero count, and the derived mean per
+    * dimension, all on the SHARED [[quantized]] rule so the sums are
+    * exact Longs (float sums are fold-order-dependent; the one double
+    * division at the end is deterministic). Degenerate dimensions
+    * (constant, all-zero, extreme range) show up as min==max or
+    * n_zero==n rows.
+    *
+    * Scale: posexplode fans each vector into 64 (dim, q) rows, but the
+    * groupBy(dim) partial-aggregates map-side, so the exchange carries
+    * 64 rows per partition regardless of corpus size. */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame =
+    quantized(spark, sfDir)
+      .select(posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        count(when(col("q") === 0L, 1)).as("n_zero"))
+      .withColumn("mean_q",
+        col("sum_q").cast("double") / col("n").cast("double"))
+
+  val dimStatsSql: String =
+    s"""WITH $quantizedSqlCte,
+       |u AS (SELECT unnest(qv) AS q,
+       |        unnest(generate_series(1, len(qv))) - 1 AS dim
+       |      FROM e)
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(q) AS BIGINT) AS sum_q,
+       |  MIN(q) AS min_q, MAX(q) AS max_q,
+       |  CAST(COUNT(CASE WHEN q = 0 THEN 1 END) AS BIGINT) AS n_zero,
+       |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
+       |FROM u GROUP BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_dim_stats" -> (dimStats _),
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -357,6 +396,7 @@ object Similarity {
     "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_dim_stats" -> dimStatsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "knn_lsh" -> knnLshSql,
     "knn_ivf" -> knnIvfSql,

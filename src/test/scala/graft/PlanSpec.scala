@@ -265,6 +265,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("dim stats: explode fan-out collapses map-side before the exchange") {
+    val p = plan(ext.Similarity.dimStats(spark, sf))
+    // partial + final HashAggregate around one exchange: the 64×
+    // per-vector fan-out must combine before shuffling
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Generate posexplode"), p)
+  }
+
   test("funnel: one user_id exchange serves windows + collapse, no self-join") {
     val p = plan(ext.Funnel.funnelUsers(spark, sf))
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
