@@ -53,6 +53,34 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("property: invariants hold for arbitrary lengths (scalacheck)") {
+    import org.scalacheck.Gen
+    val lens = Gen.listOfN(60, Gen.chooseNum(1, 12 * S + 17)).sample.get.distinct
+    val df = lens.zipWithIndex
+      .map { case (len, i) => (1000L + i, ("xyzq" * (len / 4 + 1)).take(len)) }
+      .toDF("doc_id", "text")
+    val rows = Chunking.chunksOf(df)
+      .select($"doc_id", $"k", $"chunk", $"len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val orig = df.as[(Long, String)].collect().toMap
+    for ((id, cs) <- byDoc) {
+      val len = cs.head._4
+      val kmax = if (len <= W) 0L else (len - W + S - 1) / S
+      assert(cs.length == kmax + 1, s"count doc $id len $len")
+      // coverage: rebuild exactly
+      val rebuilt = cs.init.map(_._3.take(S)).mkString + cs.last._3
+      assert(rebuilt == orig(id), s"coverage doc $id len $len")
+      // overlap between consecutive full-window chunks
+      for (pair <- cs.map(_._3).toSeq.sliding(2) if pair.length == 2 &&
+          pair.head.length == W)
+        assert(pair.head.takeRight(W - S) == pair(1).take(W - S),
+          s"overlap doc $id")
+      // all non-last chunks full width
+      assert(cs.init.forall(_._3.length == W), s"width doc $id len $len")
+    }
+  }
+
   test("gated frames: hash gate and stats gate reconcile on the corpus") {
     val over = Chunking.chunkOverlap(spark, sf).cache()
     val stats = Chunking.chunkStats(spark, sf)
