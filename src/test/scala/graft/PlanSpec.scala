@@ -265,6 +265,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("redaction: regex chain is pure map work — zero exchanges") {
+    val p = plan(ext.Redaction.piiRedact(spark, sf))
+    assert(!p.contains("Exchange"),
+      "redaction must stay shuffle-free:\n" + p)
+  }
+
+  test("retention: weekly dedup partial-aggregates before its exchange") {
+    val p = plan(ext.Retention.retention(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // distinct (user, wk) must partial-aggregate map-side: at least one
+    // HashAggregate pair beyond the final matrix agg
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("basket: order-keyed equi-self-join, residual < on parts, no cartesian") {
+    val p = plan(ext.Basket.copurchase(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("l_orderkey"), p)
+    // support filter runs AFTER the pair agg, not as a join condition
+    assert(p.contains("n_orders"), p)
+  }
+
   test("dim stats: explode fan-out collapses map-side before the exchange") {
     val p = plan(ext.Similarity.dimStats(spark, sf))
     // partial + final HashAggregate around one exchange: the 64×
