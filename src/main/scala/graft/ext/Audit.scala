@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality audits — the validation pass an ingest pipeline runs
+  * before promoting a snapshot.
+  *
+  * 1. [[lengthHistogram]]: log2-bucketed doc-length distribution (the
+  *    shape report a tokenizer budget is planned from). The bucket is
+  *    computed INTEGER-exactly as length(bin(n)) − 1 — both engines
+  *    print the same binary string, so no float log2 can round a
+  *    power-of-two edge differently.
+  * 2. [[integrityAudit]]: referential-integrity violation counts
+  *    across the warehouse tables (orphaned facts, dangling dims) —
+  *    each check one anti-join semi-aggregated to a single row, so the
+  *    report is O(#checks) rows at any scale. A healthy snapshot is
+  *    all zeros; the gate proves BOTH engines agree on exactly how
+  *    many violations this corpus has (zero — and the count shape
+  *    keeps the gate honest if a future fixture breaks referential
+  *    integrity on purpose).
+  * 3. [[snapshotDiff]]: the ingest diff report between a prior corpus
+  *    snapshot and the current one (replayed with the deterministic
+  *    idHash split shared with [[Incremental]]): rows added, and
+  *    rows carried over, counted from a doc_id full-outer join of
+  *    content fingerprints — ONE shuffle, the CDC summary a rolling
+  *    pipeline logs per ingest.
+  */
+object Audit {
+
+  /** Log2 histogram of document lengths: bucket b covers [2^b, 2^b+1). */
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket",
+        (length(bin(col("n_chars"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val lengthHistogramSql: String =
+    """SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Referential-integrity checks, one row per check. */
+  def integrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def violations(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      fact.select(col(factKey).as("k"))
+        .join(dim.select(col(dimKey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    violations("lineitem_order", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(violations("lineitem_part", li, "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .unionAll(violations("lineitem_supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionAll(violations("order_customer", o, "o_custkey", c, "c_custkey"))
+      .unionAll(violations("customer_nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionAll(violations("supplier_nation", s, "s_nationkey", n, "n_nationkey"))
+  }
+
+  val integrityAuditSql: String = {
+    def one(name: String, fact: String, fk: String, dim: String,
+        dk: String): String =
+      s"""SELECT '$name' AS "check", CAST(COUNT(*) AS BIGINT) AS n_violations
+         |FROM $fact WHERE $fk NOT IN (SELECT $dk FROM $dim)""".stripMargin
+    Seq(
+      one("lineitem_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("order_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** CDC summary of one ingest step: the idHash split's "old" snapshot
+    * vs the full current corpus — rows added (in new batch only) and
+    * carried (present before) with char mass per class. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        Hashing.stringHash(col("text")).as("h"))
+    val old = docs.filter(!Incremental.isNew(col("doc_id")))
+      .select(col("doc_id"), col("h").as("h_old"))
+    docs.join(old, Seq("doc_id"), "left")
+      .withColumn("class",
+        when(col("h_old").isNull, "added").otherwise("carried"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+  }
+
+  val snapshotDiffSql: String = {
+    val isOld = s"NOT ${Incremental.isNewSql("doc_id")}"
+    s"""SELECT CASE WHEN $isOld THEN 'carried' ELSE 'added' END AS "class",
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_length_histogram" -> (lengthHistogram _),
+    "integrity_audit" -> (integrityAudit _),
+    "corpus_snapshot_diff" -> (snapshotDiff _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_length_histogram" -> lengthHistogramSql,
+    "integrity_audit" -> integrityAuditSql,
+    "corpus_snapshot_diff" -> snapshotDiffSql)
+}
