@@ -72,10 +72,15 @@ object Audit {
   }
 
   val integrityAuditSql: String = {
+    // NOT EXISTS, not NOT IN: a NULL foreign key must COUNT as a
+    // violation (Spark's left_anti does), but NOT IN would evaluate it
+    // to NULL and silently count 0 — the engines would diverge exactly
+    // when integrity first breaks.
     def one(name: String, fact: String, fk: String, dim: String,
         dk: String): String =
       s"""SELECT '$name' AS "check", CAST(COUNT(*) AS BIGINT) AS n_violations
-         |FROM $fact WHERE $fk NOT IN (SELECT $dk FROM $dim)""".stripMargin
+         |FROM $fact f WHERE NOT EXISTS (
+         |  SELECT 1 FROM $dim d WHERE d.$dk = f.$fk)""".stripMargin
     Seq(
       one("lineitem_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -86,25 +91,56 @@ object Audit {
       .mkString("\nUNION ALL\n")
   }
 
-  /** CDC summary of one ingest step: the idHash split's "old" snapshot
-    * vs the full current corpus — rows added (in new batch only) and
-    * carried (present before) with char mass per class. */
+  /** CDC summary of one ingest step — the full four-class diff a
+    * rolling pipeline logs: docs ADDED (in current only), REMOVED (in
+    * the prior snapshot only), CHANGED (in both, content fingerprint
+    * differs), CARRIED (in both, identical). The two snapshots are
+    * synthesized deterministically from idHash(doc_id) so both engines
+    * replay the same scenario and every class is NON-EMPTY at every
+    * SF: prior = docs with ih%4 ≠ 0, storing a perturbed text
+    * (" [v1]" suffix) for the ih%8 == 1 slice; current = docs with
+    * ih%16 ≠ 2. The three moduli classes are pairwise disjoint, so the
+    * oracle can state the ground truth per doc arithmetically while
+    * the Spark side must EARN it through the full-outer fingerprint
+    * join — a mis-hashed text, a dropped null branch, or a wrong join
+    * side lands docs in the wrong class and hash-mismatches.
+    *
+    * Scale: one corpus-keyed full-outer join (doc_id shuffle), hashes
+    * computed map-side; the report is 4 rows. */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"),
-        Hashing.stringHash(col("text")).as("h"))
-    val old = docs.filter(!Incremental.isNew(col("doc_id")))
-      .select(col("doc_id"), col("h").as("h_old"))
-    docs.join(old, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        Hashing.idHash(col("doc_id")).as("ih"))
+    val old = docs.filter(col("ih") % 4 =!= 0)
+      .select(col("doc_id"),
+        Hashing.stringHash(
+          when(col("ih") % 8 === 1, concat(col("text"), lit(" [v1]")))
+            .otherwise(col("text"))).as("h_old"),
+        (col("n_chars") +
+          when(col("ih") % 8 === 1, 5L).otherwise(0L)).as("len_old"))
+    val cur = docs.filter(col("ih") % 16 =!= 2)
+      .select(col("doc_id"), Hashing.stringHash(col("text")).as("h_new"),
+        col("n_chars"))
+    cur.join(old, Seq("doc_id"), "full_outer")
       .withColumn("class",
-        when(col("h_old").isNull, "added").otherwise("carried"))
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("carried"))
       .groupBy(col("class"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), col("len_old"))).as("chars"))
   }
 
+  /** Ground truth per doc from the moduli alone (removed docs are never
+    * perturbed — ih%16==2 ⇒ ih%8==2 — so every class's char mass is
+    * plain n_chars). */
   val snapshotDiffSql: String = {
-    val isOld = s"NOT ${Incremental.isNewSql("doc_id")}"
-    s"""SELECT CASE WHEN $isOld THEN 'carried' ELSE 'added' END AS "class",
+    val ih = Hashing.idHashSql("doc_id")
+    s"""SELECT CASE WHEN ($ih) % 4 = 0 THEN 'added'
+       |            WHEN ($ih) % 16 = 2 THEN 'removed'
+       |            WHEN ($ih) % 8 = 1 THEN 'changed'
+       |            ELSE 'carried' END AS "class",
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS chars
        |FROM documents GROUP BY 1""".stripMargin

@@ -74,7 +74,12 @@ object Chunking {
       .join(Tables.documents(spark, sfDir).select(col("doc_id"),
         col("n_chars")), Seq("doc_id"))
       .select(col("doc_id"), col("n_chunks"), col("chunked_chars"),
-        expr("(chunked_chars - n_chars) * 10000 div n_chars").as("overhead_bp"))
+        // 0-length docs chunk to one empty chunk; their overhead is 0 by
+        // convention (DuckDB's // would raise on /0 where Spark div
+        // yields NULL — guard BOTH engines explicitly)
+        expr("CASE WHEN n_chars = 0 THEN 0L ELSE " +
+          "(chunked_chars - n_chars) * 10000 div n_chars END")
+          .as("overhead_bp"))
 
   /** Both engines share the lateral-unnest form of the window rule; the
     * oracle re-derives every chunk from the ORIGINAL text. */
@@ -100,7 +105,8 @@ object Chunking {
        |    CAST(SUM(length(chunk)) AS BIGINT) AS chunked_chars
        |  FROM ($chunkedSql) GROUP BY doc_id)
        |SELECT c.doc_id, c.n_chunks, c.chunked_chars,
-       |  CAST((c.chunked_chars - d.n_chars) * 10000 // d.n_chars AS BIGINT)
+       |  CAST(CASE WHEN d.n_chars = 0 THEN 0 ELSE
+       |    (c.chunked_chars - d.n_chars) * 10000 // d.n_chars END AS BIGINT)
        |    AS overhead_bp
        |FROM c JOIN documents d USING (doc_id)""".stripMargin
 

@@ -22,9 +22,16 @@ import graft.Tables
   */
 object Formats {
 
+  // Per-JVM unique root: a fixed shared path would let two concurrent
+  // sessions (Verify + Bench, parallel CI) overwrite each other's
+  // export mid-read and fail the gate on phantom corruption. Within
+  // one JVM reruns reuse the dir; mode("overwrite") keeps them clean.
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-roundtrip-").toString
+
   private def scratch(sfDir: String, kind: String): String = {
     val sfName = new java.io.File(sfDir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$kind/$sfName"
+    s"$scratchRoot/$kind/$sfName"
   }
 
   private def fingerprints(back: DataFrame): DataFrame =

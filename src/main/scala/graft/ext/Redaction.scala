@@ -64,18 +64,26 @@ object Redaction {
         length(redactChain(col("aug"))).cast("long").as("red_len"),
         Hashing.stringHash(redactChain(col("aug"))).as("red_hash"))
 
-  /** Corpus-level audit: per detector class, docs hit + total matches. */
-  def piiSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = piiRedact(spark, sfDir)
-    def one(kind: String, c: String): DataFrame =
-      per.agg(
-        count(when(col(c) > 0, 1)).as("n_docs"),
-        sum(col(c)).as("n_matches"))
-        .select(lit(kind).as("pii_type"), col("n_docs"), col("n_matches"))
-    one("email", "n_emails")
-      .unionAll(one("phone", "n_phones"))
-      .unionAll(one("ipv4", "n_ips"))
-  }
+  /** Corpus-level audit: per detector class, docs hit + total matches.
+    * ONE corpus scan: all six measures aggregate together, then the
+    * 1-row frame unpivots to the 3-row report (three separate aggs
+    * would re-run the plant+regex map work over the corpus per class —
+    * 3× scans at 100 TB for a 3-row answer). */
+  def piiSummary(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedact(spark, sfDir)
+      .agg(
+        count(when(col("n_emails") > 0, 1)).as("e_docs"),
+        sum(col("n_emails")).as("e_matches"),
+        count(when(col("n_phones") > 0, 1)).as("p_docs"),
+        sum(col("n_phones")).as("p_matches"),
+        count(when(col("n_ips") > 0, 1)).as("i_docs"),
+        sum(col("n_ips")).as("i_matches"))
+      .select(expr(
+        """stack(3,
+          |  'email', e_docs, e_matches,
+          |  'phone', p_docs, p_matches,
+          |  'ipv4',  i_docs, i_matches)
+          |AS (pii_type, n_docs, n_matches)""".stripMargin))
 
   // Oracle side: same plants, same chain, RE2 dialect. Backslashes are
   // literal inside DuckDB single-quoted strings.
