@@ -18,12 +18,16 @@ import graft.Tables
   * Scale shape: per iteration one join of the edge list against the
   * O(nodes) rank frame (shuffle keyed on src) and one map-side-
   * combinable sum keyed on dst — the Pregel-on-DataFrames pattern.
-  * The edge list is computed once and localCheckpointed (5 consumers;
-  * the q15 multi-consumer lineage cut), and each iteration's rank
-  * frame is checkpointed to keep the plan flat across rounds, exactly
-  * like [[Components]]' pointer-jumping. The graph is undirected
-  * (both edge directions), so every node has deg ≥ 1 and there are no
-  * dangling-mass corrections to fold in.
+  * The edge list and degree frame are computed once and
+  * localCheckpointed (K+1 consumers; the q15 multi-consumer lineage
+  * cut). The K rounds themselves stay UNROLLED in one plan: at fixed
+  * small K the 5-join tree is well within Catalyst's depth and a
+  * per-round eager checkpoint measurably hurts (3.8 s → 2.2 s at
+  * sf0.1 when removed — each checkpoint forces a blocking
+  * materialization). Checkpoint per round only when iteration depth
+  * grows with data, as in [[Components]]' O(log n) pointer-jumping.
+  * The graph is undirected (both edge directions), so every node has
+  * deg ≥ 1 and there are no dangling-mass corrections to fold in.
   */
 object PageRank {
 
@@ -47,7 +51,6 @@ object PageRank {
         .agg(sum(col("share")).as("s"))
         .select(col("dst").as("node"),
           expr(s"${Scale * 15L / 100L}L + (85L * s) div 100L").as("pr"))
-        .localCheckpoint()
     }
     pr.join(deg, pr("node") === deg("src"))
       .select(col("node").as("part"), col("deg"), col("pr"))
