@@ -58,6 +58,19 @@ object TextAnalysis {
   /** Quality scoring: stopword / punctuation / length signals combined
     * into one deterministic [0,1] score (identical expression shape in
     * the oracle, so double bits match). */
+  /** The one quality-score formula, shared by the flat gate and the
+    * per-language percentile calibration below. */
+  private def qualityScoreCol: org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions._
+    val nWords = wordCount(col("text"))
+    val stopRatio = stopwordCount(col("text"), lit("en")).cast("double") /
+      nWords.cast("double")
+    val punctRatio = punctCount(col("text")).cast("double") /
+      length(col("text")).cast("long").cast("double")
+    val lenSignal = least(lit(1.0), nWords.cast("double") / 100.0)
+    stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3 + lenSignal * 0.3
+  }
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.GraftFunctions._
     val nWords = wordCount(col("text"))
@@ -66,13 +79,56 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("long")
     val stopRatio = nStop.cast("double") / nWords.cast("double")
     val punctRatio = nPunct.cast("double") / nChars.cast("double")
-    val lenSignal = least(lit(1.0), nWords.cast("double") / 100.0)
     Tables.documents(spark, sfDir).select(
       col("doc_id"), nWords.as("n_words"), nStop.as("n_stopwords"),
       stopRatio.as("stopword_ratio"), punctRatio.as("punct_ratio"),
-      (stopRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3 + lenSignal * 0.3)
-        .as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
+
+  /** Per-LANGUAGE percentile calibration of the quality score — the
+    * step that makes one threshold comparable across languages: the
+    * raw score's scale shifts with a language's stopword list and
+    * orthography, so "drop the bottom 20%" must be a within-language
+    * rank, not a global cutoff. rank_pm = rank·1000 div n (permille,
+    * integer — no float percentile convention to disagree on), ranked
+    * by (score, doc_id) so ties break totally and both engines pick
+    * identical ranks; keep = top 80% per language.
+    *
+    * Scale shape: score is map-side kernel work in the same scan that
+    * carries lang (no self-join back to documents); ONE exchange on
+    * lang serves both window functions (rank + per-lang count). At
+    * 100 TB a single-language skew shard is the binding constraint —
+    * rank-within-lang is a sort per language partition, the same cost
+    * class as any per-key ordered window. */
+  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val ordered = byLang.orderBy(col("quality_score"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), qualityScoreCol.as("quality_score"))
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("doc_id"), col("lang"), col("rank"),
+        expr("rank * 1000 div n").as("rank_pm"),
+        (expr("rank * 1000 div n") >= 200L).as("keep"))
+  }
+
+  // lazy: textQualitySql is declared below — an eager val here would
+  // interpolate null at object-init order.
+  lazy val qualityPercentileSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, quality_score
+       |  FROM (SELECT d.lang, tq.* FROM ($textQualitySql) tq
+       |        JOIN documents d USING (doc_id))),
+       |r AS (SELECT doc_id, lang,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY quality_score, doc_id) AS BIGINT) AS rank,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM q)
+       |SELECT doc_id, lang, rank,
+       |  CAST(rank * 1000 // n AS BIGINT) AS rank_pm,
+       |  (rank * 1000 // n) >= 200 AS keep
+       |FROM r""".stripMargin
 
   private def sqlStopList(lang: String): String =
     stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
@@ -240,6 +296,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
+    "quality_percentile_rank" -> (qualityPercentile _),
     "lang_id" -> (langId _),
     "lang_id_confusion" -> (langIdConfusion _),
     "doc_fingerprint" -> (fingerprint _),
@@ -248,6 +305,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "quality_percentile_rank" -> qualityPercentileSql,
     "lang_id" -> langIdSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "doc_fingerprint" -> fingerprintSql,

@@ -265,6 +265,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("quality percentile: one lang exchange, no self-join to documents") {
+    val p = plan(ext.TextAnalysis.qualityPercentile(spark, sf))
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"),
+      "score must ride the lang-carrying scan, not join back:\n" + p)
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+  }
+
   test("redaction: regex chain is pure map work — zero exchanges") {
     val p = plan(ext.Redaction.piiRedact(spark, sf))
     assert(!p.contains("Exchange"),
