@@ -113,6 +113,40 @@ object Curation {
        |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
   }
 
+  /** Deterministic 80/10/10 train/val/test split, reported per
+    * (lang, split) — the canonical dataset-preparation op. Membership
+    * is a pure function of doc_id (polyHash mod 100: <80 train,
+    * <90 val, else test), so the three sets are EXCLUSIVE and
+    * EXHAUSTIVE by construction, stable under retries, re-partitioning
+    * and incremental ingestion (a new doc's split never depends on
+    * other docs), and reproducible by any engine that can hash. The
+    * gate reports counts + char mass per cell; splits within a
+    * language land near 80/10/10 because the hash is uniform, and the
+    * report is the artifact a dataset card quotes. Map-side classify +
+    * one tiny grouped agg. */
+  def splitReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        GraftFunctions.polyHash(
+          concat_ws(":", lit("split"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+
+  val splitReportSql: String = {
+    val h = Hashing.stringHashSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT lang,
+       |  CASE WHEN ($h) % 100 < 80 THEN 'train'
+       |       WHEN ($h) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
   /** Per-source corpus mixture report — the audit a training-data mix
     * is planned from: docs, exact char mass, distinct languages, and
     * each source's share of the corpus by chars. One groupBy on source
@@ -259,6 +293,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
+    "corpus_split_report" -> (splitReport _),
     "sample_mixture_balanced" -> (sampleMixtureBalanced _),
     "source_mixture" -> (sourceMixture _),
     "corpus_profile" -> (corpusProfile _),
@@ -267,6 +302,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "corpus_split_report" -> splitReportSql,
     "sample_mixture_balanced" -> sampleMixtureBalancedSql,
     "source_mixture" -> sourceMixtureSql,
     "corpus_profile" -> corpusProfileSql,
