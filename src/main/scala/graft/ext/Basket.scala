@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -15,25 +16,61 @@ import graft.Tables
   * and its fan-out is C(k,2) per order where k is the ORDER size —
   * bounded by the basket (≤13 items in this corpus, so ≤78 pairs),
   * never corpus-quadratic. The pair count partial-aggregates map-side.
-  * On data with unbounded mega-baskets the standard guard is to cap or
-  * salt the largest orders before pairing; this corpus needs none.
+  *
+  * Mega-basket guard (executable, not prose): real-world basket data can
+  * carry degenerate orders — a crawler session, a wholesale account —
+  * where k is unbounded and C(k,2) detonates a single task. The gated
+  * path therefore runs THROUGH [[copurchaseOf]]'s cap: each order keeps
+  * only its [[MaxBasket]] smallest part keys (a deterministic,
+  * retry-stable truncation) before pairing, so per-order fan-out is hard
+  * bounded by C(MaxBasket,2) at any scale. The documented approximation:
+  * pairs involving a truncated item are not counted — acceptable because
+  * a basket past the cap is noise for association mining, not signal
+  * (the standard practice, cf. spark.ml FPGrowth guidance on filtering
+  * pathological transactions). On sane data the cap never fires, which
+  * is exactly what the gate proves: the capped Spark result must equal
+  * the oracle's UNCAPPED pair count (the salted-join result-identity
+  * pattern). BasketSpec plants a mega-basket to prove the guard fires
+  * and produces the documented truncation.
   */
 object Basket {
 
   val MinSupport = 2L
 
+  /** Hard per-order fan-out bound: C(64,2) = 2016 pairs max per order.
+    * Corpus baskets are ≤13 items at every SF, so the gated result is
+    * provably identical to the uncapped join. */
+  val MaxBasket = 64
+
   def copurchase(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
+    copurchaseOf(li, MaxBasket, MinSupport)
+  }
+
+  /** Pair counting over an explicit (l_orderkey, l_partkey) membership
+    * frame — the seam BasketSpec drives with planted mega-baskets.
+    *
+    * The cap's row_number rides the same l_orderkey clustering the
+    * self-join shuffles on, so the guard costs no extra exchange. */
+  private[graft] def copurchaseOf(li: DataFrame, maxBasket: Int,
+      minSupport: Long): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    val capped = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBasket)
+      .select(col("l_orderkey"), col("l_partkey"))
+    capped.as("a").join(capped.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"),
         col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= MinSupport)
+      .filter(col("n_orders") >= minSupport)
   }
 
+  /** Oracle states the UNCAPPED pair count: equality with the capped
+    * Spark path proves the guard is a no-op on basket-bounded data. */
   val copurchaseSql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

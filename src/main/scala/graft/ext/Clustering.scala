@@ -74,8 +74,11 @@ object Clustering {
     val base = Similarity.quantized(spark, sfDir)
     val a1 = assign(base, initCentroids(base))
     // Exact-integer centroid update: component-wise floor(sum/count).
-    // K*64 partial-sum rows, map-side combinable; every init centroid is
-    // itself a corpus vector, so no cluster can be empty.
+    // K*64 partial-sum rows, map-side combinable. The INIT assignment
+    // cannot have empty clusters (every init centroid is itself a corpus
+    // vector, distance 0 to itself); after the update, reassignment CAN
+    // drain a cluster, so the final report may carry fewer than K rows —
+    // consumers must treat a missing cid as size 0, not assume K rows.
     val sums = a1.select(col("cid"), posexplode(col("qv")))
       .toDF("cid", "d", "v")
       .groupBy(col("cid"), col("d"))

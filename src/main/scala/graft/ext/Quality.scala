@@ -86,8 +86,21 @@ object Quality {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_2grams"),
         count(lit(1)).as("n_distinct_2g"))
-    uni.join(bi, Seq("doc_id"))
-      .join(ws.select(col("doc_id"), col("sum_word_len")), Seq("doc_id"))
+    // Drive from the per-doc frame and LEFT-join both gram branches:
+    // explode drops empty arrays, so a 0-token doc has no unigram rows
+    // and a 1-token doc no 2-gram rows — an inner join would silently
+    // omit exactly the documents the MinWords rule exists to reject.
+    // Zeroed counts flow to rulesOf as keep=false instead.
+    ws.select(col("doc_id"), col("sum_word_len"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_tf"), lit(0L)).as("top_tf"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_distinct_2g"), lit(0L)).as("n_distinct_2g"),
+        col("sum_word_len"))
   }
 
   /** Shared oracle CTE chain mirroring [[statsFrame]]: exposes `stats`
@@ -115,10 +128,16 @@ object Quality {
        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_2g
        |  FROM gf GROUP BY 1),
        |stats AS (
-       |  SELECT doc_id, n_tokens, n_distinct, top_tf, n_2grams,
-       |    n_distinct_2g, sum_word_len
-       |  FROM uni JOIN bi USING (doc_id)
-       |  JOIN (SELECT doc_id, sum_word_len FROM w) USING (doc_id))""".stripMargin
+       |  SELECT doc_id,
+       |    COALESCE(n_tokens, 0) AS n_tokens,
+       |    COALESCE(n_distinct, 0) AS n_distinct,
+       |    COALESCE(top_tf, 0) AS top_tf,
+       |    COALESCE(n_2grams, 0) AS n_2grams,
+       |    COALESCE(n_distinct_2g, 0) AS n_distinct_2g,
+       |    sum_word_len
+       |  FROM (SELECT doc_id, sum_word_len FROM w)
+       |  LEFT JOIN uni USING (doc_id)
+       |  LEFT JOIN bi USING (doc_id))""".stripMargin
   }
 
   /** Gopher-style repetition report: exact counts + fixed-shape double

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Basket
+
+/** Market-basket pairing: the mega-basket guard must fire on a planted
+  * degenerate order (hard-bounding the C(k,2) fan-out) and be a proven
+  * no-op on basket-bounded data — including the real gated corpus. */
+class BasketSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Order 1 is the mega-basket (parts 1..40); orders 2 and 3 are sane
+  // identical baskets so their pairs reach support 2.
+  private lazy val planted = (
+    (1 to 40).map(p => (1L, p.toLong)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L)) ++
+      Seq((3L, 100L), (3L, 101L), (3L, 102L))
+  ).toDF("l_orderkey", "l_partkey")
+
+  test("guard fires: mega-basket truncated to its smallest MaxBasket keys") {
+    val pairs = Basket.copurchaseOf(planted, maxBasket = 10, minSupport = 1L)
+      .collect()
+    // Order 1 contributes C(10,2) pairs over parts 1..10 only; every
+    // pair touching a truncated part (>10) from order 1 is gone.
+    val mega = pairs.filter(_.getAs[Long]("part_a") <= 40)
+      .filterNot(r => r.getAs[Long]("part_a") >= 100)
+    assert(mega.length == 45, s"expected C(10,2)=45 capped pairs, got ${mega.length}")
+    assert(mega.forall(r => r.getAs[Long]("part_b") <= 10))
+    // The sane baskets are untouched: 3 pairs at support 2.
+    val sane = pairs.filter(_.getAs[Long]("part_a") >= 100)
+    assert(sane.length == 3)
+    assert(sane.forall(_.getAs[Long]("n_orders") == 2))
+  }
+
+  test("guard is a no-op below the cap") {
+    val capped = Basket.copurchaseOf(planted, maxBasket = 64, minSupport = 1L)
+      .collect().map(_.toString).sorted
+    val uncapped = Basket.copurchaseOf(planted, maxBasket = Int.MaxValue,
+      minSupport = 1L).collect().map(_.toString).sorted
+    assert(capped.sameElements(uncapped))
+    // Full fan-out present when nothing exceeds the cap: C(40,2) + 3·2-support.
+    assert(capped.length == 780 + 3)
+  }
+
+  test("gated corpus result identical with and without the guard") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val guarded = Basket.copurchase(spark, sf).collect().map(_.toString).sorted
+    val plain = Basket.copurchaseOf(li, Int.MaxValue, Basket.MinSupport)
+      .collect().map(_.toString).sorted
+    assert(guarded.sameElements(plain),
+      "cap altered results on basket-bounded data — corpus has a mega-basket?")
+  }
+}

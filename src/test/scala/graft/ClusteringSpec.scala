@@ -18,9 +18,12 @@ class ClusteringSpec extends SparkSpec {
     assert(after < before, s"inertia $before -> $after did not improve")
   }
 
-  test("cluster report: K clusters, sizes sum to corpus, inertia >= 0") {
+  test("cluster report: <= K clusters, sizes sum to corpus, inertia >= 0") {
+    // Post-update reassignment can drain a cluster, so the report has AT
+    // MOST K rows (exactly 8 happens to hold on this corpus, but the
+    // invariant is the bound + mass conservation, not the count).
     val rows = Clustering.kmeans(spark, sf).collect()
-    assert(rows.length == 8)
+    assert(rows.length <= 8 && rows.nonEmpty)
     val total = Tables.embeddings(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
     assert(rows.forall(_.getAs[Long]("inertia") >= 0))

@@ -20,7 +20,8 @@ class QualitySpec extends SparkSpec {
   private val loopText = Seq.fill(20)("ping pong").mkString(" ")
 
   private lazy val planted = Seq(
-    (1L, cleanText), (2L, spamText), (3L, loopText))
+    (1L, cleanText), (2L, spamText), (3L, loopText),
+    (4L, "solo"), (5L, ""))
     .toDF("doc_id", "text")
 
   private lazy val stats = Quality.statsOf(planted)
@@ -54,6 +55,22 @@ class QualitySpec extends SparkSpec {
     assert(!k(2L).getAs[Boolean]("keep"))
     assert(!k(3L).getAs[Boolean]("pass_dup_2gram"))
     assert(!k(3L).getAs[Boolean]("keep"))
+  }
+
+  test("short and empty docs surface with keep=false, not silently dropped") {
+    // A 1-token doc has no 2-grams and a 0-token doc no unigrams at all;
+    // explode drops their empty arrays, so inner joins used to omit
+    // exactly the docs the MinWords rule exists to reject.
+    val r = stats.collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.contains(4L) && r.contains(5L), "short/empty docs missing from stats")
+    assert(r(4L).getAs[Long]("n_tokens") == 1)
+    assert(r(4L).getAs[Long]("n_2grams") == 0)
+    assert(r(5L).getAs[Long]("n_tokens") == 0)
+    assert(r(5L).getAs[Long]("top_tf") == 0)
+    val k = Quality.rulesOf(stats).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!k(4L).getAs[Boolean]("pass_n_words") && !k(4L).getAs[Boolean]("keep"))
+    assert(!k(5L).getAs[Boolean]("pass_n_words") && !k(5L).getAs[Boolean]("keep"))
   }
 
   test("corpus gate is non-vacuous: both keep classes present") {
