@@ -16,11 +16,15 @@ import graft.Tables
   * 2. [[integrityAudit]]: referential-integrity violation counts
   *    across the warehouse tables (orphaned facts, dangling dims) —
   *    each check one anti-join semi-aggregated to a single row, so the
-  *    report is O(#checks) rows at any scale. A healthy snapshot is
-  *    all zeros; the gate proves BOTH engines agree on exactly how
-  *    many violations this corpus has (zero — and the count shape
-  *    keeps the gate honest if a future fixture breaks referential
-  *    integrity on purpose).
+  *    report is O(#checks) rows at any scale. The corpus itself is
+  *    healthy, which would make an all-zero report vacuous (both
+  *    engines agreeing on zero proves detectors COMPILE, not that they
+  *    FIRE) — so, the pii/phash pattern: both engines deterministically
+  *    corrupt the same idHash-derived fact slices (orphaned lineitems,
+  *    orders pointing at absent customers) before checking, and must
+  *    EARN matching non-zero counts through their anti-join machinery.
+  *    The four unperturbed edges prove the detectors also stay silent
+  *    on healthy data.
   * 3. [[snapshotDiff]]: the ingest diff report between a prior corpus
   *    snapshot and the current one (replayed with the deterministic
   *    idHash split shared with [[Incremental]]): rows added, and
@@ -49,7 +53,16 @@ object Audit {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Referential-integrity checks, one row per check. */
+  /** Planted-corruption slice moduli. ~1% of lineitems get an orphaned
+    * order key and ~1% of orders a dangling customer key: non-empty at
+    * sf0.001 (≈60 / ≈15 rows) and proportionally at every SF. Negated
+    * keys (−k−1) are guaranteed absent from the dims, whose keys are
+    * positive. */
+  private val LiOrphanMod = 97L
+  private val OrdDanglingMod = 101L
+
+  /** Referential-integrity checks over the deterministically corrupted
+    * snapshot, one row per check. */
   def integrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
     def violations(name: String, fact: DataFrame, factKey: String,
         dim: DataFrame, dimKey: String): DataFrame =
@@ -57,8 +70,20 @@ object Audit {
         .join(dim.select(col(dimKey).as("k")), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check"), col("n_violations"))
+    // Corrupt the same deterministic slices the oracle does. The
+    // (l_orderkey, l_linenumber) pair identifies a lineitem row; ×8
+    // keeps the combination injective (linenumber ≤ 7).
     val li = Tables.lineitem(spark, sfDir)
+      .withColumn("l_orderkey",
+        when(Hashing.idHash(col("l_orderkey") * 8 + col("l_linenumber"))
+            % LiOrphanMod === 0,
+          -col("l_orderkey") - 1)
+          .otherwise(col("l_orderkey")))
     val o = Tables.orders(spark, sfDir)
+      .withColumn("o_custkey",
+        when(Hashing.idHash(col("o_orderkey")) % OrdDanglingMod === 0,
+          -col("o_custkey") - 1)
+          .otherwise(col("o_custkey")))
     val c = Tables.customer(spark, sfDir)
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
@@ -81,11 +106,27 @@ object Audit {
       s"""SELECT '$name' AS "check", CAST(COUNT(*) AS BIGINT) AS n_violations
          |FROM $fact f WHERE NOT EXISTS (
          |  SELECT 1 FROM $dim d WHERE d.$dk = f.$fk)""".stripMargin
-    Seq(
-      one("lineitem_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-      one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-      one("order_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    // Same deterministic corruption as the Spark side; the oracle's
+    // anti-joins then run over the corrupted CTEs, so both engines
+    // must find the planted violations the same way.
+    val liIh = Hashing.idHashSql("l_orderkey*8 + l_linenumber")
+    val ordIh = Hashing.idHashSql("o_orderkey")
+    val ctes =
+      s"""WITH lineitem_p AS (
+         |  SELECT CASE WHEN ($liIh) % $LiOrphanMod = 0
+         |              THEN -l_orderkey - 1 ELSE l_orderkey END AS l_orderkey,
+         |         l_partkey, l_suppkey
+         |  FROM lineitem),
+         |orders_p AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN ($ordIh) % $OrdDanglingMod = 0
+         |         THEN -o_custkey - 1 ELSE o_custkey END AS o_custkey
+         |  FROM orders)""".stripMargin
+    ctes + "\n" + Seq(
+      one("lineitem_order", "lineitem_p", "l_orderkey", "orders_p", "o_orderkey"),
+      one("lineitem_part", "lineitem_p", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "lineitem_p", "l_suppkey", "supplier", "s_suppkey"),
+      one("order_customer", "orders_p", "o_custkey", "customer", "c_custkey"),
       one("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
       one("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
       .mkString("\nUNION ALL\n")

@@ -109,4 +109,30 @@ object Hashing {
     s"list_transform(range(0, greatest(len($whsExpr) - ${k - 1}, 0)), " +
       s"i -> list_reduce(list_prepend(0::BIGINT, list_slice($whsExpr, i + 1, i + $k)), " +
       s"(a, b) -> (a*1000003 + b) % 2147483647))"
+
+  /** Base-37 twin of [[wordHashes]] — the independent second family the
+    * widened span hash is built from. */
+  def wordHashes37(text: Column): Column =
+    graft.functions.GraftFunctions.wordHashes37(text)
+
+  def wordHashes37Sql(e: String): String =
+    s"list_transform(list_filter(regexp_split_to_array(lower($e), '[^a-z]+'), t -> t <> ''), " +
+      s"w -> list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"regexp_extract_all(w, '[\\s\\S]'), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a*37 + b) % 2147483647))"
+
+  /** Widened positional span hashes: two independent 31-bit folds packed
+    * as h1·2^31 + h2 (< 2^62 — replayable in DuckDB's checked BIGINT,
+    * where a wrapping 64-bit hash could not run). False-span odds drop
+    * from ~n²/2^31 to ~n²/2^62: the production family for corpus-scale
+    * substring dedup. */
+  def spanHashes64(whs1: Column, whs2: Column, k: Int): Column =
+    graft.functions.GraftFunctions.spanHashes64(whs1, whs2, k)
+
+  def spanHashes64Sql(whs1Expr: String, whs2Expr: String, k: Int): String =
+    s"list_transform(range(0, greatest(len($whs1Expr) - ${k - 1}, 0)), " +
+      s"i -> list_reduce(list_prepend(0::BIGINT, list_slice($whs1Expr, i + 1, i + $k)), " +
+      s"(a, b) -> (a*1000003 + b) % 2147483647) * 2147483648 + " +
+      s"list_reduce(list_prepend(0::BIGINT, list_slice($whs2Expr, i + 1, i + $k)), " +
+      s"(a, b) -> (a*1000033 + b) % 2147483647))"
 }

@@ -22,10 +22,19 @@ import Hashing._
   * kernel (position order, multiplicity preserved — NOT the set-semantic
   * shingle kernel, because occurrence counts matter here); the explode
   * feeds a map-side-combinable groupBy(h); the per-doc coverage is one
-  * keyed join on h. Span hashes are 31-bit polynomial folds, so ~n^2/2^31
-  * accidental collisions inflate the duplicate set slightly at very large
-  * n; production would widen to 64-bit + verify-on-collision, but the
-  * 31-bit family is what the cross-engine oracle can replay exactly.
+  * keyed join on h.
+  *
+  * Hash width: the gated path runs on the WIDENED span hash — two
+  * independent 31-bit families (base-31/base-37 word hashes folded with
+  * 1000003/1000033) packed into one sub-2^62 Long, so a false span needs
+  * a simultaneous collision in both families (~n²/2^62 — fine at 100 TB
+  * span counts, where the old single family's ~n²/2^31 was not). The
+  * pack stays inside DuckDB's checked BIGINT range, so the oracle
+  * replays it exactly. SubstringSpec additionally runs the exact
+  * verify over the corpus: every span-hash group must contain exactly
+  * one distinct span TEXT (zero false spans, proven not assumed), and a
+  * crafted 31-bit collision demonstrates the widened kernel separating
+  * spans the old family conflated.
   */
 object Substring {
 
@@ -34,15 +43,26 @@ object Substring {
     * sf0.01) — non-vacuous but far from saturated. */
   private val SpanK = 5
 
-  /** (doc_id, h) — one row per span occurrence. */
+  /** Shared span length for the spec's verify pass. */
+  private[graft] val K: Int = SpanK
+
+  /** (doc_id, h) — one row per span occurrence, widened hash. */
   private def spans(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(spanHashes(wordHashes(col("text")), SpanK)).as("h"))
+    spansOf(Tables.documents(spark, sfDir))
+
+  /** [[spans]] over an explicit (doc_id, text) frame — SubstringSpec's
+    * seam for the exact-verify pass and planted-collision cases. */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(spanHashes64(wordHashes(col("text")),
+        wordHashes37(col("text")), SpanK)).as("h"))
+  }
 
   private val spansSqlCte: String =
-    s"""w AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
-       |sp AS (SELECT doc_id, unnest(${spanHashesSql("whs", SpanK)}) AS h FROM w)""".stripMargin
+    s"""w AS (SELECT doc_id, ${wordHashesSql("text")} AS w1,
+       |  ${wordHashes37Sql("text")} AS w2 FROM documents),
+       |sp AS (SELECT doc_id, unnest(${spanHashes64Sql("w1", "w2", SpanK)}) AS h FROM w)""".stripMargin
 
   /** Cross-document duplicated spans: every K-word span hash occurring in
     * >= 2 distinct documents, with its document reach, total occurrence

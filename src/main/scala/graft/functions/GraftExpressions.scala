@@ -71,6 +71,33 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class WordHashes37(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_word_hashes37"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.wordHashes37(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordHashes37($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class SpanHashes64(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_span_hashes64"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.spanHashes64(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.spanHashes64($a, $b, $k)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class MinHashSig(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -219,6 +246,9 @@ object GraftExpressions {
       (args => ShingleHashes(args.head, intLit(args(1), "k"))),
     "graft_span_hashes" ->
       (args => SpanHashes(args.head, intLit(args(1), "k"))),
+    "graft_word_hashes37" -> (args => WordHashes37(args.head)),
+    "graft_span_hashes64" ->
+      (args => SpanHashes64(args.head, args(1), intLit(args(2), "k"))),
     "graft_minhash_sig" -> (args => MinHashSig(args.head)),
     "graft_minhash_bands" ->
       (args => MinHashBands(args.head, intLit(args(1), "bands"))),
@@ -254,6 +284,9 @@ object GraftFunctions {
     call_function("graft_shingle_hashes", whs, lit(k))
   def spanHashes(whs: Column, k: Int): Column =
     call_function("graft_span_hashes", whs, lit(k))
+  def wordHashes37(c: Column): Column = call_function("graft_word_hashes37", c)
+  def spanHashes64(whs1: Column, whs2: Column, k: Int): Column =
+    call_function("graft_span_hashes64", whs1, whs2, lit(k))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)
   def minhashBands(sig: Column, bands: Int): Column =
     call_function("graft_minhash_bands", sig, lit(bands))

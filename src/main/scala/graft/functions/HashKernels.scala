@@ -119,6 +119,70 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** [[wordHashes]] with char multiplier 37 instead of 31 — the second,
+    * independent member of the widened span-hash family. Kept a separate
+    * full scan (not a param) so both stay monomorphic hot loops. */
+  def wordHashes37(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var out = new Array[Long](math.max(8, bytes.length / 6))
+    var m = 0
+    var acc = 0L
+    var inWord = false
+    var i = 0
+    while (i < bytes.length) {
+      var c = bytes(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') {
+        acc = (acc * 37 + c) % P
+        inWord = true
+      } else if (inWord) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = acc; m += 1
+        acc = 0L; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m + 1)
+      out(m) = acc; m += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Widened positional span hashes: two INDEPENDENT 31-bit folds — the
+    * base-31 word hashes folded with 1000003 and the base-37 word hashes
+    * folded with 1000033 — packed as h1·2^31 + h2 (< 2^62, so the oracle
+    * replays it in DuckDB's checked BIGINT arithmetic, where a genuine
+    * 64-bit wraparound hash could not run at all). A false span now needs
+    * a simultaneous collision in both independent families (~n²/2^62):
+    * the production-scale widening of the 31-bit [[spanHashes]], which
+    * keeps ~n²/2^31 odds. Both word-hash arrays must come from the same
+    * text (same word count); mismatched lengths throw rather than
+    * truncate. */
+  def spanHashes64(whs1: ArrayData, whs2: ArrayData, k: Int): ArrayData = {
+    val n = whs1.numElements()
+    if (n != whs2.numElements())
+      throw new IllegalArgumentException(
+        s"spanHashes64: word-hash arrays of different lengths ($n vs ${whs2.numElements()})")
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = n - k + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < k) {
+        h1 = (h1 * 1000003 + whs1.getLong(i + j)) % P
+        h2 = (h2 * 1000033 + whs2.getLong(i + j)) % P
+        j += 1
+      }
+      arr(i) = h1 * 2147483648L + h2
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
   /** 16-permutation MinHash signature of a shingle set: one pass, no
     * shuffle (twin of explode + groupBy + 16×min). Empty input yields
     * MaxValue sentinels — callers filter size(sh) > 0 first, matching the

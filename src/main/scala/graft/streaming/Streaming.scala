@@ -612,7 +612,19 @@ object Streaming {
     * the NEWEST strictly-earlier view is within the window (the newest
     * view minimizes the gap, so it decides for all views), same for
     * purchases against qualified clicks. Stage is monotone, so the
-    * final rollup is max per user; the oracle is the batch funnel's. */
+    * final rollup is max per user; the oracle is the batch funnel's.
+    *
+    * Tied timestamps: the batch query's strict-predecessor frame means a
+    * click at t qualifies against the newest view STRICTLY before t —
+    * a view also at t must not decide it (and must not clobber the
+    * decider). So the state keeps the TWO newest distinct view
+    * timestamps (and likewise qualified-click timestamps): for an event
+    * at t, the newest strictly-earlier view is `lastView` when
+    * lastView < t, else `prevView` (t < lastView is impossible — ts is
+    * monotone under the in-order contract). That answers the strict
+    * predecessor exactly even when the tied view arrived in an EARLIER
+    * micro-batch, and makes the result independent of event_id order
+    * within a tie — matching batch, which never sees event_id. */
   def funnelUpdates(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val W = graft.ext.Funnel.WMicros
@@ -622,33 +634,37 @@ object Streaming {
       unix_micros(col("ts").cast("timestamp")).as("tsu"),
       col("event_id").cast("long")).as[(Long, String, Long, Long)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long)](
+      .mapGroupsWithState[(Long, Long, Long, Long, Long, Long), (Long, Long, Long)](
         GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[(Long, String, Long, Long)],
-            state: GroupState[(Long, Long, Long, Long)]) =>
+            state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
           val sorted = it.toArray.sortBy(e => (e._3, e._4))
-          var (lastApplied, lastView, lastQC, stage) = state.getOption
-            .getOrElse((Long.MinValue, Long.MinValue, Long.MinValue, 0L))
+          var (lastApplied, lastView, prevView, lastQC, prevQC, stage) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue,
+              Long.MinValue, Long.MinValue, Long.MinValue, 0L))
           if (sorted.nonEmpty && sorted.head._3 < lastApplied)
             throw new IllegalStateException(
               s"funnelUpdates: out-of-order event for user $uid: " +
                 s"incoming ts ${sorted.head._3} < last applied $lastApplied; " +
                 "use an event-time/watermarked variant for this source")
+          // Newest tracked ts strictly before t (MinValue = none).
+          def strictlyBefore(t: Long, last: Long, prev: Long): Long =
+            if (last < t) last else prev
           var applied = 0L
           sorted.foreach { case (_, tpe, tsu, _) =>
             tpe match {
               case "view" =>
-                if (tsu > lastView) lastView = tsu
+                if (tsu > lastView) { prevView = lastView; lastView = tsu }
                 if (stage < 1L) stage = 1L
               case "click" =>
-                if (lastView != Long.MinValue && tsu > lastView &&
-                    tsu - lastView <= W) {
-                  if (tsu > lastQC) lastQC = tsu
+                val lv = strictlyBefore(tsu, lastView, prevView)
+                if (lv != Long.MinValue && tsu - lv <= W) {
+                  if (tsu > lastQC) { prevQC = lastQC; lastQC = tsu }
                   if (stage < 2L) stage = 2L
                 }
               case "purchase" =>
-                if (lastQC != Long.MinValue && tsu > lastQC &&
-                    tsu - lastQC <= W) {
+                val lqc = strictlyBefore(tsu, lastQC, prevQC)
+                if (lqc != Long.MinValue && tsu - lqc <= W) {
                   if (stage < 3L) stage = 3L
                 }
               case _ => ()
@@ -656,7 +672,7 @@ object Streaming {
             lastApplied = tsu
             applied += 1
           }
-          state.update((lastApplied, lastView, lastQC, stage))
+          state.update((lastApplied, lastView, prevView, lastQC, prevQC, stage))
           (uid, stage, applied)
       }
       .toDF("user_id", "stage", "applied")

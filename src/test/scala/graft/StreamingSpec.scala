@@ -422,6 +422,60 @@ class StreamingSpec extends SparkSpec {
     assert(batch(10L) == 3L && batch(9L) == 1L && batch(11L) == 2L)
   }
 
+  test("streaming funnel honors strict-predecessor semantics on tied timestamps") {
+    import java.sql.Timestamp
+    def mts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // The batch query's strict-predecessor RANGE frame excludes same-ts
+    // rows: a click at t must qualify against the newest view STRICTLY
+    // before t even when another view lands at exactly t — and that tied
+    // view may arrive in an EARLIER batch than the click. Users:
+    //  30: view@10, view@50 | click@50, purchase@50 — click qualifies via
+    //      view@10 (the tied view@50 must not decide or clobber); the
+    //      purchase does NOT convert (no qualified click strictly < 50).
+    //  31: view@10, click@40(Q) | click@100(Q), purchase@100 — purchase
+    //      converts via the OLDER qualified click@40 (prevQC), not the
+    //      tied click@100.
+    //  32: view@50 | click@50 — no strictly-earlier view at all: stage 1.
+    //  33: click@50 before view@50 in fold order (smaller event_id),
+    //      earlier view@10 — tie order must not matter.
+    val batch1 = Seq(
+      (0L, 30L, "view", mts(10)), (1L, 30L, "view", mts(50)),
+      (10L, 31L, "view", mts(10)), (11L, 31L, "click", mts(40)),
+      (20L, 32L, "view", mts(50)),
+      (30L, 33L, "view", mts(10)), (31L, 33L, "click", mts(50)),
+      (32L, 33L, "view", mts(50)))
+    val batch2 = Seq(
+      (2L, 30L, "click", mts(50)), (3L, 30L, "purchase", mts(50)),
+      (12L, 31L, "click", mts(100)), (13L, 31L, "purchase", mts(100)),
+      (21L, 32L, "click", mts(50)))
+    val src = Files.createTempDirectory("graft-funnel-ties-").toString
+    batch1.toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$src/part=0")
+    batch2.toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$src/part=1")
+    val all = spark.read.parquet(s"$src/part=*").drop("part")
+
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/part=*")
+    val q = Streaming.funnelUpdates(stream)
+      .writeStream.format("memory").queryName("funnel_ties_updates")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_ties_updates").groupBy("user_id")
+      .agg(max(col("stage")).as("stage"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ext.Funnel.stagesOf(all)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch,
+      s"tied-timestamp divergence: streamed=$streamed batch=$batch")
+    // Pin the intended ground truth, not just cross-engine agreement.
+    assert(batch == Map(30L -> 2L, 31L -> 3L, 32L -> 1L, 33L -> 2L))
+  }
+
   test("gated streaming queries equal their batch twins at sf0.001") {
     // hour is timestamp_ntz → compare canonical row strings, not encoders.
     val streamWin = Streaming.windowedAgg(spark, sf)

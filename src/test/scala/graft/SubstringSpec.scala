@@ -58,6 +58,72 @@ class SubstringSpec extends SparkSpec {
     assert(dup.head.getAs[Long]("n_occ") == 2)
   }
 
+  test("spanHashes64 kernel == packed pair of independent HOF folds") {
+    val k = 5
+    def hofFold(whs: String, mult: Long) =
+      when(size(col(whs)) >= k,
+        transform(sequence(lit(0), size(col(whs)) - k),
+          i => aggregate(slice(col(whs), i + 1, lit(k)), lit(0L),
+            (acc, x) => (acc * mult + x) % Hashing.P)))
+        .otherwise(array().cast("array<bigint>"))
+    val docs = Seq(
+      "a b c d e x y a b c d e",
+      "one two three four five",
+      "tiny doc",
+      "").toDF("text")
+    val bad = docs
+      .select(GF.wordHashes(col("text")).as("w1"),
+        GF.wordHashes37(col("text")).as("w2"))
+      .select(GF.spanHashes64(col("w1"), col("w2"), k).as("a"),
+        zip_with(hofFold("w1", 1000003L), hofFold("w2", 1000033L),
+          (h1, h2) => h1 * lit(2147483648L) + h2).as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("widened hash separates a crafted 31-bit collision") {
+    // fold_1000003([x,0,0,0,0]) == fold_1000003([x-1, 1000003, 0, 0, 0])
+    // (x·M⁴ vs (x−1)·M⁴ + M·M³ — identical by construction), so the old
+    // single-family hash conflates these two different spans; the second
+    // family (multiplier 1000033) must tell them apart.
+    val x = 12345L
+    val a = Seq(x, 0L, 0L, 0L, 0L)
+    val b = Seq(x - 1, 1000003L, 0L, 0L, 0L)
+    val df = Seq((a, a), (b, b)).toDF("w1", "w2")
+      .select(GF.spanHashes(col("w1"), 5).as("h31"),
+        GF.spanHashes64(col("w1"), col("w2"), 5).as("h64"))
+    val rows = df.select(element_at(col("h31"), 1), element_at(col("h64"), 1))
+      .as[(Long, Long)].collect()
+    assert(rows(0)._1 == rows(1)._1, "crafted inputs no longer collide in h31")
+    assert(rows(0)._2 != rows(1)._2, "widened hash failed to separate the collision")
+  }
+
+  test("exact verify: every corpus span-hash group holds ONE distinct span text") {
+    // The production claim behind the widened hash — zero false spans on
+    // this corpus — proven by joining hashes back to the actual K-word
+    // span text and checking injectivity group by group.
+    val k = Substring.K
+    val words = filter(split(lower(col("text")), "[^a-z]+"),
+      w => length(w) > lit(0))
+    val spanTxt = when(size(col("ws")) >= k,
+      transform(sequence(lit(0), size(col("ws")) - k),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = Tables.documents(spark, sf)
+      .select(words.as("ws"))
+      .select(GF.spanHashes64(GF.wordHashes(concat_ws(" ", col("ws"))),
+        GF.wordHashes37(concat_ws(" ", col("ws"))), k).as("hs"),
+        spanTxt.as("ts"))
+      .select(explode(arrays_zip(col("hs"), col("ts"))).as("z"))
+      .select(col("z.hs").as("h"), col("z.ts").as("txt"))
+    val collisions = pairs.groupBy("h")
+      .agg(countDistinct(col("txt")).as("n_txt"))
+      .filter(col("n_txt") > 1)
+      .count()
+    assert(collisions == 0, s"$collisions span-hash groups mix different texts")
+  }
+
   test("corpus gate is non-vacuous and coverage is consistent") {
     val spans = Substring.duplicatedSpans(spark, sf)
     assert(spans.count() > 0, "no duplicated spans on the corpus")
