@@ -79,10 +79,12 @@ class SimilaritySpec extends SparkSpec {
       perQuery.sum / perQuery.size
     }
     val gated = recallOf(Similarity.knnLsh(spark, sf01))
-    val dense = recallOf(Similarity.knnLshWith(spark, sf01, tables = 8, bits = 4))
+    val dense = recallOf(Similarity.knnLshDense(spark, sf01))
     val ivf = recallOf(Similarity.knnIvf(spark, sf01))
     info(f"LSH recall gated(4x8)=$gated%.2f dense(8x4)=$dense%.2f ivf=$ivf%.2f")
-    assert(dense >= 0.3, s"dense LSH recall collapsed: $dense")
+    // The dense config is the GATED deployable-quality setting: its
+    // recall floor is a shipped claim (>= 0.5), not a broken-join guard.
+    assert(dense >= 0.5, s"gated dense LSH recall below the shipped floor: $dense")
     assert(dense > gated,
       "fewer bits + more tables must trade candidates for recall")
     assert(ivf >= 0.2, s"IVF recall collapsed: $ivf")
@@ -92,7 +94,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.knnRecallAudit(spark, sf)
       .select($"method", $"n_queries", $"n_exact", $"n_hits", $"recall_bp")
       .as[(String, Long, Long, Long, Long)].collect()
-    assert(rows.map(_._1).toSet == Set("lsh", "ivf"), "one row per method")
+    assert(rows.map(_._1).toSet == Set("lsh", "lsh_dense", "ivf"),
+      "one row per method")
     rows.foreach { case (m, nq, ne, nh, bp) =>
       assert(nq > 0 && nq <= 32 && ne <= 3 * nq, s"$m: bad totals ($nq, $ne)")
       assert(nh >= 0 && nh <= ne, s"$m: hits out of range")
