@@ -70,19 +70,26 @@ object Packing {
   case class PackOut(doc_id: Long, n_tok: Long, pack_id: Long,
       pack_off: Long)
 
-  /** (doc_id, n_tok, k=idHash, seg) — shared head of both packers.
-    * n_tok is capped at the budget only in atomic mode (truncation:
-    * a doc longer than the sequence length can never fit whole). */
-  private def tokenized(spark: SparkSession, sfDir: String,
-      capAtBudget: Boolean): DataFrame = {
-    val raw = Tables.documents(spark, sfDir)
+  /** Per-doc whitespace-word cost — the original char-level proxy budget
+    * ([[graft.ext.Tokenize]] supplies the exact-token alternative). */
+  private def wordCosts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(graft.engine.Tokenizer.tokens(col("text"))).cast("long")
-          .as("raw_tok"),
+          .as("raw_tok"))
+
+  /** (doc_id, n_tok, k=idHash, seg) from an arbitrary (doc_id, raw_tok)
+    * cost frame — shared head of both packers. n_tok is capped at the
+    * budget only in atomic mode (truncation: a doc longer than the
+    * sequence length can never fit whole). */
+  private def withSegments(costs: DataFrame,
+      capAtBudget: Boolean): DataFrame = {
+    val raw = costs
+      .select(col("doc_id"), col("raw_tok"),
         Hashing.idHash(col("doc_id")).as("k"))
     val nTok = if (capAtBudget) least(col("raw_tok"), lit(Budget))
                else col("raw_tok")
-    // Second consumer of `documents` (the corpus count), the same
+    // Second consumer of the cost frame (the corpus count), the same
     // multi-consumer shape as q15/tfidf — acceptable here because column
     // pruning makes the count branch a metadata-only scan (zero data
     // columns read), so there is no duplicated tokenize work to cut.
@@ -92,11 +99,16 @@ object Packing {
         expr(s"k div greatest(1L, ${Hashing.P * SegTarget}L div n)").as("seg"))
   }
 
-  /** Doc-atomic greedy next-fit (see object doc): one row per document
-    * with its pack and token offset inside the pack. */
-  def corpusPack(spark: SparkSession, sfDir: String): DataFrame = {
+  private def tokenized(spark: SparkSession, sfDir: String,
+      capAtBudget: Boolean): DataFrame =
+    withSegments(wordCosts(spark, sfDir), capAtBudget)
+
+  /** Doc-atomic next-fit over any (doc_id, raw_tok) cost frame — the
+    * packer seam [[graft.ext.Tokenize]] reuses with exact token counts. */
+  private[graft] def packAtomicOf(costs: DataFrame): DataFrame = {
+    val spark = costs.sparkSession
     import spark.implicits._
-    tokenized(spark, sfDir, capAtBudget = true)
+    withSegments(costs, capAtBudget = true)
       .select(col("seg"), col("k"), col("doc_id"), col("n_tok"))
       .as[PackIn]
       .groupByKey(_.seg)
@@ -116,16 +128,19 @@ object Packing {
       .toDF()
   }
 
-  /** Shared oracle CTE chain: tokenize → segment → rank-within-segment →
-    * next-fit replayed one rank per recursive step (all segments advance
-    * in parallel; iterations = max segment size, ~SegTarget). */
-  private val packCtes: String =
-    s"""WITH RECURSIVE d0 AS (
-       |  SELECT doc_id,
-       |    least(CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),
-       |      t -> t <> '')) AS BIGINT), $Budget) AS n_tok,
-       |    ${Hashing.idHashSql("doc_id")} AS k
-       |  FROM documents),
+  /** Doc-atomic greedy next-fit (see object doc): one row per document
+    * with its pack and token offset inside the pack. */
+  def corpusPack(spark: SparkSession, sfDir: String): DataFrame =
+    packAtomicOf(wordCosts(spark, sfDir))
+
+  /** Oracle CTE chain over an arbitrary capped cost CTE body: segment →
+    * rank-within-segment → next-fit replayed one rank per recursive step
+    * (all segments advance in parallel; iterations = max segment size,
+    * ~SegTarget). `extraCtes` lets a caller prepend its own (possibly
+    * recursive) cost-derivation CTEs; `d0Body` must yield
+    * (doc_id, n_tok /* capped at Budget */, k). */
+  private[graft] def packCtesFor(extraCtes: String, d0Body: String): String =
+    s"""WITH RECURSIVE $extraCtes d0 AS ($d0Body),
        |w AS (SELECT greatest(1, ${Hashing.P * SegTarget} // COUNT(*)) AS w FROM d0),
        |d AS (
        |  SELECT doc_id, n_tok, k, k // (SELECT w FROM w) AS seg,
@@ -142,6 +157,16 @@ object Packing {
        |    CASE WHEN r.fill + d.n_tok <= $Budget THEN r.fill ELSE 0::BIGINT END,
        |    CASE WHEN r.fill + d.n_tok <= $Budget THEN r.fill + d.n_tok ELSE d.n_tok END
        |  FROM rec r JOIN d ON d.seg = r.seg AND d.rn = r.rn + 1)""".stripMargin
+
+  /** Word-count cost as a d0 body (the original packers' budget). */
+  private val wordD0Body: String =
+    s"""SELECT doc_id,
+       |    least(CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),
+       |      t -> t <> '')) AS BIGINT), $Budget) AS n_tok,
+       |    ${Hashing.idHashSql("doc_id")} AS k
+       |  FROM documents""".stripMargin
+
+  private val packCtes: String = packCtesFor("", wordD0Body)
 
   val corpusPackSql: String =
     s"""$packCtes

@@ -220,6 +220,21 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  case class GreedyPieces(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_greedy_pieces"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.greedyPieces(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.TextKernels.greedyPieces($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class NormalizeWs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_normalize_ws"
@@ -264,6 +279,7 @@ object GraftExpressions {
     "graft_letter_count" -> (args => TextStat(args.head, "letter_count")),
     "graft_word_count" -> (args => TextStat(args.head, "word_count")),
     "graft_stopword_count" -> (args => StopwordCount(args.head, args(1))),
+    "graft_greedy_pieces" -> (args => GreedyPieces(args.head, args(1))),
     "graft_normalize_ws" -> (args => NormalizeWs(args.head)))
 }
 
@@ -304,5 +320,7 @@ object GraftFunctions {
   def wordCount(c: Column): Column = call_function("graft_word_count", c)
   def stopwordCount(text: Column, lang: Column): Column =
     call_function("graft_stopword_count", text, lang)
+  def greedyPieces(word: Column, vocab: Column): Column =
+    call_function("graft_greedy_pieces", word, vocab)
   def normalizeWs(c: Column): Column = call_function("graft_normalize_ws", c)
 }

@@ -129,6 +129,49 @@ object TextKernels {
     m
   }
 
+  /** Greedy longest-match tokenization of one word against a fixed
+    * vocabulary (wordpiece-style): at each position consume the LONGEST
+    * vocab piece that matches, else fall back to a single character.
+    * Returns [n_pieces, n_vocab_pieces] — total pieces and how many came
+    * from vocab matches (the rest are char fallbacks).
+    *
+    * The vocab array rides in as an ordinary column (a broadcast 1-row
+    * frame), so the tokenizer is a pure function of (word, vocab) with
+    * no session state; callers apply it to DISTINCT words (tokenize the
+    * vocabulary, not the corpus) so the per-call linear vocab scan is
+    * off the per-row hot path. Byte-wise comparison — exact on the
+    * ASCII `[a-z]+` words the word tokenizer emits. */
+  def greedyPieces(word: UTF8String, vocab: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = word.numBytes()
+    val v = vocab.numElements()
+    var p = 0
+    var pieces = 0L
+    var vocabHits = 0L
+    while (p < n) {
+      var best = 0
+      var i = 0
+      while (i < v) {
+        val piece = vocab.getUTF8String(i)
+        val m = piece.numBytes()
+        if (m > best && m <= n - p) {
+          var j = 0
+          var ok = true
+          while (ok && j < m) {
+            if (piece.getByte(j) != word.getByte(p + j)) ok = false
+            j += 1
+          }
+          if (ok) best = m
+        }
+        i += 1
+      }
+      if (best > 0) { p += best; vocabHits += 1 } else p += 1
+      pieces += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(pieces, vocabHits))
+  }
+
   /** Count of lowercased [a-z]+ words that are in `lang`'s stopword list
     * (with multiplicity). Unknown lang → 0. */
   def stopwordCount(s: UTF8String, lang: UTF8String): Long = {

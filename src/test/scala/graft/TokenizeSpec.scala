@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Tokenize
+import graft.functions.{GraftFunctions => GF}
+
+/** Greedy fixed-vocab tokenizer: kernel-level greedy pins, word-boundary
+  * additivity (and in-word NON-additivity), zero-word docs, vocab
+  * derivation determinism, and token-budget packing consistency. */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GF.register(spark)
+  }
+
+  private def pieces(word: String, vocab: Seq[String]): (Long, Long) = {
+    val Seq(n, nv) = Seq(word).toDF("w")
+      .select(GF.greedyPieces(col("w"),
+        array(vocab.map(lit): _*)).as("pc"))
+      .select(explode(col("pc"))).as[Long].collect().toSeq
+    (n, nv)
+  }
+
+  test("greedy longest-match pins") {
+    // Whole-word match is one piece.
+    assert(pieces("the", Seq("the", "a")) == (1L, 1L))
+    // OOV word with an in-vocab PREFIX: the|o|r|y.
+    assert(pieces("theory", Seq("the")) == (4L, 1L))
+    // Fully OOV: pure char fallback.
+    assert(pieces("xyz", Seq("the")) == (3L, 0L))
+    // LONGEST match wins over a shorter one at the same cursor.
+    assert(pieces("abc", Seq("a", "abc")) == (1L, 1L))
+    // Greedy is context-dependent within a word: "abab" with {"aba","b"}
+    // = aba|b (2), but its halves each cost 2 — in-word splitting is NOT
+    // additive, which is exactly why token budgets must come from the
+    // real tokenizer rather than from per-fragment arithmetic.
+    assert(pieces("abab", Seq("aba", "b")) == (2L, 2L))
+    assert(pieces("ab", Seq("aba", "b")) == (2L, 1L))
+    // Mid-word vocab hits count as vocab pieces: s|m|a|l|l with {"a"}.
+    assert(pieces("small", Seq("a")) == (5L, 1L))
+    // Empty word: zero pieces.
+    assert(pieces("", Seq("the")) == (0L, 0L))
+  }
+
+  test("word-boundary additivity: tokenize(a ++ ' ' ++ b) = tokenize(a) + tokenize(b)") {
+    val vocab = Seq((1L, "the a quick brown the fox")).toDF("doc_id", "text")
+    val vocabRow = Tokenize.vocabRowOf(
+      vocab.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word")), 3)
+    val a = "the quick brown fox jumps"
+    val b = "over the lazy dog again"
+    val docs = Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("doc_id", "text")
+    val st = Tokenize.tokenStatsOf(docs, vocabRow).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (c <- Seq("n_words", "n_tokens", "n_vocab_tokens"))
+      assert(st(3L).getAs[Long](c) ==
+        st(1L).getAs[Long](c) + st(2L).getAs[Long](c),
+        s"$c not additive across a word boundary")
+  }
+
+  test("zero-word docs surface with zeroed counts") {
+    val vocabRow = Tokenize.vocabRowOf(
+      Seq((1L, "a")).toDF("doc_id", "word"), 4)
+    val docs = Seq((1L, "some words here"), (2L, ""), (3L, "123 !!"))
+      .toDF("doc_id", "text")
+    val st = Tokenize.tokenStatsOf(docs, vocabRow).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(st.keySet == Set(1L, 2L, 3L))
+    assert(st(2L).getAs[Long]("n_words") == 0 && st(2L).getAs[Long]("n_tokens") == 0)
+    assert(st(3L).getAs[Long]("n_words") == 0 && st(3L).getAs[Long]("n_tokens") == 0)
+  }
+
+  test("corpus gate: non-vacuous OOV and exact totals reconcile") {
+    val st = Tokenize.corpusTokenize(spark, sf)
+    val agg = st.agg(sum(col("n_words")), sum(col("n_tokens")),
+      sum(col("n_vocab_tokens"))).as[(Long, Long, Long)].head()
+    val (nw, nt, nv) = agg
+    assert(nt > nw, "no OOV splitting happened — vocab covers the corpus, gate vacuous")
+    assert(nv <= nt && nv > 0, "vocab hits out of range")
+    // Every doc: tokens >= words (a word is >= 1 piece), and a doc of
+    // only in-vocab words has n_tokens == n_words.
+    assert(st.filter(col("n_tokens") < col("n_words")).count() == 0)
+  }
+
+  test("token packing respects the budget and places every doc exactly once") {
+    val packed = Tokenize.corpusPackTokens(spark, sf)
+    val overBudget = packed.groupBy(col("pack_id"))
+      .agg(sum(col("n_tok")).as("fill"))
+      .filter(col("fill") > ext.Packing.Budget).count()
+    assert(overBudget == 0, "a token-budgeted pack exceeds the budget")
+    val docs = Tables.documents(spark, sf).count()
+    assert(packed.count() == docs)
+    assert(packed.select(col("doc_id")).distinct().count() == docs)
+    // Pack costs are the tokenizer's counts (capped), not word counts.
+    val tok = Tokenize.corpusTokenize(spark, sf)
+      .select(col("doc_id"), least(col("n_tokens"),
+        lit(ext.Packing.Budget)).as("want"))
+    val mismatch = packed.join(tok, Seq("doc_id"))
+      .filter(col("n_tok") =!= col("want")).count()
+    assert(mismatch == 0)
+  }
+}
