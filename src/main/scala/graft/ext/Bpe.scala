@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Byte-pair-encoding vocabulary LEARNING — the tokenizer-training step
+  * whose inference twin is [[Tokenize]]: starting from characters, learn
+  * the first [[NumMerges]] merges by repeatedly fusing the corpus's most
+  * frequent adjacent symbol pair (Sennrich et al. 2016, the public BPE
+  * algorithm every modern subword tokenizer descends from).
+  *
+  * Determinism: pair counts are exact integers weighted by word-type
+  * frequency; the winning pair each round is picked by the strict total
+  * order (count DESC, left ASC, right ASC); the within-word merge is
+  * left-to-right non-overlapping. Both engines execute the SAME merge
+  * algebra: a word's symbol sequence is a `|`-delimited string and the
+  * merge is a left fold `acc' = if (x == r && acc endsWith "|"+l) acc+x
+  * else acc+"|"+x` — the `endsWith` boundary test makes the fold exactly
+  * the textbook scan (a just-merged `l+r` can never re-match as `l`
+  * because `r` is nonempty), and the identical fold runs as a Spark
+  * `aggregate` HOF and a DuckDB `list_reduce`, so any divergence in a
+  * single merge decision hash-mismatches the gate.
+  *
+  * Scale shape: BPE learning operates on WORD TYPES with counts, never
+  * on the corpus rows — one corpus scan builds the (word, cnt) table
+  * (map-side-combinable wordcount shuffle), after which every round
+  * touches a vocabulary-sized frame: pair counting is an explode +
+  * map-side-combinable groupBy, the winner is a 1-row broadcast, and
+  * the merge is a per-row fold. [[NumMerges]] rounds are UNROLLED into
+  * one lineage (the PageRank discipline, localCheckpoint per round to
+  * keep analysis flat); production would raise the round count and the
+  * plan shape would not change.
+  */
+object Bpe {
+
+  /** Learned merge count. Production BPE learns 30k+ merges by the same
+    * per-round plan; 8 keeps the unrolled gate cheap while still
+    * exercising merge COMPOSITION (round 8 on this corpus fuses 'p' with
+    * the round-7 merge 'ar' — a second-order piece). */
+  val NumMerges = 8
+
+  private def symsOf(seq: Column): Column =
+    filter(split(seq, "\\|"), s => length(s) > lit(0))
+
+  /** One merge-learning run over an explicit (word, cnt) word-type
+    * frame — BpeSpec's seam. Returns the merge table
+    * (merge_rank, left_piece, right_piece, merged, pair_count). */
+  private[graft] def mergesOf(wordTypes: DataFrame): DataFrame = {
+    var cur = wordTypes
+      .select(col("cnt"),
+        regexp_replace(col("word"), "(.)", "|$1").as("seq"))
+      .localCheckpoint()
+    val rounds = (1 to NumMerges).map { i =>
+      // Adjacent pairs weighted by word frequency; the sequence() guard
+      // keeps single-symbol words from a descending-range fan-out.
+      val pairs = cur
+        .select(col("cnt"), symsOf(col("seq")).as("syms"))
+        .select(col("cnt"),
+          explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              j => struct(element_at(col("syms"), j).as("l"),
+                element_at(col("syms"), j + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+      val merge = best.select(
+        lit(i.toLong).as("merge_rank"),
+        col("l").as("left_piece"), col("r").as("right_piece"),
+        concat(col("l"), col("r")).as("merged"),
+        col("c").as("pair_count"))
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("cnt"),
+          aggregate(symsOf(col("seq")), lit(""), (acc, x) =>
+            when(x === col("r") &&
+                endswith(acc, concat(lit("|"), col("l"))),
+              concat(acc, x))
+              .otherwise(concat(acc, lit("|"), x)))
+            .as("seq"))
+        .localCheckpoint()
+      merge
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
+  /** Gated: the first [[NumMerges]] BPE merges learned from the corpus. */
+  def corpusBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val wordTypes = Tables.documents(spark, sfDir)
+      .select(explode(graft.engine.Tokenizer.tokens(lower(col("text")),
+        TextAnalysis.LowerWordPattern)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    mergesOf(wordTypes)
+  }
+
+  val corpusBpeMergesSql: String = {
+    def roundCtes(i: Int): String =
+      s"""p$i AS (
+         |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+         |        FROM (SELECT cnt, list_filter(string_split(seq, '|'), s -> s <> '') AS syms FROM r${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |r$i AS (
+         |  SELECT cnt, list_reduce(
+         |      list_prepend('', list_filter(string_split(seq, '|'), s -> s <> '')),
+         |      (acc, x) -> CASE WHEN x = b.r AND ends_with(acc, '|' || b.l)
+         |                       THEN acc || x ELSE acc || '|' || x END) AS seq
+         |  FROM r${i - 1}, b$i b)""".stripMargin
+    val selects = (1 to NumMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_piece,
+         |  r AS right_piece, l || r AS merged, c AS pair_count FROM b$i""".stripMargin
+    }
+    s"""WITH
+       |w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word FROM documents),
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+       |r0 AS (SELECT cnt, regexp_replace(word, '(.)', '|\\1', 'g') AS seq FROM wc),
+       |${(1 to NumMerges).map(roundCtes).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_bpe_merges" -> (corpusBpeMerges _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_bpe_merges" -> corpusBpeMergesSql)
+}
