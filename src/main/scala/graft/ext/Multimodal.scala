@@ -429,6 +429,241 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------ real PNG codec
+
+  /** Third real decoder, for the public PNG format (RFC 2083): 8-bit
+    * truecolor, non-interlaced. Unlike PPM/BMP this is a COMPRESSED
+    * container — chunks with CRC-32 integrity, a zlib-deflated pixel
+    * stream (`java.util.zip`, public JVM API), and per-scanline
+    * prediction filters (None/Sub/Up/Average/Paeth) the decoder must
+    * undo. The encoder deliberately cycles the filter type per row
+    * (y mod 5), so a round-trip exercises every filter's inverse, and
+    * the gate's oracle recomputes pixel stats from the raw source —
+    * a wrong Paeth predictor or a skipped filter byte hash-mismatches.
+    * Decode rejects (None) on: bad signature, chunk CRC mismatch,
+    * non-8-bit/non-truecolor/interlaced IHDR, inflate errors, or a
+    * pixel plane of the wrong size. */
+  object PngCodec {
+    case class PngImage(width: Int, height: Int, pixels: Array[Byte])
+
+    private val Signature =
+      Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
+    private def crc32(bytes: Array[Byte], off: Int, len: Int): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(bytes, off, len)
+      c.getValue
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * width * height, "pixel plane size")
+      val stride = 3 * width
+      // Scanlines: filter-type byte + filtered row, filter = y mod 5.
+      val raw = new Array[Byte]((1 + stride) * height)
+      var y = 0
+      while (y < height) {
+        val f = y % 5
+        raw(y * (1 + stride)) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = rgb(y * stride + i) & 0xff
+          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished())
+        out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val idat = out.toByteArray
+      val bb = new java.io.ByteArrayOutputStream()
+      bb.write(Signature, 0, Signature.length)
+      def chunk(tpe: String, data: Array[Byte]): Unit = {
+        val td = tpe.getBytes("US-ASCII") ++ data
+        val len = data.length
+        bb.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+          (len >>> 8).toByte, len.toByte), 0, 4)
+        bb.write(td, 0, td.length)
+        val c = crc32(td, 0, td.length)
+        bb.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+          (c >>> 8).toByte, c.toByte), 0, 4)
+      }
+      val ihdr = new Array[Byte](13)
+      def be32(a: Array[Byte], off: Int, v: Int): Unit = {
+        a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+        a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+      }
+      be32(ihdr, 0, width); be32(ihdr, 4, height)
+      ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      bb.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[PngImage] = {
+      if (bytes.length < 8 ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOf(bytes, 8), Signature)) return None
+      def be32(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      var off = 8
+      var w = 0; var h = 0
+      var sawIhdr = false; var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawIend) {
+        if (off + 8 > bytes.length) return None
+        val len = be32(off)
+        val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+        if (len < 0 || off + 12L + len > bytes.length) return None
+        val crcWant = be32(off + 8 + len) & 0xffffffffL
+        if (crc32(bytes, off + 4, 4 + len) != crcWant) return None
+        tpe match {
+          case "IHDR" =>
+            if (sawIhdr || len != 13) return None
+            sawIhdr = true
+            w = be32(off + 8); h = be32(off + 12)
+            if (w <= 0 || h <= 0) return None
+            // 8-bit, truecolor (2), deflate, adaptive filter, no interlace.
+            if (bytes(off + 16) != 8 || bytes(off + 17) != 2 ||
+                bytes(off + 18) != 0 || bytes(off + 19) != 0 ||
+                bytes(off + 20) != 0) return None
+          case "IDAT" =>
+            if (!sawIhdr) return None
+            idat.write(bytes, off + 8, len)
+          case "IEND" => sawIend = true
+          case _ => () // ancillary chunk: CRC-checked above, skipped
+        }
+        off += 12 + len
+      }
+      if (!sawIhdr) return None
+      val stride = 3 * w
+      val raw = new Array[Byte]((1 + stride) * h)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (got < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, got, raw.length - got)
+          if (n == 0 && inflater.needsInput()) return None // truncated
+          got += n
+        }
+        if (got != raw.length) return None
+        // A longer-than-expected stream means IHDR lied about dims.
+        val probe = new Array[Byte](1)
+        if (!inflater.finished() && inflater.inflate(probe) > 0) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inflater.end()
+      val rgb = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        if (f > 4) return None
+        var i = 0
+        while (i < stride) {
+          val x = raw(y * (1 + stride) + 1 + i) & 0xff
+          val left = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+          val up = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          rgb(y * stride + i) = ((x + pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      Some(PngImage(w, h, rgb))
+    }
+  }
+
+  /** Decoded PNG stats — same contract as [[BmpDecoded]]: the wsum
+    * member catches any row/filter misalignment channel sums miss. */
+  case class PngDecoded(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** Encode→decode round trip with the REAL PNG codec. Heights run
+    * 3..7 so taller images exercise ALL five scanline filters (the
+    * encoder cycles them per row); the oracle recomputes the stats from
+    * the raw text, blind to the compression in between. */
+  def decodePng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 2 + (id % 6).toInt
+          val h = 3 + (id % 5).toInt
+          val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+          val img = PngCodec.decode(PngCodec.encode(w, h, rgb))
+            .getOrElse(sys.error(s"round-trip decode failed for doc $id"))
+          var r = 0L; var g = 0L; var b = 0L; var ws = 0L
+          var j = 0
+          while (j < img.pixels.length) {
+            val v = img.pixels(j) & 0xffL
+            (j % 3: @unchecked) match {
+              case 0 => r += v
+              case 1 => g += v
+              case 2 => b += v
+            }
+            ws += j * v
+            j += 1
+          }
+          PngDecoded(id, img.width.toLong, img.height.toLong, r, g, b, ws)
+        }
+      }
+      .toDF()
+  }
+
+  /** Same ASCII-corpus byte==char assumption as [[decodeBmpSql]]. */
+  val decodePngSql: String = {
+    def pix(idx: String): String =
+      s"CAST(ascii(substr(text, CAST(($idx) % len AS INTEGER) + 1, 1)) AS BIGINT)"
+    def chanSum(off: Int): String =
+      s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, w*h), " +
+        s"p -> ${pix(s"3*p + $off")}))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    2 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  ${chanSum(0)} AS sum_r,
+       |  ${chanSum(1)} AS sum_g,
+       |  ${chanSum(2)} AS sum_b,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, 3*w*h),
+       |    j -> j * ${pix("j")}))) AS BIGINT) AS wsum
+       |FROM d""".stripMargin
+  }
+
   /** Decoded BMP stats: dimensions as parsed, exact channel sums, and a
     * position-weighted sum (Σ j·plane[j] over the decoded top-down RGB
     * plane) — channel sums alone are row-order-invariant, so `wsum` is
@@ -771,7 +1006,8 @@ object Multimodal {
     "multimodal_phash_luma" -> (phashLuma _),
     "dedup_phash" -> (dedupPhash _),
     "multimodal_decode_ppm" -> (decodePpm _),
-    "multimodal_decode_bmp" -> (decodeBmp _))
+    "multimodal_decode_bmp" -> (decodeBmp _),
+    "multimodal_decode_png" -> (decodePng _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> mediaMetaSql,
@@ -781,5 +1017,6 @@ object Multimodal {
     "multimodal_phash_luma" -> phashLumaSql,
     "dedup_phash" -> dedupPhashSql,
     "multimodal_decode_ppm" -> decodePpmSql,
-    "multimodal_decode_bmp" -> decodeBmpSql)
+    "multimodal_decode_bmp" -> decodeBmpSql,
+    "multimodal_decode_png" -> decodePngSql)
 }

@@ -153,6 +153,102 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.BmpCodec.decode("JFIF".getBytes).isEmpty)
   }
 
+  test("PngCodec: round trip restores exact pixels through every filter") {
+    // Heights 1..7: rows cycle filters None/Sub/Up/Average/Paeth, so
+    // h >= 5 exercises ALL five inverses against real deflate output.
+    for (w <- Seq(1, 2, 5); h <- Seq(1, 4, 7)) {
+      val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+      val img = Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(w, h, rgb))
+      assert(img.isDefined, s"decode failed at ${w}x$h")
+      assert(img.get.width == w && img.get.height == h)
+      assert(img.get.pixels.toSeq == rgb.toSeq, s"pixel drift at ${w}x$h")
+    }
+  }
+
+  test("PngCodec: hand-built stored-deflate fixture pins Sub and Paeth inverses") {
+    // 2×2 image, scanlines hand-FILTERED: row0 Sub, row1 Paeth. The
+    // zlib stream uses a STORED deflate block, so these bytes are fixed
+    // independent of any Deflater implementation — a true golden input.
+    val want = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val scan = Array[Byte](
+      1, 10, 20, 30, 30, 30, 30,  // Sub: second pixel stored as cur-left
+      4, 60, 60, 60, 30, 30, 30)  // Paeth: row-0/left predictors undone
+    val adler = new java.util.zip.Adler32(); adler.update(scan)
+    val a = adler.getValue
+    val zlib = Array[Byte](0x78, 0x01, // zlib header
+        0x01, // BFINAL=1, BTYPE=00 (stored)
+        (scan.length & 0xff).toByte, ((scan.length >> 8) & 0xff).toByte,
+        (~scan.length & 0xff).toByte, ((~scan.length >> 8) & 0xff).toByte) ++
+      scan ++
+      Array((a >>> 24).toByte, (a >>> 16).toByte, (a >>> 8).toByte, a.toByte)
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val td = tpe.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      val c = crc.getValue
+      Array((data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte) ++ td ++
+        Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte)
+    }
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 8, 2, 0, 0, 0)
+    val png = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = Multimodal.PngCodec.decode(png)
+    assert(img.isDefined, "fixture rejected")
+    assert(img.get.width == 2 && img.get.height == 2)
+    assert(img.get.pixels.toSeq == want.toSeq)
+  }
+
+  test("PngCodec: rejects malformed input") {
+    val good = Multimodal.PngCodec.encode(2, 3, new Array[Byte](18))
+    assert(Multimodal.PngCodec.decode(good).isDefined)
+    // wrong signature
+    assert(Multimodal.PngCodec.decode("XPNG".getBytes ++ good.drop(4)).isEmpty)
+    // one flipped byte inside IDAT -> chunk CRC mismatch
+    val corrupt = good.clone()
+    corrupt(good.length - 16) = (corrupt(good.length - 16) ^ 0x5a).toByte
+    assert(Multimodal.PngCodec.decode(corrupt).isEmpty)
+    // truncated file
+    assert(Multimodal.PngCodec.decode(good.dropRight(8)).isEmpty)
+    // grayscale color type rejected (re-CRC'd so only IHDR differs)
+    val gray = good.clone(); gray(8 + 8 + 9) = 0
+    val reCrc = new java.util.zip.CRC32(); reCrc.update(gray, 12, 17)
+    val c = reCrc.getValue
+    gray(29) = (c >>> 24).toByte; gray(30) = (c >>> 16).toByte
+    gray(31) = (c >>> 8).toByte; gray(32) = c.toByte
+    assert(Multimodal.PngCodec.decode(gray).isEmpty)
+    assert(Multimodal.PngCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.PngCodec.decode("JFIF".getBytes).isEmpty)
+  }
+
+  test("decodePng: stats equal a driver-side recompute from the raw text") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)].collect()
+    val want = rows.map { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      val w = 2 + (id % 6).toInt; val h = 3 + (id % 5).toInt
+      var r = 0L; var g = 0L; var b = 0L; var ws = 0L
+      for (j <- 0 until 3 * w * h) {
+        val v = tb(j % tb.length) & 0xffL
+        (j % 3: @unchecked) match {
+          case 0 => r += v; case 1 => g += v; case 2 => b += v
+        }
+        ws += j * v
+      }
+      id -> ((w.toLong, h.toLong, r, g, b, ws))
+    }.toMap
+    val got = Multimodal.decodePng(spark, sf)
+      .as[Multimodal.PngDecoded].collect()
+    assert(got.length == want.size)
+    got.foreach { d =>
+      assert(want(d.doc_id) ==
+        ((d.width, d.height, d.sum_r, d.sum_g, d.sum_b, d.wsum)),
+        s"doc ${d.doc_id} stats diverge from the raw-text recompute")
+    }
+  }
+
   test("decodeBmp: wsum is position-sensitive (catches a row-order bug)") {
     val out = Multimodal.decodeBmp(spark, sf)
       .as[Multimodal.BmpDecoded].collect()
