@@ -293,6 +293,71 @@ object TextAnalysis {
       |      FROM scored)
       |WHERE rnk <= 5""".stripMargin
 
+  // ------------------------------------------- unigram LM surprisal
+
+  /** Integer-exact unigram language-model surprisal per document — the
+    * rare-word-density quality signal (a doc of corpus-typical words
+    * scores low; a doc dense in rare tokens scores high; the CCNet /
+    * Gopher stacks use an LM perplexity filter for the same decision).
+    * A float `-Σ log p(w)` would hang cross-engine equality on libm's
+    * uncorrectly-rounded `ln`, so the score is BIT surprisal under the
+    * floor-log2 measure already used by the length histogram:
+    * `bits(w) = floor_log2(total) - floor_log2(cnt(w))` via the exact
+    * `length(bin(x)) - 1` identity — both engines print the same binary
+    * string, no float path at all. Per doc: Σ bits and the integer
+    * per-word mean in millibits.
+    *
+    * Scale shape: one tokenize pass lineage-cut for its two consumers
+    * (the count table and the per-doc join); the count table is a
+    * map-side-combinable wordcount; `total` is a 1-row broadcast; the
+    * word-keyed join and doc-keyed rollup are ordinary exchanges. */
+  def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val words = docs
+      .select(col("doc_id"),
+        explode(graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern))
+          .as("word"))
+      .localCheckpoint()
+    val cnt = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    val bits = cnt.crossJoin(broadcast(total))
+      .select(col("word"),
+        ((length(bin(col("total"))) - length(bin(col("cnt"))))
+          .cast("long")).as("bits"))
+    val perDoc = words.join(bits, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("bits")).as("surprisal_bits"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_words").isNull || col("n_words") === 0, 0L)
+          .otherwise(expr("surprisal_bits * 1000L div n_words"))
+          .as("mean_millibits"))
+  }
+
+  val lmSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+      |bits AS (SELECT word,
+      |    CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS bits
+      |  FROM wc, tot),
+      |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+      |  FROM tok JOIN bits USING (word) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_words, 0) AS n_words,
+      |  COALESCE(surprisal_bits, 0) AS surprisal_bits,
+      |  CASE WHEN COALESCE(n_words, 0) = 0 THEN 0
+      |       ELSE (surprisal_bits * 1000) // n_words END AS mean_millibits
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -300,6 +365,7 @@ object TextAnalysis {
     "lang_id" -> (langId _),
     "lang_id_confusion" -> (langIdConfusion _),
     "doc_fingerprint" -> (fingerprint _),
+    "quality_lm_surprisal" -> (lmSurprisal _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -309,5 +375,6 @@ object TextAnalysis {
     "lang_id" -> langIdSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "doc_fingerprint" -> fingerprintSql,
+    "quality_lm_surprisal" -> lmSurprisalSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }

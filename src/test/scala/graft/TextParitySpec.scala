@@ -13,6 +13,30 @@ class TextParitySpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
+  test("lm surprisal: exact bit arithmetic, rare words score higher") {
+    import spark.implicits._
+    val rows = TextAnalysis.lmSurprisal(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Independent recompute of the bit measure from raw word counts.
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0))).as("word"))
+      .as[(Long, String)].collect()
+    val cnt = words.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val total = cnt.values.sum
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val want = words.groupBy(_._1).map { case (id, ws) =>
+      id -> ws.map { case (_, w) => fl2(total) - fl2(cnt(w)) }.sum
+    }
+    rows.foreach { case (id, nw, bits, mmb) =>
+      assert(bits == want.getOrElse(id, 0L), s"doc $id surprisal mismatch")
+      assert(mmb == (if (nw == 0) 0L else bits * 1000 / nw))
+    }
+    // Non-vacuous: the corpus's rare word ('dup') makes scores differ.
+    assert(rows.map(_._4).distinct.length > 1, "surprisal is constant — vacuous")
+  }
+
   test("kernels == regex formulations on the corpus") {
     val words = filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
       t => length(t) > lit(0))
