@@ -309,4 +309,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), "funnel must not expand into self-joins:\n" + p)
   }
+
+  test("tokenize: vocab rides a broadcast, piece join stays keyed, no cartesian") {
+    val p = plan(ext.Tokenize.corpusTokenize(spark, sf))
+    // The 1-row vocab frame must be a broadcast (nested-loop against a
+    // single row is the constant-size crossJoin shape), and the
+    // word-keyed pieces join must not degenerate to a cross product.
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lm surprisal: total broadcast; word join keyed; no cartesian") {
+    val p = plan(ext.TextAnalysis.lmSurprisal(spark, sf))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The per-word counts partial-aggregate map-side before shuffling.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
