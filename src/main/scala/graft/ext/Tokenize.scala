@@ -109,13 +109,16 @@ object Tokenize {
 
   /** Shared oracle CTEs: words → counts → vocab → distinct words →
     * recursive greedy tokenization → per-word pieces → per-doc rollup.
-    * Must be spliced into a `WITH RECURSIVE` clause. */
-  private[graft] val tokCtes: String = {
+    * Must be spliced into a `WITH RECURSIVE` clause. `extraCtes` lets a
+    * caller interpose its own CTEs (e.g. a snapshot doc filter) and
+    * `vocabBody` swaps the vocab derivation — the [[vocabDrift]] gate
+    * trains the vocab on one cohort and applies it to the whole corpus. */
+  private[graft] def tokCtesWith(extraCtes: String, vocabBody: String): String = {
     val words =
       "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')"
     s"""tw AS (SELECT doc_id, unnest($words) AS word FROM documents),
        |wcnt AS (SELECT word, COUNT(*) AS c FROM tw GROUP BY word),
-       |vocab AS (SELECT word AS piece FROM wcnt ORDER BY c DESC, word LIMIT $VocabK),
+       |${extraCtes}vocab AS ($vocabBody),
        |dw AS (SELECT DISTINCT word FROM tw),
        |tok AS (
        |  SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n,
@@ -137,6 +140,9 @@ object Tokenize {
        |    CAST(SUM(p2.n_vocab_pieces) AS BIGINT) AS n_vocab_tokens
        |  FROM tw JOIN pieces p2 USING (word) GROUP BY tw.doc_id)""".stripMargin
   }
+
+  private[graft] val tokCtes: String = tokCtesWith("",
+    s"SELECT word AS piece FROM wcnt ORDER BY c DESC, word LIMIT $VocabK")
 
   val corpusTokenizeSql: String =
     s"""WITH RECURSIVE $tokCtes
@@ -165,11 +171,146 @@ object Tokenize {
        |FROM rec""".stripMargin
   }
 
+  // ------------------------------------------- token-unit curation
+
+  /** Per-source exact TOKEN budget — the number a training mix is
+    * actually planned by (char mass is the proxy [[Curation.sourceMixture]]
+    * reports; model budgets are bought in tokens). One column-pruned
+    * join of the per-doc token stats onto the doc→source map, a tiny
+    * per-source agg, and a 1-row total broadcast for the share. */
+  def sourceTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val per = corpusTokenize(spark, sfDir)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_vocab_tokens")).as("n_vocab_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_vocab_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"))
+  }
+
+  val sourceTokenBudgetSql: String =
+    s"""WITH RECURSIVE $tokCtes,
+       |per AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS n_words,
+       |    CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(COALESCE(n_vocab_tokens, 0)) AS BIGINT) AS n_vocab_tokens
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id) GROUP BY d.source)
+       |SELECT source, n_docs, n_words, n_tokens, n_vocab_tokens,
+       |  CAST(n_tokens AS DOUBLE) /
+       |    CAST((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per) AS DOUBLE)
+       |    AS token_share
+       |FROM per""".stripMargin
+
+  /** Token-mass mixture rebalancer — [[Curation.sampleMixtureBalanced]]
+    * with the balance unit upgraded from char mass to EXACT tokens:
+    * rate_pm(s) = min_token_mass · 1000 div token_mass_s, accept iff
+    * polyHash("mixtok:" + doc_id) mod 1000 < rate_pm. Same stateless
+    * hash-threshold accept (retry/partitioning/ingestion-stable); the
+    * rate frame is O(#sources) and broadcast. */
+  def sampleMixtureTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val st = corpusTokenize(spark, sfDir)
+      .join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val mass = st.groupBy(col("source")).agg(sum(col("n_tokens")).as("stok"))
+    val minM = mass.agg(min(col("stok")).as("mn"))
+    val rates = mass.crossJoin(minM)
+      .select(col("source"), expr("mn * 1000 div stok").as("rate_pm"))
+    st.join(broadcast(rates), Seq("source"))
+      .filter(GraftFunctions.polyHash(
+        concat_ws(":", lit("mixtok"), col("doc_id").cast("string"))) % 1000
+        < col("rate_pm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_pm"))
+  }
+
+  val sampleMixtureTokensSql: String = {
+    val h = Hashing.stringHashSql("'mixtok:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE $tokCtes,
+       |st AS (SELECT d.doc_id, d.source, COALESCE(n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id)),
+       |c AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS stok
+       |  FROM st GROUP BY source),
+       |m AS (SELECT MIN(stok) AS mn FROM c),
+       |r AS (SELECT source, CAST(mn * 1000 // stok AS BIGINT) AS rate_pm FROM c, m)
+       |SELECT st.doc_id, st.source, st.n_tokens, r.rate_pm
+       |FROM st JOIN r USING (source)
+       |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
+  }
+
+  /** Vocab drift across an ingest step — the check that catches a
+    * frozen tokenizer rotting as the corpus shifts: the vocab is
+    * TRAINED on the persisted snapshot cohort (the [[Incremental]]
+    * idHash%4≠0 split) and APPLIED to the whole corpus; the gate
+    * reports per-cohort token accounting and the out-of-vocab token
+    * rate in integer permille. A healthy stationary corpus shows
+    * near-equal OOV rates; distribution shift shows up as the batch
+    * cohort's oov_pm pulling away from the snapshot's — measured,
+    * deterministic, and cheap enough to run per ingest. */
+  def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ih", Hashing.idHash(col("doc_id")))
+    val snapVocab = vocabRowOf(wordsOf(docs.filter(col("ih") % 4 =!= 0)), VocabK)
+    tokenStatsOf(docs, snapVocab)
+      .join(docs.select(col("doc_id"),
+        when(col("ih") % 4 === 0, "batch").otherwise("snapshot").as("cohort")),
+        Seq("doc_id"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_vocab_tokens")).as("n_vocab_tokens"))
+      .select(col("cohort"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_vocab_tokens"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(n_tokens - n_vocab_tokens) * 1000L div n_tokens"))
+          .as("oov_pm"))
+  }
+
+  val vocabDriftSql: String = {
+    val ih = Hashing.idHashSql("doc_id")
+    val ctes = tokCtesWith(
+      s"""sd AS (SELECT doc_id FROM documents WHERE ($ih) % 4 <> 0),
+         |scnt AS (SELECT word, COUNT(*) AS c FROM tw JOIN sd USING (doc_id)
+         |  GROUP BY word),
+         |""".stripMargin,
+      s"SELECT word AS piece FROM scnt ORDER BY c DESC, word LIMIT $VocabK")
+    s"""WITH RECURSIVE $ctes,
+       |coh AS (SELECT d.doc_id,
+       |    CASE WHEN ($ih) % 4 = 0 THEN 'batch' ELSE 'snapshot' END AS cohort,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    COALESCE(n_tokens, 0) AS n_tokens,
+       |    COALESCE(n_vocab_tokens, 0) AS n_vocab_tokens
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id))
+       |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_vocab_tokens) AS BIGINT) AS n_vocab_tokens,
+       |  CASE WHEN SUM(n_tokens) = 0 THEN 0
+       |       ELSE (CAST(SUM(n_tokens) AS BIGINT)
+       |             - CAST(SUM(n_vocab_tokens) AS BIGINT)) * 1000
+       |            // CAST(SUM(n_tokens) AS BIGINT) END AS oov_pm
+       |FROM coh GROUP BY cohort""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_tokenize" -> (corpusTokenize _),
-    "corpus_pack_tokens" -> (corpusPackTokens _))
+    "corpus_pack_tokens" -> (corpusPackTokens _),
+    "source_token_budget" -> (sourceTokenBudget _),
+    "sample_mixture_tokens" -> (sampleMixtureTokens _),
+    "corpus_vocab_drift" -> (vocabDrift _))
 
   val oracles: Map[String, String] = Map(
     "corpus_tokenize" -> corpusTokenizeSql,
-    "corpus_pack_tokens" -> corpusPackTokensSql)
+    "corpus_pack_tokens" -> corpusPackTokensSql,
+    "source_token_budget" -> sourceTokenBudgetSql,
+    "sample_mixture_tokens" -> sampleMixtureTokensSql,
+    "corpus_vocab_drift" -> vocabDriftSql)
 }

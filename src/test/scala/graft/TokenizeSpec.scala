@@ -85,6 +85,47 @@ class TokenizeSpec extends SparkSpec {
     assert(st.filter(col("n_tokens") < col("n_words")).count() == 0)
   }
 
+  test("source token budget reconciles with per-doc counts; shares sum to 1") {
+    val per = Tokenize.sourceTokenBudget(spark, sf).collect()
+    assert(per.length > 1)
+    val totalFromBudget = per.map(_.getAs[Long]("n_tokens")).sum
+    val totalFromDocs = Tokenize.corpusTokenize(spark, sf)
+      .agg(sum(col("n_tokens"))).as[Long].head()
+    assert(totalFromBudget == totalFromDocs)
+    val shares = per.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("token-mass mixture: lightest source keeps all; accepts match the hash rule") {
+    val rows = Tokenize.sampleMixtureTokens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rates = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("rate_pm")).toMap
+    assert(rates.values.max == 1000L, "no source kept whole — rates wrong")
+    assert(rates.values.forall(r => r > 0 && r <= 1000))
+    // Acceptance is exactly the stateless hash threshold.
+    val viaRule = Tokenize.sampleMixtureTokens(spark, sf)
+      .filter(graft.functions.GraftFunctions.polyHash(
+        concat_ws(":", lit("mixtok"), col("doc_id").cast("string"))) % 1000
+        >= col("rate_pm")).count()
+    assert(viaRule == 0)
+  }
+
+  test("vocab drift: snapshot-trained vocab applied corpus-wide, both cohorts reported") {
+    val rows = Tokenize.vocabDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("cohort") -> r).toMap
+    assert(rows.keySet == Set("batch", "snapshot"))
+    rows.values.foreach { r =>
+      val oov = r.getAs[Long]("oov_pm")
+      assert(oov >= 0 && oov < 1000, s"oov_pm out of range: $oov")
+      assert(r.getAs[Long]("n_vocab_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(oov > 0, "no OOV at all — drift gate vacuous")
+    }
+    // Cohorts partition the corpus.
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == total)
+  }
+
   test("token packing respects the budget and places every doc exactly once") {
     val packed = Tokenize.corpusPackTokens(spark, sf)
     val overBudget = packed.groupBy(col("pack_id"))
