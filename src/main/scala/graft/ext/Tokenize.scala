@@ -73,6 +73,15 @@ object Tokenize {
         element_at(col("pc"), 1).as("n_pieces"),
         element_at(col("pc"), 2).as("n_vocab_pieces"))
 
+  /** The tokenized vocabulary (word, n_pieces, n_vocab_pieces) for a
+    * corpus — the STATIC side the streaming twin joins against (the
+    * frozen-tokenizer deployment shape: derive once, enrich forever). */
+  private[graft] def pieceFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    GF.register(spark)
+    val words = wordsOf(Tables.documents(spark, sfDir)).localCheckpoint()
+    pieceTable(words, vocabRowOf(words, VocabK))
+  }
+
   /** Per-doc exact token accounting over an explicit (doc_id, text)
     * frame with an explicit vocab row — TokenizeSpec's seam. Drives from
     * the documents frame with LEFT joins so 0-word docs surface with

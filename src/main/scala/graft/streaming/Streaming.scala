@@ -600,6 +600,44 @@ object Streaming {
       .select(col("h"), col("cnt"), col("keeper"))
   }
 
+  /** Streaming token accounting — corpus_tokenize in the INGEST path:
+    * documents stream in, words fan out map-side, the STATIC tokenized
+    * vocabulary (derived once from the batch corpus — the frozen-
+    * tokenizer deployment shape, same posture as [[enrichStream]]'s
+    * static dimension) enriches each word with its greedy piece counts,
+    * and a per-doc stateful aggregation accumulates exact token totals.
+    * The pieces side is planned per micro-batch like any stream-static
+    * join; per-doc state is one 3-long row per document (the same
+    * per-key-state posture as [[dedupExactStream]]). Docs that never
+    * produce a word are restored by a post-drain left join against the
+    * corpus spine, mirroring the batch query's LEFT-join discipline.
+    * Oracle = the batch corpus_tokenize oracle. */
+  def tokenizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pieces = graft.ext.Tokenize.pieceFrame(spark, sfDir)
+    val docs = spark.readStream.schema(raw.schema)
+      .parquet(staged(sfDir, "documents"))
+    val words = docs.select(col("doc_id"),
+      explode(graft.engine.Tokenizer.tokens(lower(col("text")),
+        graft.ext.TextAnalysis.LowerWordPattern)).as("word"))
+    val perDoc = words.join(pieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        sum(col("n_vocab_pieces")).as("n_vocab_tokens"))
+    val drained = runToParquet(perDoc, OutputMode.Update(), "tokenize")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_words")).as("n_words"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_vocab_tokens")).as("n_vocab_tokens"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(drained, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"))
+  }
+
   /** Streaming twin of ext.Funnel: the windowed any-entry funnel as a
     * per-user SEQUENTIAL STATE MACHINE — the shape funnels actually
     * take in production streams, where events arrive over days and the
@@ -695,7 +733,8 @@ object Streaming {
     "events_stream_click_attrib" -> (clickAttributionStream _),
     "events_stream_dedup_ids" -> (dedupIdsStream _),
     "events_stream_enrich" -> (enrichStream _),
-    "events_stream_windowed_append" -> (windowedAppendStream _))
+    "events_stream_windowed_append" -> (windowedAppendStream _),
+    "corpus_tokenize_stream" -> (tokenizeStream _))
 
   val oracles: Map[String, String] = Map(
     "events_stream_funnel" -> graft.ext.Funnel.funnelUsersSql,
@@ -707,5 +746,6 @@ object Streaming {
     "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql,
     "events_stream_dedup_ids" -> dedupIdsSql,
     "events_stream_enrich" -> enrichSql,
-    "events_stream_windowed_append" -> windowedAppendSql)
+    "events_stream_windowed_append" -> windowedAppendSql,
+    "corpus_tokenize_stream" -> graft.ext.Tokenize.corpusTokenizeSql)
 }

@@ -490,6 +490,13 @@ class StreamingSpec extends SparkSpec {
     val batchKv = KvReplay.fromEvents(spark, sf)
       .as[(String, String)].collect().toMap
     assert(streamKv == batchKv)
+
+    val streamTok = Streaming.tokenizeStream(spark, sf)
+      .collect().map(_.toString).toSet
+    val batchTok = ext.Tokenize.corpusTokenize(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamTok == batchTok,
+      "streaming token accounting diverges from the batch tokenizer")
   }
 
   test("stream-static enrichment equals the batch join, across micro-batches") {
