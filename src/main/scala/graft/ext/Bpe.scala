@@ -47,7 +47,13 @@ object Bpe {
   /** One merge-learning run over an explicit (word, cnt) word-type
     * frame — BpeSpec's seam. Returns the merge table
     * (merge_rank, left_piece, right_piece, merged, pair_count). */
-  private[graft] def mergesOf(wordTypes: DataFrame): DataFrame = {
+  private[graft] def mergesOf(wordTypes: DataFrame): DataFrame =
+    runMerges(wordTypes)._1
+
+  /** The rounds, returning BOTH artifacts: the merge table and the
+    * final per-word-type symbol state (cnt, seq) the vocabulary report
+    * reads. */
+  private[graft] def runMerges(wordTypes: DataFrame): (DataFrame, DataFrame) = {
     // The word-type frame is vocabulary-sized (31 rows here, ~1M at a
     // 100 TB corpus) — collapse it to one partition up front so the 8
     // per-round checkpoint/fold jobs schedule 1 task instead of a full
@@ -97,21 +103,44 @@ object Bpe {
         .localCheckpoint()
       merge
     }
-    rounds.reduce(_ unionAll _)
+    (rounds.reduce(_ unionAll _), cur)
   }
 
-  /** Gated: the first [[NumMerges]] BPE merges learned from the corpus. */
-  def corpusBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  private def corpusWordTypes(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
-    val wordTypes = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(explode(graft.engine.Tokenizer.tokens(lower(col("text")),
         TextAnalysis.LowerWordPattern)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    mergesOf(wordTypes)
   }
 
-  val corpusBpeMergesSql: String = {
+  /** Gated: the first [[NumMerges]] BPE merges learned from the corpus. */
+  def corpusBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    mergesOf(corpusWordTypes(spark, sfDir))
+
+  /** Gated: the learned vocabulary IN USE after the merges — every
+    * symbol surviving in the final word-type states, with its length,
+    * its distinct position count across word types, and its corpus
+    * token mass (positions weighted by word frequency). The report a
+    * tokenizer training run is judged by: how much of the corpus's
+    * token stream the learned multi-char pieces absorbed vs residual
+    * single chars. Derived from the same per-round states as the merge
+    * table — one explode + map-side-combinable groupBy on the final
+    * vocabulary-sized frame. */
+  def corpusBpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, fin) = runMerges(corpusWordTypes(spark, sfDir))
+    fin.select(col("cnt"), explode(symsOf(col("seq"))).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("cnt")).as("token_mass"))
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("n_positions"), col("token_mass"))
+  }
+
+  /** Shared oracle CTE chain: word types → r0 → (p_i, b_i, r_i) per
+    * unrolled round. Ends with r[[NumMerges]]. */
+  private val bpeCtes: String = {
     def roundCtes(i: Int): String =
       s"""p$i AS (
          |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
@@ -125,21 +154,37 @@ object Bpe {
          |      (acc, x) -> CASE WHEN x = b.r AND ends_with(acc, '|' || b.l)
          |                       THEN acc || x ELSE acc || '|' || x END) AS seq
          |  FROM r${i - 1}, b$i b)""".stripMargin
-    val selects = (1 to NumMerges).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_piece,
-         |  r AS right_piece, l || r AS merged, c AS pair_count FROM b$i""".stripMargin
-    }
     s"""WITH
        |w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word FROM documents),
        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
        |r0 AS (SELECT cnt, regexp_replace(word, '(.)', '|\\1', 'g') AS seq FROM wc),
-       |${(1 to NumMerges).map(roundCtes).mkString(",\n")}
+       |${(1 to NumMerges).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  val corpusBpeMergesSql: String = {
+    val selects = (1 to NumMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_piece,
+         |  r AS right_piece, l || r AS merged, c AS pair_count FROM b$i""".stripMargin
+    }
+    s"""$bpeCtes
        |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  val corpusBpeVocabSql: String =
+    s"""$bpeCtes
+       |SELECT sym AS piece, CAST(length(sym) AS BIGINT) AS piece_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_positions,
+       |  CAST(SUM(cnt) AS BIGINT) AS token_mass
+       |FROM (SELECT cnt,
+       |    unnest(list_filter(string_split(seq, '|'), s -> s <> '')) AS sym
+       |  FROM r$NumMerges)
+       |GROUP BY sym""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_bpe_merges" -> (corpusBpeMerges _))
+    "corpus_bpe_merges" -> (corpusBpeMerges _),
+    "corpus_bpe_vocab" -> (corpusBpeVocab _))
 
   val oracles: Map[String, String] = Map(
-    "corpus_bpe_merges" -> corpusBpeMergesSql)
+    "corpus_bpe_merges" -> corpusBpeMergesSql,
+    "corpus_bpe_vocab" -> corpusBpeVocabSql)
 }

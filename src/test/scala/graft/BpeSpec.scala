@@ -69,6 +69,47 @@ class BpeSpec extends SparkSpec {
     assert(got == referenceBpe(words.toMap, Bpe.NumMerges))
   }
 
+  test("vocab report: pieces are chars-or-learned-merges, mass reconciles") {
+    val vocab = Bpe.corpusBpeVocab(spark, sf).collect()
+    assert(vocab.nonEmpty)
+    val merged = Bpe.corpusBpeMerges(spark, sf)
+      .select("merged").as[String].collect().toSet
+    vocab.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert(p.length == r.getAs[Long]("piece_len"))
+      assert(p.length == 1 || merged.contains(p),
+        s"piece '$p' is neither a char nor a learned merge")
+    }
+    assert(vocab.exists(_.getAs[Long]("piece_len") > 1),
+      "no multi-char piece survived — vocab report vacuous")
+    // Token mass reconciles with an independent recompute: total symbol
+    // positions weighted by word frequency after replaying the merges.
+    val wordCounts = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.engine.Tokenizer.tokens(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")),
+          graft.ext.TextAnalysis.LowerWordPattern)).as("word"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    var seqs: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    for ((l, r, _) <- referenceBpe(wordCounts, Bpe.NumMerges)) {
+      seqs = seqs.groupMapReduce { case (syms, _) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += l + r; i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        b.result()
+      }(_._2)(_ + _)
+    }
+    val wantMass = seqs.map { case (syms, c) => syms.length * c }.sum
+    assert(vocab.map(_.getAs[Long]("token_mass")).sum == wantMass)
+  }
+
   test("corpus merges equal the sequential reference at sf0.001") {
     val wordCounts = Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.explode(
