@@ -664,6 +664,94 @@ object Multimodal {
        |FROM d""".stripMargin
   }
 
+  /** Real resize on REAL decoded pixels — the feature-extraction step
+    * [[resize]] stubs with [[FakeCodec]], run for real: the payload is
+    * PNG-encoded, decoded back through [[PngCodec]] (compression,
+    * filters and all), then nearest-neighbor resampled to a fixed
+    * [[RszW]]×[[RszH]] thumbnail — src(x·sw div W, y·sh div H), integer
+    * floors identical in both engines. Source dims run 2..7, so BOTH
+    * upscale (duplicated source pixels) and downscale (dropped pixels)
+    * paths are exercised at every SF. The oracle recomputes the resized
+    * plane's stats straight from the raw text via the same index
+    * arithmetic — blind to the codec in between, so a wrong NN index,
+    * row stride, or channel order hash-mismatches. */
+  case class PngResized(doc_id: Long, src_w: Long, src_h: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  private val RszW = 4
+  private val RszH = 4
+
+  def resizePng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 2 + (id % 6).toInt
+          val h = 3 + (id % 5).toInt
+          val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+          val img = PngCodec.decode(PngCodec.encode(w, h, rgb))
+            .getOrElse(sys.error(s"round-trip decode failed for doc $id"))
+          val out = new Array[Byte](3 * RszW * RszH)
+          var y = 0
+          while (y < RszH) {
+            val sy = y * img.height / RszH
+            var x = 0
+            while (x < RszW) {
+              val sx = x * img.width / RszW
+              val src = 3 * (sy * img.width + sx)
+              val dst = 3 * (y * RszW + x)
+              out(dst) = img.pixels(src)
+              out(dst + 1) = img.pixels(src + 1)
+              out(dst + 2) = img.pixels(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          var r = 0L; var g = 0L; var b = 0L; var ws = 0L
+          var j = 0
+          while (j < out.length) {
+            val v = out(j) & 0xffL
+            (j % 3: @unchecked) match {
+              case 0 => r += v
+              case 1 => g += v
+              case 2 => b += v
+            }
+            ws += j * v
+            j += 1
+          }
+          PngResized(id, img.width.toLong, img.height.toLong, r, g, b, ws)
+        }
+      }
+      .toDF()
+  }
+
+  val resizePngSql: String = {
+    // Resized pixel p (0..RszW*RszH-1), channel off: source index =
+    // 3*(sy*sw + sx) + off with sx = (p % W)*sw // W, sy = (p // W)*sh // H.
+    def srcIdx(p: String, off: Int): String =
+      s"3*((($p) // $RszW * h // $RszH) * w + (($p) % $RszW * w // $RszW)) + $off"
+    def pix(idx: String): String =
+      s"CAST(ascii(substr(text, CAST(($idx) % len AS INTEGER) + 1, 1)) AS BIGINT)"
+    def chanSum(off: Int): String =
+      s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, ${RszW * RszH}), " +
+        s"p -> ${pix(srcIdx("p", off))}))) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    2 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+       |  ${chanSum(0)} AS sum_r,
+       |  ${chanSum(1)} AS sum_g,
+       |  ${chanSum(2)} AS sum_b,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, ${3 * RszW * RszH}),
+       |    j -> j * ${pix(srcIdx("j // 3", 0) + " + (j % 3)")}))) AS BIGINT) AS wsum
+       |FROM d""".stripMargin
+  }
+
   /** Decoded BMP stats: dimensions as parsed, exact channel sums, and a
     * position-weighted sum (Σ j·plane[j] over the decoded top-down RGB
     * plane) — channel sums alone are row-order-invariant, so `wsum` is
@@ -1007,7 +1095,8 @@ object Multimodal {
     "dedup_phash" -> (dedupPhash _),
     "multimodal_decode_ppm" -> (decodePpm _),
     "multimodal_decode_bmp" -> (decodeBmp _),
-    "multimodal_decode_png" -> (decodePng _))
+    "multimodal_decode_png" -> (decodePng _),
+    "multimodal_resize_png" -> (resizePng _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" -> mediaMetaSql,
@@ -1018,5 +1107,6 @@ object Multimodal {
     "dedup_phash" -> dedupPhashSql,
     "multimodal_decode_ppm" -> decodePpmSql,
     "multimodal_decode_bmp" -> decodeBmpSql,
-    "multimodal_decode_png" -> decodePngSql)
+    "multimodal_decode_png" -> decodePngSql,
+    "multimodal_resize_png" -> resizePngSql)
 }

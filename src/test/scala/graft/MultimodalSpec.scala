@@ -249,6 +249,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizePng: nearest-neighbor thumbnail equals a driver-side recompute") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)].collect()
+    val want = rows.map { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      val w = 2 + (id % 6).toInt; val h = 3 + (id % 5).toInt
+      var r = 0L; var g = 0L; var b = 0L; var ws = 0L
+      for (j <- 0 until 48) {
+        val p = j / 3; val off = j % 3
+        val sx = (p % 4) * w / 4; val sy = (p / 4) * h / 4
+        val v = tb((3 * (sy * w + sx) + off) % tb.length) & 0xffL
+        (off: @unchecked) match {
+          case 0 => r += v; case 1 => g += v; case 2 => b += v
+        }
+        ws += j * v
+      }
+      id -> ((r, g, b, ws))
+    }.toMap
+    val got = Multimodal.resizePng(spark, sf)
+      .as[Multimodal.PngResized].collect()
+    assert(got.length == want.size)
+    // Up- and downscale both present (src dims straddle the 4x4 target).
+    assert(got.exists(_.src_w < 4) && got.exists(_.src_w > 4))
+    got.foreach { d =>
+      assert(want(d.doc_id) == ((d.sum_r, d.sum_g, d.sum_b, d.wsum)),
+        s"doc ${d.doc_id} resized stats diverge")
+    }
+  }
+
   test("decodeBmp: wsum is position-sensitive (catches a row-order bug)") {
     val out = Multimodal.decodeBmp(spark, sf)
       .as[Multimodal.BmpDecoded].collect()
