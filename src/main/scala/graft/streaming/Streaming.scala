@@ -64,6 +64,10 @@ object Streaming {
     * executor→parquet and only the driver-side read of the FINAL
     * aggregate is small. Checkpoint + per-batch overwrite also make the
     * write path recoverable (memory sink is not). */
+  /** Streaming state-partition count (see the conf comment in
+    * [[runToParquet]]); a dial, raised with state volume in production. */
+  private val StatePartitions = "8"
+
   private def runToParquet(updates: DataFrame, mode: OutputMode,
       name: String): DataFrame = {
     val spark = updates.sparkSession
@@ -84,21 +88,33 @@ object Streaming {
         (batch, _) => batch.write.mode("overwrite").parquet(s"$outDir/latest")
       else Sinks.idempotentParquet(outDir)
     val t0 = System.nanoTime()
-    val q = updates.writeStream
-      .foreachBatch(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", checkpoint())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // Engine-init = wall time minus the per-batch triggerExecution spans
-    // (which carry the actual plan + state-store work).
-    val wall = (System.nanoTime() - t0) / 1e9
-    val batchSecs = q.recentProgress.iterator.map { p =>
-      val d = p.durationMs.get("triggerExecution")
-      if (d == null) 0L else d.longValue
-    }.sum / 1000.0
-    recordInit(wall - batchSecs)
+    // State partitions are sized to STATE VOLUME, not CPU count: every
+    // state partition pays a RocksDB instance per stateful operator per
+    // micro-batch, so a CPU-sized 32 costs ~2× wall on the stream-stream
+    // join (8.5 → 4.3 s measured) while the gate-SF state fits in a few
+    // partitions with room to spare. Production raises this dial with
+    // state size; result VALUES are partition-count-invariant (pinned by
+    // the 32-vs-16-thread burn-in). Scoped to the stream's run and
+    // restored after — batch plans keep the session setting.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = updates.writeStream
+        .foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Engine-init = wall time minus the per-batch triggerExecution spans
+      // (which carry the actual plan + state-store work).
+      val wall = (System.nanoTime() - t0) / 1e9
+      val batchSecs = q.recentProgress.iterator.map { p =>
+        val d = p.durationMs.get("triggerExecution")
+        if (d == null) 0L else d.longValue
+      }.sum / 1000.0
+      recordInit(wall - batchSecs)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // A source with zero rows can legitimately produce zero batches —
     // the sink dir is then empty and read.parquet cannot infer a
     // schema. "No data yet" is an empty result, not an error.
