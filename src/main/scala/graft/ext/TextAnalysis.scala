@@ -213,6 +213,118 @@ object TextAnalysis {
        |  CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS class_share
        |FROM pairs JOIN totals ON lang = t_lang""".stripMargin
 
+  // ------------------------------------- n-gram language identification
+
+  /** Character trigrams retained per language profile. Cavnar–Trenkle
+    * keep ~300 of all n-gram orders; 64 trigrams suffice on this corpus
+    * and keep the profile a (#langs × 64)-row broadcast at any SF. */
+  private val NgramProfileM = 64
+
+  /** Character-TRIGRAM language ID — the Cavnar–Trenkle-style n-gram
+    * profile classifier (the heuristic every fastText-era pipeline's
+    * fallback descends from), complementing the word-list [[langId]]:
+    * per-language profiles are TRAINED on the corpus's ground-truth
+    * labels (top-[[NgramProfileM]] trigrams of the space-joined word
+    * stream by count, trigram-ascending tie-break), and every document
+    * is scored by how many of its trigram OCCURRENCES hit each
+    * language's profile — integer counts, argmax with a (score DESC,
+    * lang ASC) total order, so both engines agree on every prediction.
+    * Docs too short for a trigram predict the sentinel 'und'.
+    *
+    * Scale shape: one tokenize pass lineage-cut for the two consumers
+    * (profile training and scoring); profile derivation is a
+    * (lang, tri) map-side-combinable count + a per-lang top-M window;
+    * the profile is a fixed-size broadcast (hinted — #langs×M is
+    * SF-independent); scoring is a tri-keyed join + (doc, lang) count
+    * + per-doc argmax window. Accuracy is MEASURED by the companion
+    * confusion gate, not assumed. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = array_join(
+      graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern), " ")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), norm.as("norm"))
+    // Positional trigram slice via expr: the HOF lambda needs a
+    // column-typed start offset, which the Scala substring() overloads
+    // don't take.
+    val tris = docs
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("norm")) >= 3,
+          expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
+          .otherwise(array().cast("array<string>"))).as("tri"))
+      .localCheckpoint()
+    val profile = tris.groupBy(col("lang"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tri"))))
+      .filter(col("rn") <= NgramProfileM)
+      .select(col("lang").as("p_lang"), col("tri"))
+    val scores = tris.select(col("doc_id"), col("tri"))
+      .join(broadcast(profile), Seq("tri"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+    val best = scores.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("p_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("p_lang"), lit("und")) === col("lang")).as("is_match"))
+  }
+
+  val langIdNgramSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |      t -> t <> ''), ' ') AS norm
+       |  FROM documents),
+       |tri AS (SELECT doc_id, lang, substr(norm, CAST(i AS INTEGER), 3) AS tri
+       |  FROM (SELECT doc_id, lang, norm,
+       |      unnest(range(1, CAST(greatest(length(norm) - 1, 1) AS BIGINT))) AS i
+       |    FROM d)),
+       |prof AS (SELECT lang AS p_lang, tri FROM (
+       |    SELECT lang, tri,
+       |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn
+       |    FROM tri GROUP BY lang, tri) WHERE rn <= $NgramProfileM),
+       |sc AS (SELECT t.doc_id, p.p_lang, CAST(COUNT(*) AS BIGINT) AS score
+       |  FROM tri t JOIN prof p USING (tri) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, p_lang, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, p_lang) AS rn FROM sc) WHERE rn = 1)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(b.p_lang, 'und') AS pred_lang,
+       |  COALESCE(b.score, 0) AS score,
+       |  COALESCE(b.p_lang, 'und') = d.lang AS is_match
+       |FROM d LEFT JOIN best b USING (doc_id)""".stripMargin
+
+  /** Confusion matrix of [[langIdNgram]] — same audit shape as
+    * [[langIdConfusion]], so the two classifiers' measured accuracy is
+    * directly comparable gate-to-gate. */
+  def langIdNgramConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = langIdNgram(spark, sfDir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = pairs.groupBy(col("lang").as("t_lang"))
+      .agg(sum(col("n_docs")).as("n_total"))
+    pairs.join(totals, col("lang") === col("t_lang"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("class_share"))
+  }
+
+  val langIdNgramConfusionSql: String =
+    s"""WITH pred AS ($langIdNgramSql),
+       |pairs AS (SELECT lang, pred_lang, COUNT(*) AS n_docs
+       |  FROM pred GROUP BY lang, pred_lang),
+       |totals AS (SELECT lang AS t_lang, CAST(SUM(n_docs) AS BIGINT) AS n_total
+       |  FROM pairs GROUP BY lang)
+       |SELECT lang, pred_lang, n_docs,
+       |  CAST(n_docs AS DOUBLE)/CAST(n_total AS DOUBLE) AS class_share
+       |FROM pairs JOIN totals ON lang = t_lang""".stripMargin
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * plus a 31-bit polynomial rolling hash (exact integer fold — the same
     * hash family the dedup layer uses; see graft.ext.Hashing). */
@@ -364,6 +476,8 @@ object TextAnalysis {
     "quality_percentile_rank" -> (qualityPercentile _),
     "lang_id" -> (langId _),
     "lang_id_confusion" -> (langIdConfusion _),
+    "lang_id_ngram" -> (langIdNgram _),
+    "lang_id_ngram_confusion" -> (langIdNgramConfusion _),
     "doc_fingerprint" -> (fingerprint _),
     "quality_lm_surprisal" -> (lmSurprisal _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
@@ -374,6 +488,8 @@ object TextAnalysis {
     "quality_percentile_rank" -> qualityPercentileSql,
     "lang_id" -> langIdSql,
     "lang_id_confusion" -> langIdConfusionSql,
+    "lang_id_ngram" -> langIdNgramSql,
+    "lang_id_ngram_confusion" -> langIdNgramConfusionSql,
     "doc_fingerprint" -> fingerprintSql,
     "quality_lm_surprisal" -> lmSurprisalSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)

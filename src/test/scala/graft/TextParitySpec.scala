@@ -13,6 +13,22 @@ class TextParitySpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
+  test("ngram lang-id: better than chance on the corpus; matrix reconciles") {
+    import spark.implicits._
+    val pred = TextAnalysis.langIdNgram(spark, sf)
+    val n = pred.count()
+    val hits = pred.filter(col("is_match")).count()
+    val nLangs = pred.select("lang").distinct().count()
+    assert(hits.toDouble / n > 1.2 / nLangs,
+      s"trigram classifier at/below chance: $hits/$n over $nLangs langs")
+    // Confusion matrix mass equals the doc count; shares sum to 1/class.
+    val conf = TextAnalysis.langIdNgramConfusion(spark, sf).collect()
+    assert(conf.map(_.getAs[Long]("n_docs")).sum == n)
+    conf.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("class_share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("lm surprisal: exact bit arithmetic, rare words score higher") {
     import spark.implicits._
     val rows = TextAnalysis.lmSurprisal(spark, sf)
