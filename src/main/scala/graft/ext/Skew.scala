@@ -57,9 +57,53 @@ object Skew {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1""".stripMargin
 
+  /** Join-key skew DIAGNOSTIC — the measurement you run before reaching
+    * for [[saltedJoin]] or relying on AQE's splitter: for each fact
+    * join key the warehouse shuffles on, the key cardinality, row
+    * count, the hottest key's row count, and the hot/uniform ratio in
+    * integer permille (`max·n_keys·1000 div n_rows`; exactly 1000 =
+    * perfectly uniform, 5000 = the hottest key is 5× a uniform share —
+    * past ~10000 a single task owns a disproportionate shuffle
+    * partition and salting pays). Each audit is one map-side-combinable
+    * key count collapsed to a single row — O(#audited keys) output at
+    * any scale, the dashboard a shuffle-health monitor polls. */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"))
+        .select(lit(name).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_rows"),
+          expr("max_rows * n_keys * 1000 div n_rows").as("skew_pm"))
+    audit("lineitem.l_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey")
+      .unionAll(audit("lineitem.l_partkey",
+        Tables.lineitem(spark, sfDir), "l_partkey"))
+      .unionAll(audit("orders.o_custkey", Tables.orders(spark, sfDir), "o_custkey"))
+      .unionAll(audit("events.user_id", Tables.events(spark, sfDir), "user_id"))
+  }
+
+  val skewReportSql: String = {
+    def one(name: String, table: String, key: String): String =
+      s"""SELECT '$name' AS join_key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(MAX(c) AS BIGINT) AS max_rows,
+         |  (CAST(MAX(c) AS BIGINT) * CAST(COUNT(*) AS BIGINT) * 1000)
+         |    // CAST(SUM(c) AS BIGINT) AS skew_pm
+         |FROM (SELECT $key, COUNT(*) AS c FROM $table GROUP BY $key)""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("orders.o_custkey", "orders", "o_custkey"),
+      one("events.user_id", "events", "user_id"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_salted_revenue" -> (saltedRevenue _))
+    "join_salted_revenue" -> (saltedRevenue _),
+    "join_skew_report" -> (skewReport _))
 
   val oracles: Map[String, String] = Map(
-    "join_salted_revenue" -> saltedRevenueSql)
+    "join_salted_revenue" -> saltedRevenueSql,
+    "join_skew_report" -> skewReportSql)
 }

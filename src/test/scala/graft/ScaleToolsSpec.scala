@@ -28,6 +28,21 @@ class ScaleToolsSpec extends SparkSpec {
   private def plainColsOf(cols: Array[String]) =
     cols.filterNot(_ == "__salt").map(col).toSeq
 
+  test("skew report: uniform floor holds, masses reconcile with the tables") {
+    val rows = Skew.skewReport(spark, sf).collect()
+      .map(r => r.getAs[String]("join_key") -> r).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { r =>
+      // max >= mean, so the permille ratio can never dip below uniform.
+      assert(r.getAs[Long]("skew_pm") >= 1000, r.toString)
+      assert(r.getAs[Long]("max_rows") <= r.getAs[Long]("n_rows"))
+    }
+    assert(rows("lineitem.l_orderkey").getAs[Long]("n_rows") ==
+      Tables.lineitem(spark, sf).count())
+    assert(rows("events.user_id").getAs[Long]("n_keys") ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     val n = 4
     Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
