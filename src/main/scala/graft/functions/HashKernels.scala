@@ -119,6 +119,25 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** Positional character-trigram hashes over the raw byte string:
+    * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
+    * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.
+    * Order + multiplicity preserved (the n-gram language-ID profiles
+    * count occurrences). */
+  def charTrigramHashes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = (((bytes(i) & 0xffL) * 31 + (bytes(i + 1) & 0xffL)) * 31 +
+        (bytes(i + 2) & 0xffL)) % P
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** [[wordHashes]] with char multiplier 37 instead of 31 — the second,
     * independent member of the widened span-hash family. Kept a separate
     * full scan (not a param) so both stay monomorphic hot loops. */
