@@ -23,6 +23,19 @@ class HashParitySpec extends AnyFunSuite with SparkSpec {
     assert(n == 0)
   }
 
+  test("charTrigramHashes kernel == positional substring+fold on the corpus") {
+    val hof = when(length(col("text")) >= 3,
+      expr("transform(sequence(1, length(text) - 2), i -> " +
+        "((ascii(substring(text, i, 1)) * 31 + ascii(substring(text, i + 1, 1))) * 31" +
+        " + ascii(substring(text, i + 2, 1))) % 2147483647L)"))
+      .otherwise(array().cast("array<bigint>"))
+    val n = docs
+      .select(graft.functions.GraftFunctions.charTrigramHashes(col("text")).as("a"),
+        hof.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(n == 0)
+  }
+
   test("wordHashes kernel == HOF split+fold on the corpus") {
     val n = docs
       .select(Hashing.wordHashes(col("text")).as("a"),
