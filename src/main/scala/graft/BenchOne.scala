@@ -12,7 +12,10 @@ object BenchOne {
       sys.error("usage: BenchOne <query-key> [reps]"))
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same default as Bench — a tuning number taken at one parallelism
+    // and compared against a full-bench number at another silently
+    // mixes regimes; export SPARK_GRAFT_CPUS to change BOTH.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(graft.plans.GraftExtensions.apply)
       .master(s"local[$cpus]")

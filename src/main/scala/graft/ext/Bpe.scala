@@ -88,7 +88,13 @@ object Bpe {
         col("l").as("left_piece"), col("r").as("right_piece"),
         concat(col("l"), col("r")).as("merged"),
         col("c").as("pair_count"))
-      cur = cur.crossJoin(broadcast(best))
+      // LEFT join against the (0-or-1-row) winner, not a cross join: a
+      // round with no remaining pairs must be a FIXED POINT (null l/r
+      // make the fold's merge branch unreachable, so every seq passes
+      // through unchanged) — a cross join with an empty winner would
+      // silently empty the whole word-state table and zero the vocab
+      // report whenever NumMerges exceeds the available pair rounds.
+      cur = cur.join(broadcast(best), lit(true), "left")
         .select(col("cnt"),
           aggregate(symsOf(col("seq")), lit(""), (acc, x) =>
             when(x === col("r") &&
@@ -106,14 +112,9 @@ object Bpe {
     (rounds.reduce(_ unionAll _), cur)
   }
 
-  private def corpusWordTypes(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.GraftFunctions
-    GraftFunctions.register(spark)
-    Tables.documents(spark, sfDir)
-      .select(explode(graft.engine.Tokenizer.tokens(lower(col("text")),
-        TextAnalysis.LowerWordPattern)).as("word"))
+  private def corpusWordTypes(spark: SparkSession, sfDir: String): DataFrame =
+    Tokenize.wordsOf(Tables.documents(spark, sfDir))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-  }
 
   /** Gated: the first [[NumMerges]] BPE merges learned from the corpus. */
   def corpusBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
@@ -153,7 +154,7 @@ object Bpe {
          |      list_prepend('', list_filter(string_split(seq, '|'), s -> s <> '')),
          |      (acc, x) -> CASE WHEN x = b.r AND ends_with(acc, '|' || b.l)
          |                       THEN acc || x ELSE acc || '|' || x END) AS seq
-         |  FROM r${i - 1}, b$i b)""".stripMargin
+         |  FROM r${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     s"""WITH
        |w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word FROM documents),
        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),

@@ -544,7 +544,13 @@ object Multimodal {
             if (sawIhdr || len != 13) return None
             sawIhdr = true
             w = be32(off + 8); h = be32(off + 12)
-            if (w <= 0 || h <= 0) return None
+            // Upper bound as well as lower: crafted 2^30-scale dims pass
+            // a >0 check but overflow the (1+3w)·h scanline allocation
+            // into a negative array size. 2^24 px/side is far beyond any
+            // real image while (1+3·2^24)·2^24 still exceeds the plane
+            // budget check below, so validate the PRODUCT in Long math.
+            if (w <= 0 || h <= 0 ||
+                (1L + 3L * w) * h > Int.MaxValue) return None
             // 8-bit, truecolor (2), deflate, adaptive filter, no interlace.
             if (bytes(off + 16) != 8 || bytes(off + 17) != 2 ||
                 bytes(off + 18) != 0 || bytes(off + 19) != 0 ||
@@ -566,7 +572,12 @@ object Multimodal {
         var got = 0
         while (got < raw.length && !inflater.finished()) {
           val n = inflater.inflate(raw, got, raw.length - got)
-          if (n == 0 && inflater.needsInput()) return None // truncated
+          // inflate returns 0 only when finished (loop guard), starved
+          // of input (truncated stream), or demanding a preset
+          // dictionary (FDICT) — every 0 here is malformed input, and
+          // treating only needsInput as fatal would SPIN forever on a
+          // dictionary-bearing zlib header.
+          if (n == 0) return None
           got += n
         }
         if (got != raw.length) return None

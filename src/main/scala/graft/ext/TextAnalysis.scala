@@ -432,11 +432,7 @@ object TextAnalysis {
     * word-keyed join and doc-keyed rollup are ordinary exchanges. */
   def lmSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val words = docs
-      .select(col("doc_id"),
-        explode(graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern))
-          .as("word"))
-      .localCheckpoint()
+    val words = Tokenize.wordsOf(docs).localCheckpoint()
     val cnt = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total"))
     val bits = cnt.crossJoin(broadcast(total))

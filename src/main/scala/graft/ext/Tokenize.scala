@@ -49,8 +49,12 @@ object Tokenize {
     * 32k–128k; K only scales the broadcast and the kernel's inner loop. */
   val VocabK = 24
 
-  /** (doc_id, word) — one row per word occurrence. */
-  private def wordsOf(docs: DataFrame): DataFrame =
+  /** (doc_id, word) — one row per word occurrence. THE word-explode the
+    * whole token-accounting family shares (batch, streaming, BPE, LM
+    * surprisal): a single definition, so the gates and their shared
+    * oracles cannot drift apart one copy at a time. Works on batch and
+    * streaming frames alike (pure select). */
+  private[graft] def wordsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.engine.Tokenizer.tokens(lower(col("text")),
         TextAnalysis.LowerWordPattern)).as("word"))

@@ -633,9 +633,7 @@ object Streaming {
     val pieces = graft.ext.Tokenize.pieceFrame(spark, sfDir)
     val docs = spark.readStream.schema(raw.schema)
       .parquet(staged(sfDir, "documents"))
-    val words = docs.select(col("doc_id"),
-      explode(graft.engine.Tokenizer.tokens(lower(col("text")),
-        graft.ext.TextAnalysis.LowerWordPattern)).as("word"))
+    val words = graft.ext.Tokenize.wordsOf(docs)
     val perDoc = words.join(pieces, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),

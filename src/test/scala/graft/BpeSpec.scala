@@ -69,6 +69,19 @@ class BpeSpec extends SparkSpec {
     assert(got == referenceBpe(words.toMap, Bpe.NumMerges))
   }
 
+  test("pair exhaustion is a fixed point, not an emptied state table") {
+    // The same corpus runs out of adjacent pairs after round 2; rounds
+    // 3..8 must leave the word states untouched (an eager cross join
+    // against the empty winner used to wipe them, zeroing the vocab
+    // report exactly when NumMerges exceeds the available rounds).
+    val words = Seq(("aaaa", 1L), ("b", 1L))
+    val (merges, fin) = Bpe.runMerges(words.toDF("word", "cnt"))
+    assert(merges.count() == 2, "merge table should stop at exhaustion")
+    val seqs = fin.select("cnt", "seq").as[(Long, String)].collect().toSet
+    assert(seqs == Set((1L, "|aaaa"), (1L, "|b")),
+      s"post-exhaustion state wrong: $seqs")
+  }
+
   test("vocab report: pieces are chars-or-learned-merges, mass reconciles") {
     val vocab = Bpe.corpusBpeVocab(spark, sf).collect()
     assert(vocab.nonEmpty)

@@ -219,6 +219,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.PngCodec.decode(gray).isEmpty)
     assert(Multimodal.PngCodec.decode(Array.emptyByteArray).isEmpty)
     assert(Multimodal.PngCodec.decode("JFIF".getBytes).isEmpty)
+
+    def reChunk(png: Array[Byte], chunkOff: Int, dataLen: Int): Array[Byte] = {
+      val out = png.clone()
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, chunkOff + 4, 4 + dataLen)
+      val c = crc.getValue
+      val co = chunkOff + 8 + dataLen
+      out(co) = (c >>> 24).toByte; out(co + 1) = (c >>> 16).toByte
+      out(co + 2) = (c >>> 8).toByte; out(co + 3) = c.toByte
+      out
+    }
+    // zlib FDICT flag set (preset dictionary) — must reject, not hang.
+    val fdict = good.clone()
+    fdict(8 + 25 + 8) = 0x78.toByte; fdict(8 + 25 + 9) = 0x20.toByte
+    assert(Multimodal.PngCodec.decode(
+      reChunk(fdict, 8 + 25, good.length - (8 + 25) - 12 - 12)).isEmpty)
+    // Overflowing IHDR dims (2^30 x 2^30) pass a >0 check but must not
+    // reach a negative-size allocation.
+    val huge = good.clone()
+    huge(16) = 0x40.toByte; huge(17) = 0; huge(18) = 0; huge(19) = 0
+    huge(20) = 0x40.toByte; huge(21) = 0; huge(22) = 0; huge(23) = 0
+    assert(Multimodal.PngCodec.decode(reChunk(huge, 8, 13)).isEmpty)
   }
 
   test("decodePng: stats equal a driver-side recompute from the raw text") {
