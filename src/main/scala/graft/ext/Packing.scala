@@ -174,16 +174,21 @@ object Packing {
        |  off AS pack_off
        |FROM rec""".stripMargin
 
+  /** Per-pack fill audit over any packed frame — shared by the word-
+    * and token-budgeted packers. */
+  private[graft] def packStatsOf(packed: DataFrame): DataFrame =
+    packed
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens * 10000L) div ${Budget}L").as("fill_bp"))
+
   /** Per-pack audit: doc count, token fill, and fill ratio in integer
     * basis points — the segment-tail loss of the parallel next-fit as a
     * gated NUMBER (and the no-pack-exceeds-budget invariant as data:
     * fill_bp ≤ 10000 on every row the oracle hashes). */
   def corpusPackStats(spark: SparkSession, sfDir: String): DataFrame =
-    corpusPack(spark, sfDir)
-      .groupBy(col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
-        expr(s"(n_tokens * 10000L) div ${Budget}L").as("fill_bp"))
+    packStatsOf(corpusPack(spark, sfDir))
 
   val corpusPackStatsSql: String =
     s"""$packCtes

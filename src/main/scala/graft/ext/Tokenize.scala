@@ -172,17 +172,34 @@ object Tokenize {
       corpusTokenize(spark, sfDir)
         .select(col("doc_id"), col("n_tokens").as("raw_tok")))
 
-  val corpusPackTokensSql: String = {
+  private val packTokensCtes: String = {
     val d0Body =
       s"""SELECT d.doc_id,
          |    least(COALESCE(pd.n_tokens, 0), ${Packing.Budget}) AS n_tok,
          |    ${Hashing.idHashSql("d.doc_id")} AS k
          |  FROM documents d LEFT JOIN perdoc pd USING (doc_id)""".stripMargin
-    s"""${Packing.packCtesFor(tokCtes + ",", d0Body)}
+    Packing.packCtesFor(tokCtes + ",", d0Body)
+  }
+
+  val corpusPackTokensSql: String =
+    s"""$packTokensCtes
        |SELECT doc_id, n_tok, seg * ${Packing.PackIdStride} + pack AS pack_id,
        |  off AS pack_off
        |FROM rec""".stripMargin
-  }
+
+  /** Fill audit of the TOKEN-budgeted packs — what fraction of each
+    * training row's context the packer actually filled, in the unit the
+    * budget is bought in (the word-packer's [[Packing.corpusPackStats]]
+    * twin; the segment-tail loss is again a measured number). */
+  def corpusPackTokensStats(spark: SparkSession, sfDir: String): DataFrame =
+    Packing.packStatsOf(corpusPackTokens(spark, sfDir))
+
+  val corpusPackTokensStatsSql: String =
+    s"""$packTokensCtes
+       |SELECT seg * ${Packing.PackIdStride} + pack AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(n_tok) AS BIGINT) * 10000) // ${Packing.Budget} AS fill_bp
+       |FROM rec GROUP BY 1""".stripMargin
 
   // ------------------------------------------- token-unit curation
 
@@ -316,6 +333,7 @@ object Tokenize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_tokenize" -> (corpusTokenize _),
     "corpus_pack_tokens" -> (corpusPackTokens _),
+    "corpus_pack_tokens_stats" -> (corpusPackTokensStats _),
     "source_token_budget" -> (sourceTokenBudget _),
     "sample_mixture_tokens" -> (sampleMixtureTokens _),
     "corpus_vocab_drift" -> (vocabDrift _))
@@ -323,6 +341,7 @@ object Tokenize {
   val oracles: Map[String, String] = Map(
     "corpus_tokenize" -> corpusTokenizeSql,
     "corpus_pack_tokens" -> corpusPackTokensSql,
+    "corpus_pack_tokens_stats" -> corpusPackTokensStatsSql,
     "source_token_budget" -> sourceTokenBudgetSql,
     "sample_mixture_tokens" -> sampleMixtureTokensSql,
     "corpus_vocab_drift" -> vocabDriftSql)

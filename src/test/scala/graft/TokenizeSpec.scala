@@ -142,5 +142,12 @@ class TokenizeSpec extends SparkSpec {
     val mismatch = packed.join(tok, Seq("doc_id"))
       .filter(col("n_tok") =!= col("want")).count()
     assert(mismatch == 0)
+    // Fill audit reconciles with the packed rows and honors the budget.
+    val stats = Tokenize.corpusPackTokensStats(spark, sf)
+    assert(stats.filter(col("fill_bp") > 10000).count() == 0)
+    val massFromStats = stats.agg(sum(col("n_tokens")))
+      .as[Long].head()
+    val massFromPacks = packed.agg(sum(col("n_tok"))).as[Long].head()
+    assert(massFromStats == massFromPacks)
   }
 }
