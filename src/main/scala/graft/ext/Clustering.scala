@@ -123,6 +123,50 @@ object Clustering {
       .filter(col("cos") >= SemThreshold)
   }
 
+  /** Per-cluster outliers: the [[OutK]] vectors FARTHEST from their
+    * assigned centroid — the semantic junk detector (SemDeDup prunes
+    * what is too close to its neighbors; this surfaces what is too far
+    * from everything: mis-embedded, off-distribution, or garbage rows a
+    * curation pass reviews or drops).
+    *
+    * Scale shape: reuses the assignment pass (distances already
+    * computed); ranking is one row_number window on the SAME cid
+    * clustering the assignment ended in; output is K*OutK rows at any
+    * SF. Distance ties break by vec_id for a total order. */
+  def outliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    finalAssign(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= OutK)
+      .select(col("cid").as("cluster_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("dist"))
+  }
+
+  private val OutK = 5
+
+  /** Diversity-balanced sample: at most [[DiverseCap]] vectors PER
+    * k-means cell, chosen hash-deterministically — the cluster-balanced
+    * subsampling step (dense regions of embedding space contribute at
+    * most a capped share; sparse regions survive whole), the cheap
+    * corpus-shaped stand-in for density-proportional pruning a la
+    * SemDeDup/D4.
+    *
+    * Scale shape: one row_number window over the assignment's existing
+    * cid clustering; the cap is a constant, so output is <= K*cap rows.
+    * Hash order makes the sample retry-stable and independent of
+    * partitioning (same discipline as the hash-threshold samplers). */
+  def diverseSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+    finalAssign(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= DiverseCap)
+      .select(col("cid").as("cluster_id"), col("vec_id"))
+  }
+
+  private val DiverseCap = 12
+
   // ------------------------------------------------------------ oracles
 
   private def dotSql(a: String, b: String): String =
@@ -173,11 +217,34 @@ object Clustering {
        |WHERE $cosExpr >= $SemThreshold""".stripMargin
   }
 
+  val outliersSql: String =
+    s"""WITH $assignSqlCtes
+       |SELECT cid AS cluster_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM (SELECT cid, vec_id, dist, row_number() OVER (
+       |        PARTITION BY cid ORDER BY dist DESC, vec_id) AS rnk
+       |      FROM a2)
+       |WHERE rnk <= $OutK""".stripMargin
+
+  val diverseSampleSql: String = {
+    val idh = Hashing.idHashSql("vec_id")
+    s"""WITH $assignSqlCtes
+       |SELECT cid AS cluster_id, vec_id
+       |FROM (SELECT cid, vec_id, row_number() OVER (
+       |        PARTITION BY cid ORDER BY $idh, vec_id) AS rnk
+       |      FROM a2)
+       |WHERE rnk <= $DiverseCap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_kmeans" -> (kmeans _),
-    "dedup_semantic" -> (semanticDedup _))
+    "dedup_semantic" -> (semanticDedup _),
+    "embedding_outliers" -> (outliers _),
+    "sample_diverse_cells" -> (diverseSample _))
 
   val oracles: Map[String, String] = Map(
     "embedding_kmeans" -> kmeansSql,
-    "dedup_semantic" -> semanticDedupSql)
+    "dedup_semantic" -> semanticDedupSql,
+    "embedding_outliers" -> outliersSql,
+    "sample_diverse_cells" -> diverseSampleSql)
 }

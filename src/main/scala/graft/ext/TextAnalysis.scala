@@ -473,6 +473,88 @@ object TextAnalysis {
       |       ELSE (surprisal_bits * 1000) // n_words END AS mean_millibits
       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
 
+  // ------------------------------------------- bigram LM surprisal
+
+  /** Integer-exact CONDITIONAL bigram surprisal per document — the next
+    * model up from [[lmSurprisal]]'s unigram: a word is surprising given
+    * its predecessor, not in isolation, so word-salad documents (plausible
+    * words, implausible transitions) finally score high. This is the
+    * shape of the CCNet/Gopher perplexity filter with the LM replaced by
+    * a corpus-trained bigram model.
+    *
+    * `bits(w2|w1) = floor_log2(cnt(w1,*)) - floor_log2(cnt(w1,w2))`
+    * under the same exact `length(bin(x))` measure as the unigram —
+    * the conditioning denominator is the bigram-occurrence count of the
+    * prefix word, so the conditional distribution normalizes over
+    * observed transitions and bits >= 0 always. No float path.
+    *
+    * Scale shape: one tokenize pass; the bigram frame is lineage-cut for
+    * its two consumers (the transition-count table and the per-doc
+    * join); transition counts are a map-side-combinable groupBy; prefix
+    * counts are a second small rollup OF THE COUNT TABLE (vocabulary-
+    * sized, never corpus-sized); the bigram-keyed join and doc rollup
+    * are ordinary exchanges. Docs with < 2 words surface with zeros via
+    * the LEFT join (the short-doc lesson). */
+  def lmBigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bg = docs
+      .select(col("doc_id"),
+        graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern)
+          .as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) >= 2,
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),
+          |  cast(array() as array<string>))""".stripMargin)).as("bg"))
+      .localCheckpoint()
+    val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val pre = cnt.groupBy(expr("split(bg, ' ')[0]").as("w1"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    val bits = cnt.join(pre, expr("split(bg, ' ')[0]") === col("w1"))
+      .select(col("bg"),
+        (length(bin(col("pcnt"))) - length(bin(col("cnt"))))
+          .cast("long").as("bits"))
+    val perDoc = bg.join(bits, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("surprisal_bits"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, 0L)
+          .otherwise(expr("surprisal_bits * 1000L div n_bigrams"))
+          .as("mean_millibits"))
+  }
+
+  val lmBigramSurprisalSql: String =
+    """WITH wsx AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |bgx AS (SELECT doc_id, unnest(CASE WHEN length(ws) >= 2
+      |    THEN list_transform(range(1, length(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [] END) AS bg
+      |  FROM wsx),
+      |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgx GROUP BY 1),
+      |pc AS (SELECT split_part(bg, ' ', 1) AS w1,
+      |    CAST(SUM(cnt) AS BIGINT) AS pcnt
+      |  FROM bc GROUP BY 1),
+      |bits AS (SELECT bg,
+      |    CAST(length(bin(pcnt)) - length(bin(cnt)) AS BIGINT) AS bits
+      |  FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.w1),
+      |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+      |  FROM bgx JOIN bits USING (bg) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(surprisal_bits, 0) AS surprisal_bits,
+      |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+      |       ELSE (surprisal_bits * 1000) // n_bigrams END AS mean_millibits
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -483,6 +565,7 @@ object TextAnalysis {
     "lang_id_ngram_confusion" -> (langIdNgramConfusion _),
     "doc_fingerprint" -> (fingerprint _),
     "quality_lm_surprisal" -> (lmSurprisal _),
+    "quality_lm_bigram" -> (lmBigramSurprisal _),
     "tfidf_top_terms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +578,6 @@ object TextAnalysis {
     "lang_id_ngram_confusion" -> langIdNgramConfusionSql,
     "doc_fingerprint" -> fingerprintSql,
     "quality_lm_surprisal" -> lmSurprisalSql,
+    "quality_lm_bigram" -> lmBigramSurprisalSql,
     "tfidf_top_terms" -> tfidfTopTermsSql)
 }

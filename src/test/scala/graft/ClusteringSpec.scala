@@ -39,6 +39,49 @@ class ClusteringSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("outliers: top-5 per cluster, really the farthest, consistent with assignment") {
+    val out = Clustering.outliers(spark, sf).collect()
+    assert(out.nonEmpty)
+    val assign = Clustering.finalAssign(spark, sf)
+      .select("vec_id", "cid", "dist").as[(Long, Long, Long)].collect()
+    val byCell = assign.groupBy(_._2)
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val cell = byCell(cid)
+      assert(rows.length == math.min(5, cell.length))
+      // The reported set IS the top-5 by (dist desc, vec_id) of the cell.
+      val want = cell.sortBy(t => (-t._3, t._1)).take(5).map(_._1).toSet
+      assert(rows.map(_.getAs[Long]("vec_id")).toSet == want)
+      // Ranks are 1..n and distances non-increasing along them.
+      val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to rows.length))
+      val ds = byRank.map(_.getAs[Long]("dist")).toSeq
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("diverse sample: capped per cell, hash-deterministic, covers every cell") {
+    val s = Clustering.diverseSample(spark, sf).collect()
+    val assign = Clustering.finalAssign(spark, sf)
+      .select("vec_id", "cid").as[(Long, Long)].collect()
+    val byCell = assign.groupBy(_._2)
+    val byCellSample = s.groupBy(_.getAs[Long]("cluster_id"))
+    // Every non-empty cell contributes min(cap, size) members of itself.
+    assert(byCellSample.keySet == byCell.keySet)
+    byCellSample.foreach { case (cid, rows) =>
+      assert(rows.length == math.min(12, byCell(cid).length))
+      val members = byCell(cid).map(_._1).toSet
+      assert(rows.forall(r => members(r.getAs[Long]("vec_id"))))
+    }
+    // Deterministic under a different shuffle width.
+    val a = s.map(_.toString).sorted
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = Clustering.diverseSample(spark, sf).collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("semantic dedup: non-vacuous, same-cluster, ordered, thresholded") {
     val pairs = Clustering.semanticDedup(spark, sf).collect()
     assert(pairs.nonEmpty, "no semantic near-dup pairs — gate vacuous")

@@ -53,6 +53,38 @@ class TextParitySpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 1, "surprisal is constant — vacuous")
   }
 
+  test("bigram surprisal: exact conditional bits, short docs surface with zeros") {
+    import spark.implicits._
+    val rows = TextAnalysis.lmBigramSurprisal(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Independent recompute: conditional bits from raw transition counts.
+    val seqs = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0)).as("ws"))
+      .as[(Long, Seq[String])].collect()
+    val bgs = seqs.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1))))
+    }
+    val cnt = bgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
+    val pcnt = cnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val want = bgs.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, bg) => fl2(pcnt(bg._1)) - fl2(cnt(bg)) }.sum
+    }
+    rows.foreach { case (id, nb, bits, mmb) =>
+      assert(bits == want.getOrElse(id, 0L), s"doc $id bigram surprisal mismatch")
+      assert(mmb == (if (nb == 0) 0L else bits * 1000 / nb))
+    }
+    // Every doc (including < 2-word docs) has a row; counts reconcile.
+    assert(rows.length == seqs.length)
+    val nShort = seqs.count(_._2.length < 2)
+    assert(rows.count(_._2 == 0L) == nShort)
+    // Conditional bits are non-negative by construction and non-constant.
+    assert(rows.forall(_._3 >= 0L))
+    assert(rows.map(_._4).distinct.length > 1, "bigram surprisal constant — vacuous")
+  }
+
   test("kernels == regex formulations on the corpus") {
     val words = filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
       t => length(t) > lit(0))
