@@ -249,7 +249,12 @@ object Curation {
     *
     * `contaminated` fires at ≥10% shingle overlap, cross-multiplied so
     * both engines compare exact integers. */
-  def decontamOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (eval-doc ids, per-doc overlap frame) — the decontam internals,
+    * exposed so the end-to-end ship gate ([[Pipeline]]) can exclude BOTH
+    * the contaminated docs and the eval docs themselves without
+    * recomputing the shingle pass. */
+  private[graft] def decontamParts(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         Hashing.shingleHashes(Hashing.wordHashes(col("text")), DecontamK).as("sh"))
@@ -260,7 +265,8 @@ object Curation {
     val evalIds = eval.select(col("doc_id").as("eval_id"))
     val evalSh = eval.select(explode(col("sh")).as("h")).distinct()
       .withColumn("m", lit(1L))
-    sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
+    val overlap = sh
+      .join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
         explode(col("sh")).as("h"))
       .join(broadcast(evalSh), Seq("h"), "left")
@@ -269,10 +275,17 @@ object Curation {
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         when(col("n_hit") * 10 >= col("n_sh"), 1L).otherwise(0L)
           .as("contaminated"))
+    (evalIds.select(col("eval_id").as("doc_id")), overlap)
   }
 
-  val decontamOverlapSql: String =
-    s"""WITH sh0 AS (SELECT doc_id, ${Hashing.wordHashesSql("text")} AS whs
+  def decontamOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    decontamParts(spark, sfDir)._2
+
+  /** The decontam CTE chain (sh0 → sh → shf → ev → evh → ex) as a
+    * splice-able WITH body — shared by [[decontamOverlapSql]] and the
+    * ship-gate oracle in [[Pipeline]]. */
+  private[graft] val decontamSqlCtes: String =
+    s"""sh0 AS (SELECT doc_id, ${Hashing.wordHashesSql("text")} AS whs
        |  FROM documents),
        |sh AS (SELECT doc_id, ${Hashing.shingleHashesSql("whs", DecontamK)} AS sh
        |  FROM sh0),
@@ -281,7 +294,10 @@ object Curation {
        |  ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id LIMIT $DecontamEvalN),
        |evh AS (SELECT DISTINCT unnest(sh) AS h FROM ev),
        |ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM shf
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ev))""".stripMargin
+
+  val decontamOverlapSql: String =
+    s"""WITH $decontamSqlCtes
        |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
        |  CAST(SUM(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_hit,
