@@ -275,6 +275,45 @@ object Tokenize {
        |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
   }
 
+  /** Per-LANGUAGE tokenizer fertility — tokens per word (integer
+    * permille) and out-of-vocab token rate, by language: the tokenizer-
+    * equity audit of the multilingual-LLM literature (a vocab trained on
+    * the majority language fragments minority-language words into more,
+    * rarer pieces; training cost per unit text rises with fertility).
+    * One column-pruned doc→lang join onto the per-doc token stats and a
+    * #langs-row agg — the [[sourceTokenBudget]] shape keyed by lang. */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    corpusTokenize(spark, sfDir)
+      .join(langs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_vocab_tokens")).as("n_vocab_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("n_tokens * 1000L div n_words"))
+          .as("fertility_pm"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(n_tokens - n_vocab_tokens) * 1000L div n_tokens"))
+          .as("oov_pm"))
+  }
+
+  val tokenFertilitySql: String =
+    s"""WITH RECURSIVE $tokCtes,
+       |per AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS n_words,
+       |    CAST(SUM(COALESCE(n_tokens, 0)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(COALESCE(n_vocab_tokens, 0)) AS BIGINT) AS n_vocab_tokens
+       |  FROM documents d LEFT JOIN perdoc USING (doc_id) GROUP BY d.lang)
+       |SELECT lang, n_docs, n_words, n_tokens,
+       |  CASE WHEN n_words = 0 THEN 0
+       |       ELSE n_tokens * 1000 // n_words END AS fertility_pm,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (n_tokens - n_vocab_tokens) * 1000 // n_tokens END AS oov_pm
+       |FROM per""".stripMargin
+
   /** Vocab drift across an ingest step — the check that catches a
     * frozen tokenizer rotting as the corpus shifts: the vocab is
     * TRAINED on the persisted snapshot cohort (the [[Incremental]]
@@ -336,6 +375,7 @@ object Tokenize {
     "corpus_pack_tokens_stats" -> (corpusPackTokensStats _),
     "source_token_budget" -> (sourceTokenBudget _),
     "sample_mixture_tokens" -> (sampleMixtureTokens _),
+    "corpus_token_fertility" -> (tokenFertility _),
     "corpus_vocab_drift" -> (vocabDrift _))
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +384,6 @@ object Tokenize {
     "corpus_pack_tokens_stats" -> corpusPackTokensStatsSql,
     "source_token_budget" -> sourceTokenBudgetSql,
     "sample_mixture_tokens" -> sampleMixtureTokensSql,
+    "corpus_token_fertility" -> tokenFertilitySql,
     "corpus_vocab_drift" -> vocabDriftSql)
 }

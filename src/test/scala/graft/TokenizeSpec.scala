@@ -126,6 +126,29 @@ class TokenizeSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("n_docs")).sum == total)
   }
 
+  test("token fertility: per-lang sums reconcile with per-doc stats, permille exact") {
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val perDoc = Tokenize.corpusTokenize(spark, sf)
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        col("n_vocab_tokens")).as[(Long, Long, Long, Long)].collect()
+    val want = perDoc.groupBy(t => langOf(t._1)).map { case (l, xs) =>
+      l -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+    }
+    val rows = Tokenize.tokenFertility(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == want.keySet)
+    rows.foreach { r =>
+      val (nd, nw, nt, nvt) = want(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("fertility_pm") == (if (nw == 0) 0L else nt * 1000 / nw))
+      assert(r.getAs[Long]("oov_pm") == (if (nt == 0) 0L else (nt - nvt) * 1000 / nt))
+      // A token never splits below one per word: fertility >= 1000.
+      assert(nw == 0 || r.getAs[Long]("fertility_pm") >= 1000L)
+    }
+  }
+
   test("token packing respects the budget and places every doc exactly once") {
     val packed = Tokenize.corpusPackTokens(spark, sf)
     val overBudget = packed.groupBy(col("pack_id"))
