@@ -60,7 +60,9 @@ object TextAnalysis {
     * the oracle, so double bits match). */
   /** The one quality-score formula, shared by the flat gate and the
     * per-language percentile calibration below. */
-  private def qualityScoreCol: org.apache.spark.sql.Column = {
+  // private[graft]: the streaming curation twin scores the same formula
+  // over an unbounded frame.
+  private[graft] def qualityScoreCol: org.apache.spark.sql.Column = {
     import graft.functions.GraftFunctions._
     val nWords = wordCount(col("text"))
     val stopRatio = stopwordCount(col("text"), lit("en")).cast("double") /

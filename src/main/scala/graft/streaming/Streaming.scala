@@ -737,7 +737,33 @@ object Streaming {
       .groupBy("user_id")
       .agg(max(col("stage")).as("stage"))
 
+  /** Streaming curation admission — the ship gate's quality+dedup
+    * filter in the INGEST path: documents stream in, the quality score
+    * is pure map-side kernel work per row, and the duplicate-keeper
+    * membership is a stream-static LEFT SEMI join against the
+    * batch-derived keeper set (the frozen-reference deployment shape:
+    * the keeper snapshot updates per ingest cycle, the stream filters
+    * against it continuously — same static-side posture as
+    * [[enrichStream]] and [[tokenizeStream]]). Stateless — Append mode,
+    * no state store; every admitted doc is emitted exactly once.
+    * Oracle = the batch corpus_curate oracle. */
+  def curateStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    Tables.documents(spark, sfDir) // registers graft kernels
+    val keepers = graft.ext.Dedup.fingerprintDedup(spark, sfDir)
+      .select(col("keeper").as("doc_id"))
+    val docs = spark.readStream.schema(raw.schema)
+      .parquet(staged(sfDir, "documents"))
+    val admitted = docs
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScoreCol.as("quality_score"))
+      .filter(col("quality_score") >= 0.5)
+      .join(keepers, Seq("doc_id"), "left_semi")
+    runToParquet(admitted, OutputMode.Append(), "curate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate_stream" -> (curateStream _),
     "events_stream_funnel" -> (funnelStream _),
     "dedup_exact_stream" -> (dedupExactStream _),
     "events_stream_windowed_agg" -> (windowedAgg _),
@@ -751,6 +777,7 @@ object Streaming {
     "corpus_tokenize_stream" -> (tokenizeStream _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_curate_stream" -> graft.ext.Curation.curateSql,
     "events_stream_funnel" -> graft.ext.Funnel.funnelUsersSql,
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,
     "events_stream_windowed_agg" -> graft.ext.Events.windowedAggSql,

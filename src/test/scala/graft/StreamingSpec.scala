@@ -497,6 +497,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(streamTok == batchTok,
       "streaming token accounting diverges from the batch tokenizer")
+
+    val streamCurate = Streaming.curateStream(spark, sf)
+      .as[(Long, Double)].collect().toSet
+    val batchCurate = ext.Curation.curate(spark, sf)
+      .as[(Long, Double)].collect().toSet
+    assert(streamCurate == batchCurate,
+      "streaming curation admission diverges from the batch gate")
+    assert(streamCurate.nonEmpty)
   }
 
   test("stream-static enrichment equals the batch join, across micro-batches") {
