@@ -306,7 +306,93 @@ object Curation {
        |FROM ex LEFT JOIN evh ON ex.h = evh.h
        |GROUP BY doc_id, n_sh""".stripMargin
 
+  // ------------------------------------------------- per-source report
+
+  /** Domain-level curation report — the FineWeb/DataComp "which sources
+    * do we trust" artifact: one row per source with its volume, language
+    * spread, quality-gate pass count, exact mean quality (permille),
+    * duplicate shadow count, and boilerplate-heavy doc count. The
+    * decision this feeds (keep / demote / drop a domain) is the coarsest
+    * and cheapest lever a 100 TB pipeline has, applied before any
+    * per-doc work.
+    *
+    * Every measure is a gated stage reused, not re-derived: quality is
+    * [[TextAnalysis.textQuality]]'s score (floored to integer permille so
+    * the per-source SUM is order-independent — never sum raw doubles
+    * across a group), keepers are [[Dedup.fingerprintDedup]]'s rule,
+    * boilerplate docs are [[Substring.boilerplate]] rows with a full
+    * footer's worth (≥ 8) of per-source recurring spans.
+    *
+    * Scale shape: four independent per-source aggregates (each map-side
+    * combinable; the quality/keeper/boilerplate legs are doc_id-keyed
+    * joins against frames that are themselves scale-safe) merged by
+    * LEFT joins on a #sources-row key — AQE broadcasts every merge. A
+    * source missing from a leg (e.g. all its docs shadowed by another
+    * source's keepers) coalesces to 0 rather than vanishing. */
+  def sourceReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val qual = TextAnalysis.textQuality(spark, sfDir)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000).cast("long").as("q_pm"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(when(col("q_pm") >= 500, 1)).as("n_quality_keep"),
+        sum(col("q_pm")).as("q_mass"))
+    val keep = Dedup.fingerprintDedup(spark, sfDir)
+      .select(col("keeper").as("doc_id"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_keepers"))
+    val bp = Substring.boilerplate(spark, sfDir)
+      .filter(col("n_bp_spans") >= 8)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_bp_docs"))
+    base.join(qual, Seq("source"), "left")
+      .join(keep, Seq("source"), "left")
+      .join(bp, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_langs"),
+        coalesce(col("n_quality_keep"), lit(0L)).as("n_quality_keep"),
+        expr("coalesce(q_mass, 0L) div n_docs").as("mean_q_permille"),
+        coalesce(col("n_keepers"), lit(0L)).as("n_keepers"),
+        (col("n_docs") - coalesce(col("n_keepers"), lit(0L)))
+          .as("n_dup_extra"),
+        coalesce(col("n_bp_docs"), lit(0L)).as("n_bp_docs"))
+  }
+
+  val sourceReportSql: String =
+    s"""WITH ${Substring.bpSqlCtes},
+       |tq AS (SELECT doc_id, CAST(FLOOR(quality_score * 1000) AS BIGINT)
+       |    AS q_pm FROM (${TextAnalysis.textQualitySql})),
+       |srcm AS (SELECT doc_id, source FROM documents),
+       |sbase AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents GROUP BY source),
+       |sq AS (SELECT source,
+       |  CAST(COUNT(CASE WHEN q_pm >= 500 THEN 1 END) AS BIGINT)
+       |    AS n_quality_keep,
+       |  CAST(SUM(q_pm) AS BIGINT) AS q_mass
+       |  FROM tq JOIN srcm USING (doc_id) GROUP BY source),
+       |skd AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+       |sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_keepers
+       |  FROM skd JOIN srcm USING (doc_id) GROUP BY source),
+       |sb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bp_docs
+       |  FROM bcov WHERE n_bp_spans >= 8 GROUP BY source)
+       |SELECT sbase.source, n_docs, n_chars, n_langs,
+       |  COALESCE(n_quality_keep, 0) AS n_quality_keep,
+       |  COALESCE(q_mass, 0) // n_docs AS mean_q_permille,
+       |  COALESCE(n_keepers, 0) AS n_keepers,
+       |  n_docs - COALESCE(n_keepers, 0) AS n_dup_extra,
+       |  COALESCE(n_bp_docs, 0) AS n_bp_docs
+       |FROM sbase LEFT JOIN sq USING (source) LEFT JOIN sk USING (source)
+       |  LEFT JOIN sb USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_report" -> (sourceReport _),
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_split_report" -> (splitReport _),
@@ -316,6 +402,7 @@ object Curation {
     "decontam_overlap" -> (decontamOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_source_report" -> sourceReportSql,
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_split_report" -> splitReportSql,

@@ -116,11 +116,101 @@ object Substring {
        |FROM sp LEFT JOIN dup ON sp.h = dup.h
        |GROUP BY sp.doc_id""".stripMargin
 
+  // ------------------------------------------------ per-source boilerplate
+
+  /** The template footer planted for the boilerplate gate — 12 words, so
+    * every planted doc contributes 12 − K + 1 = 8 identical footer-internal
+    * spans (the ≤ K−1 spans straddling the text/footer seam differ per doc
+    * because the preceding text differs). */
+  private[graft] val Footer =
+    " subscribe to our newsletter follow the daily terms of service apply here"
+
+  /** Docs with doc_id ≡ 3 (mod 7) carry the footer. 7 is coprime to the
+    * corpus's source cycle (source = src(doc_id mod 20)), so EVERY source
+    * receives ~1/7 of its docs planted — the detector must fire in all 20
+    * sources and stay silent on the other ~6/7 of each source's docs. */
+  private[graft] def withFooter(docs: DataFrame): DataFrame =
+    docs.withColumn("aug",
+      when(col("doc_id") % 7 === 3, concat(col("text"), lit(Footer)))
+        .otherwise(col("text")))
+
+  /** Per-source boilerplate span coverage — the CCNet/RefinedWeb
+    * "template removal" signal: of a doc's K-word spans, how many recur
+    * in ANOTHER document of the SAME source. Differs from
+    * [[spanCoverage]] (corpus-global duplicate text) by scoping the
+    * recurrence count to the source — a navigation footer shared by one
+    * site's pages is boilerplate even if no other site has it.
+    *
+    * The synthetic corpus has almost no within-source recurrence
+    * (2/500 docs at sf0.01), so the gate PLANTS the [[Footer]]
+    * deterministically in both engines (the pii/phash pattern): planted
+    * docs must show ≥ 8 boilerplate spans in every source, clean docs
+    * ~0 — fire AND not-fire both proven at every SF.
+    *
+    * Scale shape: identical to [[spanCoverage]] with `source` riding the
+    * span key — one corpus scan, lineage-cut, one map-side-combinable
+    * (source,h) groupBy, one keyed join back. At 100 TB the (source,h)
+    * key is FINER than (h), so this shuffles no more than the global
+    * variant and skews less (a mega-site's spans split across its hash
+    * range, not one reducer). */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateOf(withFooter(Tables.documents(spark, sfDir)))
+
+  /** [[boilerplate]] over an explicit (doc_id, source, aug) frame —
+    * SubstringSpec's seam for per-source scoping cases. */
+  private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sp = docs.select(col("doc_id"), col("source"),
+      explode(spanHashes64(wordHashes(col("aug")),
+        wordHashes37(col("aug")), SpanK)).as("h"))
+      .localCheckpoint()
+    val bp = sp.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("source"), col("h"), lit(1L).as("is_bp"))
+    sp.join(bp, Seq("source", "h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_bp"), lit(0L))).as("n_bp_spans"))
+      .select(col("doc_id"), col("source"), col("n_spans"),
+        col("n_bp_spans"),
+        (col("n_bp_spans").cast("double") / col("n_spans").cast("double"))
+          .as("bp_frac"))
+  }
+
+  /** Planted-footer span CTEs (shared with [[Curation]]'s source report
+    * so oracle and engine share the stage definition). */
+  private[graft] val bpSqlCtes: String =
+    s"""bf AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 7 = 3 THEN text || '$Footer' ELSE text END AS aug
+       |  FROM documents),
+       |bw AS (SELECT doc_id, source, ${wordHashesSql("aug")} AS w1,
+       |  ${wordHashes37Sql("aug")} AS w2 FROM bf),
+       |bsp AS (SELECT doc_id, source,
+       |  unnest(${spanHashes64Sql("w1", "w2", SpanK)}) AS h FROM bw),
+       |bpd AS (SELECT source, h FROM bsp GROUP BY source, h
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |bcov AS (SELECT bsp.doc_id, bsp.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN bpd.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bp_spans
+       |  FROM bsp LEFT JOIN bpd
+       |    ON bsp.source = bpd.source AND bsp.h = bpd.h
+       |  GROUP BY bsp.doc_id, bsp.source)""".stripMargin
+
+  val boilerplateSql: String =
+    s"""WITH $bpSqlCtes
+       |SELECT doc_id, source, n_spans, n_bp_spans,
+       |  CAST(n_bp_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS bp_frac
+       |FROM bcov""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> (duplicatedSpans _),
-    "dedup_substring_coverage" -> (spanCoverage _))
+    "dedup_substring_coverage" -> (spanCoverage _),
+    "quality_boilerplate" -> (boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> duplicatedSpansSql,
-    "dedup_substring_coverage" -> spanCoverageSql)
+    "dedup_substring_coverage" -> spanCoverageSql,
+    "quality_boilerplate" -> boilerplateSql)
 }

@@ -75,4 +75,40 @@ class CurationSpec extends SparkSpec {
       assert(k <= counts(s), s"$s kept more than it had")
     }
   }
+
+  test("source report reconciles with its component stages") {
+    val rep = Curation.sourceReport(spark, sf).cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+      // Volume legs reconcile exactly with the raw table.
+      assert(rep.agg(sum(col("n_docs"))).as[Long].head() == docs.count())
+      assert(rep.agg(sum(col("n_chars"))).as[Long].head() ==
+        docs.agg(sum(col("n_chars"))).as[Long].head())
+      // Keeper leg: per-source counts sum to the global keeper count
+      // (keepers partition across sources), and no source over-claims.
+      val keepers = Dedup.fingerprintDedup(spark, sf).count()
+      assert(rep.agg(sum(col("n_keepers"))).as[Long].head() == keepers)
+      assert(rep.filter(col("n_keepers") > col("n_docs")).count() == 0)
+      assert(rep.filter(col("n_dup_extra") =!=
+        col("n_docs") - col("n_keepers")).count() == 0)
+      // Quality leg: one source's row recomputed directly.
+      val srcQ = TextAnalysis.textQuality(spark, sf)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .filter(col("source") === "src3")
+        .select(floor(col("quality_score") * 1000).cast("long").as("q_pm"))
+        .agg(count(when(col("q_pm") >= 500, 1)).as("nk"),
+          sum(col("q_pm")).as("mass"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].head()
+      val row3 = rep.filter(col("source") === "src3")
+        .select("n_quality_keep", "mean_q_permille").as[(Long, Long)].head()
+      assert(row3._1 == srcQ._1)
+      assert(row3._2 == srcQ._2 / srcQ._3)
+      // Bounds: permille means in range, boilerplate leg counts the
+      // planted carriers (>= the planted density per source).
+      assert(rep.filter(col("mean_q_permille") < 0 ||
+        col("mean_q_permille") > 1000).count() == 0)
+      assert(rep.filter(col("n_bp_docs") === 0).count() == 0,
+        "a source lost its planted boilerplate carriers")
+    } finally rep.unpersist()
+  }
 }

@@ -138,4 +138,42 @@ class SubstringSpec extends SparkSpec {
     assert(occ == docSum,
       s"span-table occurrences $occ != per-doc dup-span sum $docSum")
   }
+
+  test("boilerplate recurrence is scoped to the source") {
+    // The SAME footer appears twice in source A but only once in source
+    // B: A's carriers are flagged, B's single carrier must NOT be —
+    // cross-source recurrence is dedup's business, not boilerplate's.
+    val footer = "subscribe now follow us daily terms apply here"
+    val docs = Seq(
+      (1L, "a", s"alpha beta gamma delta epsilon zeta $footer"),
+      (2L, "a", s"one two three four five six seven $footer"),
+      (3L, "a", "clean words entirely unique content nothing shared"),
+      (4L, "b", s"other site totally different prose $footer")
+    ).toDF("doc_id", "source", "aug")
+    val cov = Substring.boilerplateOf(docs)
+      .select("doc_id", "n_bp_spans")
+      .as[(Long, Long)].collect().toMap
+    assert(cov(1L) >= 4 && cov(2L) >= 4,
+      s"source-a footer carriers not flagged: $cov")
+    assert(cov(3L) == 0 && cov(4L) == 0,
+      s"clean doc or cross-source-only carrier flagged: $cov")
+  }
+
+  test("planted footer fires in every source, clean docs stay silent") {
+    val cov = Substring.boilerplate(spark, sf).cache()
+    try {
+      // Every planted doc (doc_id % 7 == 3) carries >= 8 footer-internal
+      // boilerplate spans, in all 20 sources.
+      val planted = cov.filter(col("doc_id") % 7 === 3)
+      assert(planted.select(countDistinct(col("source"))).as[Long].head() == 20)
+      assert(planted.filter(col("n_bp_spans") < 8).count() == 0,
+        "a planted doc is missing its footer spans")
+      // Un-planted docs: the overwhelming majority carry zero
+      // boilerplate spans (organic within-source recurrence is rare).
+      val clean = cov.filter(col("doc_id") % 7 =!= 3)
+      val silent = clean.filter(col("n_bp_spans") === 0).count()
+      assert(silent * 10 >= clean.count() * 9,
+        "detector fires on too many clean docs")
+    } finally cov.unpersist()
+  }
 }
