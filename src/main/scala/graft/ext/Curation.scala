@@ -350,9 +350,12 @@ object Curation {
     val bp = Substring.boilerplate(spark, sfDir)
       .filter(col("n_bp_spans") >= 8)
       .groupBy(col("source")).agg(count(lit(1)).as("n_bp_docs"))
-    base.join(qual, Seq("source"), "left")
-      .join(keep, Seq("source"), "left")
-      .join(bp, Seq("source"), "left")
+    // The legs are per-source aggregates (#sources rows by construction),
+    // but the static planner can't see that through the agg — declare the
+    // broadcast instead of waiting for AQE to discover it at runtime.
+    base.join(broadcast(qual), Seq("source"), "left")
+      .join(broadcast(keep), Seq("source"), "left")
+      .join(broadcast(bp), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_chars"), col("n_langs"),
         coalesce(col("n_quality_keep"), lit(0L)).as("n_quality_keep"),
         expr("coalesce(q_mass, 0L) div n_docs").as("mean_q_permille"),

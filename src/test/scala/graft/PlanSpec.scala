@@ -326,4 +326,23 @@ class PlanSpec extends SparkSpec {
     // The per-word counts partial-aggregate map-side before shuffling.
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("boilerplate: (source,h)-keyed agg partial-aggregates; join keyed") {
+    val p = plan(ext.Substring.boilerplate(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // The (source,h) recurrence count must combine map-side before its
+    // exchange (partial + final HashAggregate) — the span fan-out is
+    // ~len(doc) rows per doc and must not shuffle raw.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("source report: every per-source merge broadcasts; no cartesian") {
+    val p = plan(ext.Curation.sourceReport(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // The four per-source legs merge on a #sources-row key — all three
+    // LEFT joins must be broadcasts, never a shuffled sort-merge join.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
