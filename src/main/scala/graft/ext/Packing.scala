@@ -248,13 +248,66 @@ object Packing {
        |    CAST(start_off AS BIGINT) + n_tok - 1) // $Budget AS pack_last
        |FROM c""".stripMargin
 
+  // ------------------------------------------------- training-order shuffle
+
+  /** Loader shard count for the gated shuffle. In production this is
+    * sized to the cluster (thousands of shard files, >= writer
+    * parallelism); the semantics are shard-count-generic. */
+  private[graft] val NShards = 16L
+
+  /** The training-order shuffle — the last step before packs hit the
+    * data loader: deal packs pseudorandomly into [[NShards]] shard files
+    * and fix a deterministic random order WITHIN each shard.
+    *
+    * The order key is idHash(pack_id): deterministic, rerun-stable, and
+    * uncorrelated with pack construction order (adjacent packs hold
+    * neighboring idHash(doc_id) keys, not neighboring content, and the
+    * shuffle key re-scatters even that). No RNG state, no seed plumbing
+    * — the property `DataFrame.sample`-style shuffling cannot give.
+    *
+    * Scale shape: one pack-keyed agg (the packer's own key, so it
+    * co-partitions with the manifest), then a shard-keyed window. There
+    * is deliberately NO global row_number: a total order would funnel
+    * every pack through one reducer. A shard is exactly the unit one
+    * writer task emits as one file, so the per-shard sort IS the write
+    * task's work — at any corpus size, parallelism = shard count. */
+  def corpusPackShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val packs = corpusPack(spark, sfDir)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("sk", Hashing.idHash(col("pack_id")))
+      .withColumn("shard_id", col("sk") % NShards)
+    packs
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard_id"))
+          .orderBy(col("sk"), col("pack_id"))).cast("long"))
+      .select(col("pack_id"), col("shard_id"), col("shard_pos"),
+        col("n_docs"), col("n_tokens"))
+  }
+
+  val corpusPackShuffleSql: String =
+    s"""$packCtes,
+       |pk AS (SELECT seg * $PackIdStride + pack AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |  FROM rec GROUP BY 1),
+       |skk AS (SELECT pack_id, n_docs, n_tokens,
+       |  ${Hashing.idHashSql("pack_id")} AS sk FROM pk)
+       |SELECT pack_id, sk % $NShards AS shard_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY sk % $NShards
+       |    ORDER BY sk, pack_id) AS BIGINT) AS shard_pos,
+       |  n_docs, n_tokens
+       |FROM skk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> (corpusPack _),
     "corpus_pack_stats" -> (corpusPackStats _),
-    "corpus_pack_chunked" -> (corpusPackChunked _))
+    "corpus_pack_chunked" -> (corpusPackChunked _),
+    "corpus_pack_shuffle" -> (corpusPackShuffle _))
 
   val oracles: Map[String, String] = Map(
     "corpus_pack" -> corpusPackSql,
     "corpus_pack_stats" -> corpusPackStatsSql,
-    "corpus_pack_chunked" -> corpusPackChunkedSql)
+    "corpus_pack_chunked" -> corpusPackChunkedSql,
+    "corpus_pack_shuffle" -> corpusPackShuffleSql)
 }

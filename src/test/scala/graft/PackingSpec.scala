@@ -94,4 +94,29 @@ class PackingSpec extends SparkSpec {
     assert(stats.exists(_.getLong(1) > 1L),
       "budget/corpus dials must produce multi-doc packs at test SF")
   }
+
+  test("shuffle: packs dealt once, in-shard order contiguous, rerun-stable") {
+    val sh = ext.Packing.corpusPackShuffle(spark, sf).cache()
+    try {
+      // Every pack exactly once, and the pack set is the packer's.
+      val packs = ext.Packing.corpusPack(spark, sf)
+        .select("pack_id").distinct().count()
+      assert(sh.count() == packs)
+      assert(sh.select("pack_id").distinct().count() == packs)
+      // shard_pos is 1..n contiguous within each shard.
+      val bad = sh.groupBy("shard_id")
+        .agg(count(lit(1)).as("n"), min("shard_pos").as("lo"),
+          max("shard_pos").as("hi"),
+          countDistinct("shard_pos").as("nd"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+          col("nd") =!= col("n"))
+        .count()
+      assert(bad == 0, "shard positions not contiguous from 1")
+      // The deal uses more than one shard and is exactly rerun-stable.
+      assert(sh.select("shard_id").distinct().count() > 1)
+      val again = ext.Packing.corpusPackShuffle(spark, sf)
+        .orderBy("pack_id").collect().toSeq
+      assert(sh.orderBy("pack_id").collect().toSeq == again)
+    } finally sh.unpersist()
+  }
 }
