@@ -69,6 +69,42 @@ object Pipeline {
         .join(admittedTrainDocs(spark, sfDir), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_tokens").as("raw_tok")))
 
+  /** Gated: the admission attrition table — how many docs survive each
+    * cumulative stage of the ship gate, in gate order. THE observability
+    * artifact a curation pipeline watches: a stage whose survivor count
+    * moves sharply between snapshots is the stage that broke (or the
+    * corpus that shifted). Same predicate frames as [[trainManifest]] —
+    * the funnel IS the manifest's admission chain, counted per stage.
+    *
+    * Scale shape: six 1-row aggregates over semi/anti-join chains whose
+    * legs are each scale-safe (see [[admittedTrainDocs]]); the union is
+    * six rows. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val qual = TextAnalysis.textQuality(spark, sfDir)
+      .filter(col("quality_score") >= 0.5)
+      .select(col("doc_id"))
+    val keepers = Dedup.fingerprintDedup(spark, sfDir)
+      .select(col("keeper").as("doc_id"))
+    val (evalIds, overlap) = Curation.decontamParts(spark, sfDir)
+    val contaminated = overlap.filter(col("contaminated") === 1L)
+      .select(col("doc_id"))
+    val raw = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val split = raw.filter(GraftFunctions.polyHash(
+      concat_ws(":", lit("split"), col("doc_id").cast("string"))) % 100 < 80)
+    val s2 = split.join(qual, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(evalIds, Seq("doc_id"), "left_anti")
+    val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+    val stages = Seq(
+      (0L, "raw", raw), (1L, "train_split", split), (2L, "quality", s2),
+      (3L, "dedup_keeper", s3), (4L, "not_eval", s4), (5L, "shipped", s5))
+    stages.map { case (ord, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Gated: the dataset-card numbers of the shipped set — one row:
     * admitted docs, packs, exact token mass, and overall fill in basis
     * points (what fraction of the bought context windows the curated
@@ -91,18 +127,24 @@ object Pipeline {
     * [[Tokenize.tokCtes]]. Oracle and engine share every stage
     * definition, so a drift in any ONE stage breaks its own gate AND
     * this one. */
+  /** The admission-predicate CTEs (decontam chain + qd/kd/cont) — shared
+    * by the manifest, summary, and funnel oracles so all three splice
+    * the same stage definitions. */
+  private[graft] val admissionSqlCtes: String =
+    s"""${Curation.decontamSqlCtes},
+       |qd AS (SELECT doc_id FROM (${TextAnalysis.textQualitySql})
+       |  WHERE quality_score >= 0.5),
+       |kd AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+       |cont AS (SELECT doc_id FROM ex LEFT JOIN evh ON ex.h = evh.h
+       |  GROUP BY doc_id, n_sh
+       |  HAVING SUM(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) * 10 >= n_sh)""".stripMargin
+
   private val manifestCtes: String = {
     val splitHash = Hashing.stringHashSql("'split:' || CAST(d.doc_id AS VARCHAR)")
     val extra =
       s"""${Tokenize.tokCtes},
-         |${Curation.decontamSqlCtes},
-         |qd AS (SELECT doc_id FROM (${TextAnalysis.textQualitySql})
-         |  WHERE quality_score >= 0.5),
-         |kd AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
-         |cont AS (SELECT doc_id FROM ex LEFT JOIN evh ON ex.h = evh.h
-         |  GROUP BY doc_id, n_sh
-         |  HAVING SUM(CASE WHEN evh.h IS NOT NULL THEN 1 ELSE 0 END) * 10 >= n_sh),
+         |$admissionSqlCtes,
          |""".stripMargin
     val d0Body =
       s"""SELECT d.doc_id,
@@ -134,11 +176,39 @@ object Pipeline {
        |        * ${Packing.Budget}) AS fill_bp
        |FROM rec""".stripMargin
 
+  val curationFunnelSql: String = {
+    val splitHash = Hashing.stringHashSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH $admissionSqlCtes,
+       |fsp AS (SELECT doc_id FROM documents WHERE ($splitHash) % 100 < 80),
+       |f2 AS (SELECT doc_id FROM fsp
+       |  WHERE doc_id IN (SELECT doc_id FROM qd)),
+       |f3 AS (SELECT doc_id FROM f2
+       |  WHERE doc_id IN (SELECT doc_id FROM kd)),
+       |f4 AS (SELECT doc_id FROM f3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+       |f5 AS (SELECT doc_id FROM f4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+       |UNION ALL SELECT 1, 'train_split',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fsp)
+       |UNION ALL SELECT 2, 'quality',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f2)
+       |UNION ALL SELECT 3, 'dedup_keeper',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f3)
+       |UNION ALL SELECT 4, 'not_eval',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f4)
+       |UNION ALL SELECT 5, 'shipped',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f5)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_train_manifest" -> (trainManifest _),
-    "corpus_train_summary" -> (trainSummary _))
+    "corpus_train_summary" -> (trainSummary _),
+    "corpus_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
     "corpus_train_manifest" -> trainManifestSql,
-    "corpus_train_summary" -> trainSummarySql)
+    "corpus_train_summary" -> trainSummarySql,
+    "corpus_curation_funnel" -> curationFunnelSql)
 }

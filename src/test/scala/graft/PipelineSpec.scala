@@ -64,4 +64,22 @@ class PipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("fill_bp") == mass * 10000 / (packs * Packing.Budget))
     assert(s.getAs[Long]("fill_bp") <= 10000)
   }
+
+  test("funnel: monotone attrition ending exactly at the shipped set") {
+    val f = Pipeline.curationFunnel(spark, sf)
+      .orderBy("stage_ord").collect()
+    assert(f.map(_.getAs[String]("stage")).toSeq == Seq(
+      "raw", "train_split", "quality", "dedup_keeper", "not_eval",
+      "shipped"))
+    val counts = f.map(_.getAs[Long]("n_docs")).toSeq
+    // Each cumulative stage can only lose documents…
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $counts")
+    // …every stage actually bites on this corpus…
+    assert(counts.distinct.length >= 4, s"funnel stages vacuous: $counts")
+    // …and the funnel's mouth is exactly the manifest's doc set.
+    val shipped = Pipeline.trainManifest(spark, sf).count()
+    assert(counts.last == shipped,
+      s"funnel tail ${counts.last} != manifest docs $shipped")
+  }
 }
