@@ -254,7 +254,76 @@ object Dedup {
     s"""SELECT vec_a, vec_b, cos FROM (${Similarity.cosinePairsSql(64)})
        |WHERE cos >= 0.45""".stripMargin
 
+  // ------------------------------------------------------ LSH calibration
+
+  /** Calibration sample size: constant at any SF (idHash order), big
+    * enough that the corpus's near-dup pairs land inside it. */
+  private val CalibN = 192
+
+  /** The measured MinHash-LSH S-curve — the tuning artifact behind every
+    * banding choice: over a fixed sample of document pairs, exact
+    * shingle-Jaccard (as an integer decile) × did-the-bands-collide,
+    * counted. Reading it answers the two questions a banding config must
+    * answer empirically: do high-Jaccard pairs band-collide (recall),
+    * and how many unrelated pairs collide anyway (the false-candidate
+    * load the verify join must absorb).
+    *
+    * Scale shape: the sample is constant-size in idHash order (the
+    * decontam/audit invariant), so the all-pairs term is a constant
+    * broadcast nested loop (~CalibN²/2 pairs) regardless of corpus size;
+    * the band-collision flag joins the same bounded pair set against the
+    * sample's band rows. Nothing corpus-sized is ever pairwise. */
+  def lshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir).filter(size(col("sh")) > 0)
+    val samp = sh.orderBy(Hashing.idHash(col("doc_id")), col("doc_id"))
+      .limit(CalibN)
+    val pairs = samp.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      .join(broadcast(samp.select(col("doc_id").as("doc_b"),
+        col("sh").as("shb"))), col("doc_a") < col("doc_b"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectSize(col("sha"), col("shb"))
+    val uni = size(col("sha")).cast("long") +
+      size(col("shb")).cast("long") - inter
+    val jac = pairs.select(col("doc_a"), col("doc_b"),
+      inter.as("i"), uni.as("u"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10L * i) div u").as("jac_decile"))
+    val sampBands = bucketsOf(samp)
+    val collided = sampBands.as("x").join(broadcast(sampBands.as("y")),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("c", lit(1L))
+    jac.join(broadcast(collided), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jac_decile"),
+        coalesce(col("c"), lit(0L)).as("is_candidate"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val lshCalibrationSql: String =
+    s"""WITH $bandsSqlCtes,
+       |csamp AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0
+       |  ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id LIMIT $CalibN),
+       |cjac AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  (10 * len(list_intersect(a.sh, b.sh)))
+       |    // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    AS jac_decile
+       |  FROM csamp a JOIN csamp b ON a.doc_id < b.doc_id),
+       |ccol AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id IN (SELECT doc_id FROM csamp)
+       |    AND y.doc_id IN (SELECT doc_id FROM csamp))
+       |SELECT jac_decile,
+       |  CAST(CASE WHEN ccol.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_candidate,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM cjac LEFT JOIN ccol USING (doc_a, doc_b)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_calibration" -> (lshCalibration _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprintDedup _),
     "dedup_simhash" -> (simhash _),
@@ -264,6 +333,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_lsh_calibration" -> lshCalibrationSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintDedupSql,
     "dedup_simhash" -> simhashSql,

@@ -68,4 +68,25 @@ class DedupSpec extends SparkSpec {
     val sizes = df.select(size($"sh")).as[Int].collect().toSeq
     assert(sizes == Seq(0, 0, 2))
   }
+
+  test("LSH calibration: pair count exact, identical docs always collide") {
+    val cal = Dedup.lshCalibration(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // The cells partition all C(n,2) sample pairs exactly once.
+    val n = 192L
+    assert(cal.map(_._3).sum == n * (n - 1) / 2)
+    // Identical shingle sets (decile 10) have identical signatures — they
+    // MUST band-collide: the (10, non-candidate) cell cannot exist.
+    assert(!cal.exists(c => c._1 == 10 && c._2 == 0),
+      "an identical pair failed to band-collide")
+    // The corpus's near-dup pairs (decile >= 8; no exact dups exist in
+    // the synthetic table) land in the sample and the banding catches
+    // at least one of them — the S-curve's recall shoulder is measured
+    // on real pairs, not asserted from theory.
+    assert(cal.exists(c => c._1 >= 8 && c._2 == 1),
+      s"no high-jaccard pair band-collided: ${cal.sortBy(_._1).toSeq}")
+    // Unrelated pairs dominate and mostly do not collide.
+    val zeroNon = cal.filter(c => c._1 == 0 && c._2 == 0).map(_._3).sum
+    assert(zeroNon * 10 >= cal.map(_._3).sum * 8)
+  }
 }
