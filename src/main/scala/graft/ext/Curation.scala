@@ -113,6 +113,47 @@ object Curation {
        |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
   }
 
+  /** Temperature-based mixture sampling (the mT5/XLM-R α-weighted source
+    * formula at α = 1/2): accept docs of source i at a rate ∝ mᵢ^(α−1) =
+    * 1/√mᵢ, so the sampled mass follows √mᵢ — big sources give up share
+    * without being crushed to the [[sampleMixtureBalanced]] uniform cap,
+    * small sources are boosted but not replicated. α = 1/2 specifically
+    * because it is the one non-trivial temperature both engines can
+    * compute EXACTLY: floor(√n) of a BIGINT is deterministic (IEEE sqrt
+    * is correctly rounded; both engines floor the same double), so the
+    * permille rates stay integer-exact with no libm-divergence risk —
+    * the same reason the money math is integer cents.
+    *
+    * Same scale shape as the balanced sampler: O(#sources) agg broadcast
+    * back, stateless hash-threshold accept per row, retry-stable. */
+  def sampleMixtureTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mass = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("sc"))
+    val minM = mass.agg(min(col("sc")).as("mn"))
+    val rates = mass.crossJoin(minM)
+      .select(col("source"),
+        expr("(cast(floor(sqrt(mn)) as bigint) * 1000) " +
+          "div cast(floor(sqrt(sc)) as bigint)").as("rate_pm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(GraftFunctions.polyHash(
+        concat_ws(":", lit("temp"), col("doc_id").cast("string"))) % 1000
+        < col("rate_pm"))
+      .select(col("doc_id"), col("source"), col("rate_pm"))
+  }
+
+  val sampleMixtureTemperatureSql: String = {
+    val h = Hashing.stringHashSql("'temp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sc
+       |  FROM documents GROUP BY source),
+       |m AS (SELECT MIN(sc) AS mn FROM c),
+       |r AS (SELECT source,
+       |  (CAST(FLOOR(SQRT(mn)) AS BIGINT) * 1000)
+       |    // CAST(FLOOR(SQRT(sc)) AS BIGINT) AS rate_pm FROM c, m)
+       |SELECT d.doc_id, d.source, r.rate_pm
+       |FROM documents d JOIN r USING (source)
+       |WHERE ($h) % 1000 < r.rate_pm""".stripMargin
+  }
+
   /** Deterministic 80/10/10 train/val/test split, reported per
     * (lang, split) — the canonical dataset-preparation op. Membership
     * is a pure function of doc_id (polyHash mod 100: <80 train,
@@ -400,6 +441,7 @@ object Curation {
     "sample_stratified" -> (sampleStratified _),
     "corpus_split_report" -> (splitReport _),
     "sample_mixture_balanced" -> (sampleMixtureBalanced _),
+    "sample_mixture_temperature" -> (sampleMixtureTemperature _),
     "source_mixture" -> (sourceMixture _),
     "corpus_profile" -> (corpusProfile _),
     "decontam_overlap" -> (decontamOverlap _))
@@ -410,6 +452,7 @@ object Curation {
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_split_report" -> splitReportSql,
     "sample_mixture_balanced" -> sampleMixtureBalancedSql,
+    "sample_mixture_temperature" -> sampleMixtureTemperatureSql,
     "source_mixture" -> sourceMixtureSql,
     "corpus_profile" -> corpusProfileSql,
     "decontam_overlap" -> decontamOverlapSql)

@@ -76,6 +76,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling compresses rates between balanced and unity") {
+    val bal = Curation.sampleMixtureBalanced(spark, sf)
+      .select("source", "rate_pm").distinct()
+      .as[(String, Long)].collect().toMap
+    val temp = Curation.sampleMixtureTemperature(spark, sf)
+      .select("source", "rate_pm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(temp.nonEmpty)
+    // α = 1/2 sits strictly between balanced (α = 0) and raw (α = 1):
+    // every source's tempered rate is >= its balanced rate and <= 1000,
+    // and the lightest source still keeps everything.
+    temp.foreach { case (s, r) =>
+      assert(r <= 1000L, s"$s rate $r above unity")
+      bal.get(s).foreach(b => assert(r >= b, s"$s tempered $r < balanced $b"))
+    }
+    assert(temp.values.max == 1000L, "lightest source must keep all docs")
+    // Direct recompute of the rate formula for one source.
+    val mass = graft.Tables.documents(spark, sf)
+      .groupBy("source").agg(sum("n_chars").as("sc"))
+      .as[(String, Long)].collect().toMap
+    val mn = mass.values.min
+    mass.foreach { case (s, m) =>
+      val want = math.floor(math.sqrt(mn.toDouble)).toLong * 1000L /
+        math.floor(math.sqrt(m.toDouble)).toLong
+      temp.get(s).foreach(r => assert(r == want, s"$s rate $r != $want"))
+    }
+  }
+
   test("source report reconciles with its component stages") {
     val rep = Curation.sourceReport(spark, sf).cache()
     try {
