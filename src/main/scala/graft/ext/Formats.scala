@@ -90,13 +90,60 @@ object Formats {
   val partitionedScanSql: String =
     s"$fingerprintsSql WHERE lang = 'en'"
 
+  /** Bucketed co-located fact⋈fact join — the lake-layout lever for a
+    * join too big to broadcast either side: write BOTH fact tables
+    * bucketed (and sorted) on the join key, and the join needs NO
+    * shuffle at read time — each task zips bucket i with bucket i. At
+    * 100 TB this converts the single biggest exchange a warehouse runs
+    * (lineitem⋈orders) into embarrassingly parallel work, paid once at
+    * write time and amortized over every subsequent join on that key.
+    * PlanSpec pins the absence of join-key exchanges — the entire point
+    * of the layout; the gate pins that bucketing changed NOTHING about
+    * the result (the oracle joins the raw parquet).
+    *
+    * The merge-join hint keeps the demonstration honest at test SF
+    * (AQE would broadcast the small side and hide the co-location). */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfTag = new java.io.File(sfDir).getName.replace('.', '_')
+    val oTbl = s"graft_b_orders_$sfTag"
+    val lTbl = s"graft_b_lineitem_$sfTag"
+    val dir = scratch(sfDir, "bucketed")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").option("path", s"$dir/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(oTbl)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").option("path", s"$dir/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lTbl)
+    spark.table(lTbl).hint("merge")
+      .join(spark.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("revenue_e6"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (10000 - CAST(round(l_discount*10000) AS BIGINT))) AS BIGINT)
+      |    AS revenue_e6
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "export_jsonl_roundtrip" -> (jsonlRoundTrip _),
     "export_csv_roundtrip" -> (csvRoundTrip _),
-    "layout_partitioned_scan" -> (partitionedScan _))
+    "layout_partitioned_scan" -> (partitionedScan _),
+    "layout_bucketed_join" -> (bucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "export_jsonl_roundtrip" -> fingerprintsSql,
     "export_csv_roundtrip" -> fingerprintsSql,
-    "layout_partitioned_scan" -> partitionedScanSql)
+    "layout_partitioned_scan" -> partitionedScanSql,
+    "layout_bucketed_join" -> bucketedJoinSql)
 }

@@ -337,6 +337,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("bucketed join: co-located buckets, ZERO join-key exchanges") {
+    val p = plan(ext.Formats.bucketedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), p)
+    // The entire point of the layout: neither fact side shuffles on the
+    // join key — bucket i zips with bucket i straight off the scan.
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
   test("source report: every per-source merge broadcasts; no cartesian") {
     val p = plan(ext.Curation.sourceReport(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
