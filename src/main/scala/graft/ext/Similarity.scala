@@ -414,7 +414,76 @@ object Similarity {
        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
        |FROM u GROUP BY dim""".stripMargin
 
+  case class GramCell(dim_i: Long, dim_j: Long, partial: Long)
+
+  /** Exact d×d gram matrix Σ_v q_v·q_vᵀ (upper triangle) over the shared
+    * [[quantized]] vectors — the sufficient statistic PCA / whitening /
+    * covariance estimation all start from (cov[i][j] derives from this
+    * plus [[dimStats]]' exact per-dim sums; an eigensolve on the d×d
+    * result is driver-side O(d³), trivial at d=64). Training pipelines
+    * run exactly this pass before dimensionality reduction or
+    * decorrelation of an embedding corpus.
+    *
+    * Shape, chosen for 100 TB rather than elegance: each partition folds
+    * its vectors into ONE flat d×d Long accumulator (an outer-product
+    * pass — d(d+1)/2 multiply-adds per vector, zero per-pair row
+    * materialization), then emits d(d+1)/2 partial cells; the only
+    * exchange carries d(d+1)/2 rows PER PARTITION regardless of corpus
+    * size, and the final (dim_i, dim_j) sum is map-side combinable. The
+    * declarative alternative (double posexplode → groupBy) shuffles the
+    * same 2 080 groups but pays a d² row fan-out through the aggregate
+    * hash map per vector; the typed fold is the same plan a BLAS-backed
+    * syrk would feed. Long exactness: |q| ≤ 5 000 ⇒ |q_i·q_j| ≤ 2.5e7,
+    * so overflow needs ~3.7e11 same-cell terms — beyond any test SF and
+    * flagged for DECIMAL(38) at true 100 TB row counts (same caveat as
+    * the clustering inertia). SimilaritySpec pins partition-invariance
+    * and equality with the declarative double-explode formulation. */
+  def gramMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    gramOf(quantized(spark, sfDir))
+
+  /** The fold itself, over any frame with a `qv: array<long>` column —
+    * split out so the spec can prove partition-invariance by feeding
+    * the same vectors through different layouts. */
+  private[graft] def gramOf(qvDf: DataFrame): DataFrame = {
+    val sp = qvDf.sparkSession
+    import sp.implicits._
+    qvDf
+      .select(col("qv")).as[Seq[Long]]
+      .mapPartitions { vecs =>
+        var acc: Array[Long] = null
+        var d = 0
+        vecs.foreach { v =>
+          if (acc == null) { d = v.length; acc = new Array[Long](d * d) }
+          require(v.length == d, s"ragged embedding: ${v.length} != $d")
+          var i = 0
+          while (i < d) {
+            val qi = v(i)
+            var j = i
+            while (j < d) { acc(i * d + j) += qi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else Iterator.range(0, d).flatMap(i =>
+          Iterator.range(i, d).map(j =>
+            GramCell(i.toLong, j.toLong, acc(i * d + j))))
+      }
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("partial")).as("sum_prod"))
+  }
+
+  val gramMatrixSql: String =
+    s"""WITH $quantizedSqlCte,
+       |u AS (SELECT vec_id, unnest(qv) AS q,
+       |        CAST(unnest(generate_series(1, len(qv))) - 1 AS BIGINT) AS dim
+       |      FROM e)
+       |SELECT a.dim AS dim_i, b.dim AS dim_j,
+       |  CAST(SUM(a.q * b.q) AS BIGINT) AS sum_prod
+       |FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_gram_matrix" -> (gramMatrix _),
     "embedding_dim_stats" -> (dimStats _),
     "knn_bruteforce" -> (knnBruteForce _),
     "knn_lsh" -> (knnLsh _),
@@ -424,6 +493,7 @@ object Similarity {
     "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_gram_matrix" -> gramMatrixSql,
     "embedding_dim_stats" -> dimStatsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "knn_lsh" -> knnLshSql,

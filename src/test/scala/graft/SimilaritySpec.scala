@@ -104,6 +104,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gram matrix: equals driver outer-product sum, upper triangle only") {
+    val vecs = quantizedVecs(sf)
+    val d = vecs.values.head.length
+    val expected =
+      (for {
+        i <- 0 until d; j <- i until d
+      } yield (i.toLong, j.toLong) ->
+        vecs.values.map(v => v(i) * v(j)).sum).toMap
+    val got = Similarity.gramMatrix(spark, sf)
+      .select($"dim_i", $"dim_j", $"sum_prod")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == d * (d + 1) / 2, "exactly the upper triangle")
+    assert(got == expected)
+  }
+
+  test("gram matrix is partition-invariant (exact Long fold)") {
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val base = Tables.embeddings(spark, sf).select(qv.as("qv"))
+    val a = Similarity.gramOf(base.repartition(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Similarity.gramOf(base.repartition(7, col("qv"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("knn LSH returns a subset of each bucket, ranked like brute force") {
     val lsh = Similarity.knnLsh(spark, sf)
       .select($"vec_a", $"vec_b", $"cos", $"rank")
