@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -322,7 +323,99 @@ object Dedup {
        |FROM cjac LEFT JOIN ccol USING (doc_a, doc_b)
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- prefix-filter join
+
+  /** Jaccard threshold of the exact join, in permille (≥ 0.8). */
+  private val PrefixTauPermille = 800L
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the deterministic complement to [[minhashLsh]]: LSH
+    * trades recall for candidate volume, this path guarantees recall 1
+    * by construction. Tokens (3-word shingle hashes) get a global
+    * rarest-first total order (df asc, hash asc); each doc indexes only
+    * its first p = n − ceil(τ·n) + 1 tokens in that order, and the
+    * prefix-filtering principle says any pair with J ≥ τ MUST collide
+    * on at least one indexed token (if A and B share so few tokens that
+    * none of A's p rarest are in B's prefix, their overlap is provably
+    * below τ·max(|A|,|B|) — since J ≥ τ forces |A∩B| ≥ τ|A| and
+    * ≥ τ|B|, the contrapositive prunes). Collisions are verified with
+    * the same exact two-pointer intersect the LSH path uses, so the
+    * output IS the full ≥τ pair set — which is exactly what the gate
+    * proves: the DuckDB oracle brute-forces every token-sharing pair
+    * with no prefix pruning at all, and the hashes must match.
+    *
+    * Threshold semantics are integer end-to-end: J ≥ 0.8 tested as
+    * 5·inter ≥ 4·union (no float compare on the boundary), and the
+    * reported score is floor permille — boundary pairs (5·inter =
+    * 4·union exactly) are IN, pinned by DedupSpec.
+    *
+    * Scale shape: the df table is a map-side-combinable count; the
+    * per-doc prefix selection is one doc_id-keyed window; the candidate
+    * join is an ordinary equi-join on token hash whose fan-out is
+    * Σ_h df_prefix(h)² — bounded because prefixes keep only each doc's
+    * RAREST ~(1−τ) fraction of tokens (a corpus-frequent shingle never
+    * enters a prefix unless a doc has nothing rarer), the sharp
+    * contrast to joining on raw shingles where one boilerplate shingle
+    * detonates df². No all-pairs term anywhere; all three joins are
+    * keyed. Verification cost is |candidates|, ≥ the true pair count
+    * and typically within a small factor of it. */
+  def jaccardPrefixJoin(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPrefixOf(shingled(spark, sfDir), PrefixTauPermille)
+
+  /** The join itself over any `(doc_id, sh: array<long>)` frame —
+    * split out so the spec can feed adversarial set families (boundary
+    * pairs, disjoint prefixes) straight into the algorithm. */
+  private[graft] def jaccardPrefixOf(shIn: DataFrame,
+      tauPermille: Long): DataFrame = {
+    val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
+    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("h"))
+    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfTab, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <=
+        col("n") - expr(s"($tauPermille * n + 999) div 1000") + 1L)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter =
+      graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)
+          .as("uni"))
+      .filter(col("inter") * 1000L >= lit(tauPermille) * col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        expr("inter * 1000 div uni").as("jac_permille"))
+  }
+
+  /** Brute force, deliberately: every token-sharing pair, no prefix
+    * pruning — pairs sharing NO token have J = 0 < τ, so this is the
+    * complete ≥τ ground truth the pruned Spark path must reproduce. */
+  val jaccardPrefixJoinSql: String =
+    s"""WITH $shingledSqlCte,
+       |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz)
+       |SELECT doc_a, doc_b, inter,
+       |  sa.n + sb.n - inter AS uni,
+       |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_permille
+       |FROM pairs
+       |JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE inter * 1000 >= $PrefixTauPermille * (sa.n + sb.n - inter)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "dedup_lsh_calibration" -> (lshCalibration _),
     "dedup_exact" -> (exact _),
     "dedup_fingerprint" -> (fingerprintDedup _),
@@ -333,6 +426,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_jaccard_prefix" -> jaccardPrefixJoinSql,
     "dedup_lsh_calibration" -> lshCalibrationSql,
     "dedup_exact" -> exactSql,
     "dedup_fingerprint" -> fingerprintDedupSql,

@@ -89,4 +89,42 @@ class DedupSpec extends SparkSpec {
     val zeroNon = cal.filter(c => c._1 == 0 && c._2 == 0).map(_._3).sum
     assert(zeroNon * 10 >= cal.map(_._3).sum * 8)
   }
+
+  test("prefix-filter join == brute force over ALL pairs (recall 1)") {
+    val vecs = Tables.documents(spark, sf).select($"doc_id",
+      Hashing.shingleHashes(Hashing.wordHashes($"text"), 3).as("sh"))
+      .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty)
+    val truth = (for {
+      (da, sa) <- vecs; (db, sb) <- vecs if da < db
+      inter = sa.intersect(sb).length.toLong
+      uni = sa.length + sb.length - inter
+      if inter * 1000 >= 800 * uni
+    } yield (da, db, inter, uni, inter * 1000 / uni)).toSet
+    val got = Dedup.jaccardPrefixJoin(spark, sf)
+      .select($"doc_a", $"doc_b", $"inter", $"uni", $"jac_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(got.nonEmpty, "corpus has planted near-dup pairs")
+  }
+
+  test("prefix-filter join: integer threshold boundary is inclusive") {
+    // Boundary pair: |A|=|B|=9, 8 shared -> inter=8, uni=10,
+    // 8*1000 == 800*10 exactly. Below pair: 7 shared -> uni=11, out.
+    // Disjoint pair: never a candidate.
+    def s(xs: Long*): Array[Long] = xs.toArray.sorted
+    val sh = Seq(
+      1L -> s(1, 2, 3, 4, 5, 6, 7, 8, 9),
+      2L -> s(1, 2, 3, 4, 5, 6, 7, 8, 10),     // J = 8/10 = boundary
+      3L -> s(1, 2, 3, 4, 5, 6, 7, 11, 12),    // vs 1: 7/11 < 0.8
+      4L -> s(100, 101, 102, 103, 104, 105, 106, 107, 108))
+      .toDF("doc_id", "sh")
+    val got = Dedup.jaccardPrefixOf(sh, 800L)
+      .select($"doc_a", $"doc_b", $"jac_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 800L)))
+    // At a lower threshold the sub-boundary pairs appear too.
+    val loose = Dedup.jaccardPrefixOf(sh, 600L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
