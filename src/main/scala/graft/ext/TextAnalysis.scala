@@ -557,6 +557,105 @@ object TextAnalysis {
       |       ELSE (surprisal_bits * 1000) // n_bigrams END AS mean_millibits
       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------------ BM25 retrieval
+
+  /** Query terms per retrieval run and results per term. */
+  private val Bm25QueryTerms = 4
+  private val Bm25TopK = 10
+
+  /** BM25 top-k retrieval — the missing READ side of a curation stack
+    * (keyword search over the corpus: decontamination probes, targeted
+    * quality audits, eval-set mining all start with "find the documents
+    * matching these terms"). Okapi BM25 with k1 = 1.2, b = 0.75,
+    * carried out entirely in Long arithmetic so ranking is engine- and
+    * partitioning-exact:
+    *
+    *  - idf: the Robertson idf argument (N−df+0.5)/(df+0.5)+1 equals
+    *    the exact rational (2N+1)/(2df+1), so idf_bits =
+    *    floor_log2((2N+1) div (2df+1)) via the `length(bin(x))−1`
+    *    identity — the floor-log2 measure every other scoring key here
+    *    uses (no libm ln anywhere).
+    *  - tf saturation: tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    *    avgdl kept as the exact fraction S/N (S = corpus words): clear
+    *    denominators by 10·S and the permille part becomes
+    *    (1000·22·tf·S) div (10·S·tf + 3·S + 9·dl·N) — pure integer.
+    *    (Long-safe to S ≈ 4e14 corpus words at tf ≤ 400; DECIMAL(38)
+    *    beyond, same caveat family as the gram matrix.)
+    *  - score = idf_bits · tf_permille; ties break on doc_id, so top-k
+    *    is a total order.
+    *
+    * The query set is data-derived and constant-size: the
+    * [[Bm25QueryTerms]] rarest corpus terms by (df asc, word asc) —
+    * rarest-first makes the gate exercise nontrivial idf levels (this
+    * corpus's planted rare term scores 4 bits, the rest 0–1).
+    *
+    * Scale shape: term selection is a TakeOrdered over the df table
+    * (constant result, broadcast); the posting join filters the
+    * (doc, word) tf table to query terms BEFORE anything widens — at
+    * 100 TB the exchanges carry only docs containing a query term;
+    * dl/S/N ride the same tokenize pass (lineage-cut, 3 consumers);
+    * top-k per term is a window over [[Bm25QueryTerms]] partitions of
+    * candidate hits, the standard distributed top-k. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // 3 consumers: dl, df, posting join
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint() // 2 consumers: totals, hit join
+    val totals = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n"))
+    val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val terms = dfTab
+      .orderBy(col("df"), col("word")).limit(Bm25QueryTerms)
+      .crossJoin(broadcast(totals))
+      .select(col("word").as("term"), col("df"),
+        (length(bin(expr("(2*n + 1) div (2*df + 1)"))) - 1)
+          .cast("long").as("idf_bits"),
+        col("s"), col("n"))
+    tf.join(broadcast(terms), tf("word") === terms("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("idf_bits"),
+        expr("(1000 * 22 * tf * s) div (10 * s * tf + 3 * s + 9 * dl * n)")
+          .as("tf_permille"))
+      .withColumn("score", col("idf_bits") * col("tf_permille"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("term"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("tf"), col("dl"), col("df"), col("idf_bits"),
+        col("tf_permille"), col("score"))
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+       |dfx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |terms AS (SELECT word AS term, df,
+       |    CAST(length(bin((2*n + 1) // (2*df + 1))) - 1 AS BIGINT) AS idf_bits,
+       |    s, n
+       |  FROM dfx, tot ORDER BY df, word LIMIT $Bm25QueryTerms),
+       |hits AS (SELECT term, tf.doc_id, tf.tf, dl.dl, terms.df, idf_bits,
+       |    (1000 * 22 * tf.tf * s) //
+       |      (10 * s * tf.tf + 3 * s + 9 * dl.dl * n) AS tf_permille
+       |  FROM tf JOIN terms ON tf.word = terms.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id)
+       |SELECT term, CAST(rnk AS BIGINT) AS rnk, doc_id, tf, dl, df, idf_bits,
+       |  tf_permille, idf_bits * tf_permille AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY term
+       |        ORDER BY idf_bits * tf_permille DESC, doc_id) AS rnk
+       |      FROM hits)
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -568,7 +667,8 @@ object TextAnalysis {
     "doc_fingerprint" -> (fingerprint _),
     "quality_lm_surprisal" -> (lmSurprisal _),
     "quality_lm_bigram" -> (lmBigramSurprisal _),
-    "tfidf_top_terms" -> (tfidfTopTerms _))
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "search_bm25" -> (bm25TopK _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -581,5 +681,6 @@ object TextAnalysis {
     "doc_fingerprint" -> fingerprintSql,
     "quality_lm_surprisal" -> lmSurprisalSql,
     "quality_lm_bigram" -> lmBigramSurprisalSql,
-    "tfidf_top_terms" -> tfidfTopTermsSql)
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "search_bm25" -> bm25TopKSql)
 }

@@ -53,6 +53,40 @@ class TextParitySpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 1, "surprisal is constant — vacuous")
   }
 
+  test("bm25: matches a driver-side recompute, ranks the rare term hits first") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25TopK(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // Independent BM25 from raw words: same integer pipeline, no Spark.
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0))).as("word"))
+      .as[(Long, String)].collect()
+    val tf = words.groupBy(identity).map { case ((id, w), xs) =>
+      (id, w) -> xs.length.toLong }
+    val dl = words.groupBy(_._1).map { case (id, xs) => id -> xs.length.toLong }
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val s = dl.values.sum; val n = dl.size.toLong
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val terms = dfm.toSeq.sortBy { case (w, d) => (d, w) }.take(4)
+    val want = terms.flatMap { case (term, df) =>
+      val idfBits = fl2((2 * n + 1) / (2 * df + 1))
+      val hits = tf.collect { case ((id, w), t) if w == term =>
+        val tfp = (1000L * 22 * t * s) / (10 * s * t + 3 * s + 9 * dl(id) * n)
+        (id, t, tfp, idfBits * tfp)
+      }.toSeq
+      hits.sortBy { case (id, _, _, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, t, tfp, sc), i) =>
+          (term, i + 1L, id, t, dl(id), df, idfBits, tfp, sc) }
+    }.toSet
+    assert(got.toSet == want)
+    // Non-vacuous: the rare planted term reaches a positive idf level,
+    // so at least one term's ranking is tf-driven, not tie-broken.
+    assert(got.exists(_._9 > 0), "all scores zero — idf collapsed")
+  }
+
   test("bigram surprisal: exact conditional bits, short docs surface with zeros") {
     import spark.implicits._
     val rows = TextAnalysis.lmBigramSurprisal(spark, sf)
