@@ -49,4 +49,46 @@ class PageRankSpec extends SparkSpec {
       assert(a == b, "rank trajectory must not depend on parallelism")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def triRows(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    PageRank.trianglesOf(es.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangles: hand graphs — clique, path, pendant") {
+    // K4: every node deg 3, in 3 triangles, lcc exactly 1.
+    val k4 = triRows(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4.keySet == Set(1L, 2L, 3L, 4L))
+    assert(k4.values.forall(_ == ((3L, 3L, 1000L))))
+    // Path 1-2-3: zero triangles everywhere, middle node deg 2.
+    val path = triRows(Seq((1L, 2L), (2L, 3L)))
+    assert(path(2L) == ((2L, 0L, 0L)) && path(1L) == ((1L, 0L, 0L)))
+    // Triangle {1,2,3} plus pendant edge 3-4: node 3 has deg 3 but only
+    // one closed wedge of its three -> lcc floor(2000/6) = 333.
+    val pend = triRows(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(pend(3L) == ((3L, 1L, 333L)))
+    assert(pend(4L) == ((1L, 0L, 0L)))
+    assert(pend(1L) == ((2L, 1L, 1000L)))
+  }
+
+  test("triangles: corpus gate == driver brute force over all edges") {
+    val es = graft.ext.Basket.copurchase(spark, sf)
+      .select($"part_a", $"part_b").as[(Long, Long)].collect()
+    val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val triOf = adj.map { case (n, nb) =>
+      n -> nb.toSeq.combinations(2).count { case Seq(x, y) =>
+        adj(x).contains(y) }.toLong
+    }
+    val got = PageRank.partsTriangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (part, deg, tri, lcc) =>
+      assert(deg == adj(part).size.toLong, s"deg($part)")
+      assert(tri == triOf(part), s"triangles($part)")
+      assert(lcc == (if (deg > 1) 2000 * tri / (deg * (deg - 1)) else 0L))
+    }
+    assert(got.map(_._1).toSet == adj.keySet)
+  }
 }
