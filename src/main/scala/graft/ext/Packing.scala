@@ -299,15 +299,81 @@ object Packing {
        |  n_docs, n_tokens
        |FROM skk""".stripMargin
 
+  // ------------------------------------------------------- curriculum
+
+  /** Curriculum schedule over the packed corpus — the training-order
+    * twin of [[corpusPackShuffle]]: instead of a hash shuffle, packs
+    * are ordered easy → hard by their mean unigram surprisal (the
+    * [[TextAnalysis.lmSurprisal]] quality signal, integer millibits),
+    * the standard curriculum-learning recipe (common-word-dense packs
+    * first, rare-token-dense packs last). Composes two already-gated
+    * stages, so a drift in either surfaces here too.
+    *
+    * Scale: the per-pack rollup is a pack_id-keyed map-side-combinable
+    * agg over #docs rows; the final rank is ONE global sort over
+    * #packs rows (= corpus_tokens / budget — 4 orders of magnitude
+    * smaller than the corpus; a distributed range sort handles it at
+    * any SF). Mean is computed as floored millibits from exact Long
+    * sums — no float path, total-order tiebreak on pack_id. */
+  def corpusCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val packs = corpusPack(spark, sfDir).select(col("doc_id"), col("pack_id"))
+    val sup = TextAnalysis.lmSurprisal(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("surprisal_bits"))
+    packs.join(sup, Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("surprisal_bits")).as("sum_bits"))
+      .withColumn("mean_millibits",
+        when(col("sum_words") > 0L, expr("(sum_bits * 1000) div sum_words"))
+          .otherwise(0L))
+      .withColumn("curriculum_pos",
+        row_number().over(
+          Window.orderBy(col("mean_millibits"), col("pack_id")))
+          .cast("long"))
+  }
+
+  val corpusCurriculumSql: String =
+    s"""$packCtes,
+       |tokc AS (SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+       |  FROM documents),
+       |wcc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tokc GROUP BY 1),
+       |totc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wcc),
+       |bitsc AS (SELECT word,
+       |    CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS bits
+       |  FROM wcc, totc),
+       |perdocc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+       |  FROM tokc JOIN bitsc USING (word) GROUP BY 1),
+       |pks AS (SELECT rec.doc_id, seg * $PackIdStride + pack AS pack_id,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    COALESCE(surprisal_bits, 0) AS surprisal_bits
+       |  FROM rec LEFT JOIN perdocc USING (doc_id)),
+       |pagg AS (SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       |    CAST(SUM(surprisal_bits) AS BIGINT) AS sum_bits
+       |  FROM pks GROUP BY 1)
+       |SELECT pack_id, n_docs, sum_words, sum_bits,
+       |  CASE WHEN sum_words > 0 THEN (sum_bits * 1000) // sum_words
+       |       ELSE 0 END AS mean_millibits,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY
+       |    CASE WHEN sum_words > 0 THEN (sum_bits * 1000) // sum_words
+       |         ELSE 0 END, pack_id) AS BIGINT) AS curriculum_pos
+       |FROM pagg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pack" -> (corpusPack _),
     "corpus_pack_stats" -> (corpusPackStats _),
     "corpus_pack_chunked" -> (corpusPackChunked _),
-    "corpus_pack_shuffle" -> (corpusPackShuffle _))
+    "corpus_pack_shuffle" -> (corpusPackShuffle _),
+    "corpus_curriculum" -> (corpusCurriculum _))
 
   val oracles: Map[String, String] = Map(
     "corpus_pack" -> corpusPackSql,
     "corpus_pack_stats" -> corpusPackStatsSql,
     "corpus_pack_chunked" -> corpusPackChunkedSql,
-    "corpus_pack_shuffle" -> corpusPackShuffleSql)
+    "corpus_pack_shuffle" -> corpusPackShuffleSql,
+    "corpus_curriculum" -> corpusCurriculumSql)
 }

@@ -119,4 +119,33 @@ class PackingSpec extends SparkSpec {
       assert(sh.orderBy("pack_id").collect().toSeq == again)
     } finally sh.unpersist()
   }
+
+  test("curriculum: every pack ranked once, easy-to-hard, rollup reconciles") {
+    val cur = ext.Packing.corpusCurriculum(spark, sf).cache()
+    try {
+      val packRows = ext.Packing.corpusPack(spark, sf)
+        .select("pack_id").collect().map(_.getLong(0))
+      // One row per pack; n_docs reconciles with the packer's output.
+      assert(cur.count() == packRows.distinct.length)
+      assert(cur.agg(sum("n_docs")).head.getLong(0) == packRows.length)
+      // curriculum_pos is the (mean, pack_id) total order, 1..n.
+      val rows = cur.orderBy("curriculum_pos")
+        .select("curriculum_pos", "mean_millibits", "pack_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+      assert(rows.sliding(2).forall {
+        case Array((_, m1, p1), (_, m2, p2)) =>
+          m1 < m2 || (m1 == m2 && p1 < p2)
+        case _ => true
+      }, "positions must follow (mean_millibits, pack_id)")
+      // Non-vacuous: the rare-word docs make pack means differ.
+      assert(rows.map(_._2).distinct.length > 1)
+      // Mean is the floored millibit ratio of the exact sums.
+      cur.collect().foreach { r =>
+        val (sw, sb, mean) = (r.getAs[Long]("sum_words"),
+          r.getAs[Long]("sum_bits"), r.getAs[Long]("mean_millibits"))
+        assert(mean == (if (sw > 0) sb * 1000 / sw else 0L))
+      }
+    } finally cur.unpersist()
+  }
 }
