@@ -656,6 +656,95 @@ object TextAnalysis {
        |      FROM hits)
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** Conjunctive (AND) keyword search through an inverted-index plan —
+    * the retrieval shape a decontamination or audit probe runs: find
+    * every document containing ALL query terms, with per-term tf. The
+    * query is the corpus's two rarest terms by (df asc, word asc) —
+    * constant-size and data-derived like [[bm25TopK]]'s.
+    *
+    * The PLAN is the point: Spark filters the (doc, word) tf table to
+    * the 2-term broadcast (a semi-join that prunes the posting lists
+    * before anything widens), then keeps docs whose surviving posting
+    * count equals the term count — work proportional to the MATCHING
+    * postings, never to the corpus. The DuckDB oracle deliberately
+    * takes the opposite plan — a full scan with per-document token-list
+    * containment — so the gate proves the index path and the scan path
+    * name the same documents. Output is long form (doc_id, term, tf),
+    * two rows per hit, no pivot. */
+  def postingsAnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumers: df table, posting probe
+    val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("word")).limit(2)
+      .select(col("word"))
+    val hits = tf.join(broadcast(terms), Seq("word")).localCheckpoint()
+    val both = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt")).filter(col("nt") === 2L)
+    hits.join(both.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("word").as("term"), col("tf"))
+  }
+
+  val postingsAndSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |dfx AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |terms AS (SELECT word FROM dfx ORDER BY df, word LIMIT 2),
+      |docs_both AS (
+      |  SELECT d.doc_id FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM terms t WHERE NOT list_contains(
+      |    list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'),
+      |      x -> x <> ''), t.word)))
+      |SELECT tf.doc_id, tf.word AS term, tf.tf
+      |FROM tf JOIN terms t ON tf.word = t.word
+      |JOIN docs_both db ON tf.doc_id = db.doc_id""".stripMargin
+
+  /** Exact phrase search via positional adjacency — the capability a
+    * bag-of-words index cannot express: count ADJACENT occurrences of
+    * the corpus's most frequent bigram (count desc, then lexicographic —
+    * data-derived, deterministic) per document. Re-uses the bigram
+    * extraction the conditional LM is gated on; the phrase is a 1-row
+    * broadcast, the probe a map-side semi-join, the per-doc count a
+    * doc_id-keyed agg over matching positions only. Overlapping
+    * occurrences count per starting position in both engines. */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern)
+          .as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) >= 2,
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),
+          |  cast(array() as array<string>))""".stripMargin)).as("bg"))
+      .localCheckpoint() // consumers: top-phrase agg, probe
+    val top = bg.groupBy(col("bg")).agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("bg")).limit(1)
+      .select(col("bg"))
+    bg.join(broadcast(top), Seq("bg"))
+      .groupBy(col("doc_id"), col("bg").as("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("phrase"), col("n_hits"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH t AS (SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM t WHERE len(ws) >= 2),
+      |top AS (SELECT bg FROM (SELECT bg, COUNT(*) AS total FROM bg GROUP BY 1)
+      |  ORDER BY total DESC, bg LIMIT 1)
+      |SELECT b.doc_id, b.bg AS phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM bg b JOIN top USING (bg) GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -668,7 +757,9 @@ object TextAnalysis {
     "quality_lm_surprisal" -> (lmSurprisal _),
     "quality_lm_bigram" -> (lmBigramSurprisal _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
-    "search_bm25" -> (bm25TopK _))
+    "search_bm25" -> (bm25TopK _),
+    "search_postings_and" -> (postingsAnd _),
+    "search_phrase" -> (phraseSearch _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -682,5 +773,7 @@ object TextAnalysis {
     "quality_lm_surprisal" -> lmSurprisalSql,
     "quality_lm_bigram" -> lmBigramSurprisalSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
-    "search_bm25" -> bm25TopKSql)
+    "search_bm25" -> bm25TopKSql,
+    "search_postings_and" -> postingsAndSql,
+    "search_phrase" -> phraseSearchSql)
 }

@@ -87,6 +87,38 @@ class TextParitySpec extends SparkSpec {
     assert(got.exists(_._9 > 0), "all scores zero — idf collapsed")
   }
 
+  test("postings AND + phrase search match driver recomputes") {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0)).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    // Conjunctive search: the two rarest terms, docs containing both.
+    val dfm = toks.toSeq.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val qts = dfm.toSeq.sortBy { case (w, d) => (d, w) }.take(2).map(_._1)
+    val wantAnd = (for {
+      (id, ws) <- toks.toSeq if qts.forall(ws.contains)
+      t <- qts
+    } yield (id, t, ws.count(_ == t).toLong)).toSet
+    val gotAnd = TextAnalysis.postingsAnd(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotAnd == wantAnd)
+    assert(gotAnd.nonEmpty, "the rare-term pair matches no document")
+    // Phrase search: most frequent bigram, adjacent-position counts.
+    val bigrams = toks.toSeq.flatMap { case (id, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => id -> p.mkString(" ")) }
+    val (phrase, _) = bigrams.map(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.length }
+      .toSeq.sortBy { case (b, c) => (-c, b) }.head
+    val wantPh = bigrams.filter(_._2 == phrase).groupBy(_._1)
+      .map { case (id, xs) => (id, phrase, xs.length.toLong) }.toSet
+    val gotPh = TextAnalysis.phraseSearch(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotPh == wantPh)
+    assert(gotPh.exists(_._3 > 1) || gotPh.nonEmpty)
+  }
+
   test("bigram surprisal: exact conditional bits, short docs surface with zeros") {
     import spark.implicits._
     val rows = TextAnalysis.lmBigramSurprisal(spark, sf)
