@@ -355,4 +355,36 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("prefix join: all joins keyed on token hash or doc_id, no cartesian") {
+    val p = plan(ext.Dedup.jaccardPrefixJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // The candidate self-join is an equi-join on h with the residual <
+    // on doc ids — never an inequality-only join.
+    assert(p.contains("hashpartitioning(h") || p.contains("h#"), p)
+  }
+
+  test("gram matrix: one exchange; partial cells combine map-side") {
+    val p = plan(ext.Similarity.gramMatrix(spark, sf))
+    // d(d+1)/2 cells per partition, partial + final agg around the one
+    // exchange — the corpus never shuffles row-wise.
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bm25 + postings: query terms broadcast, posting joins keyed") {
+    for (df <- Seq(ext.TextAnalysis.bm25TopK(spark, sf),
+        ext.TextAnalysis.postingsAnd(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("triangles: wedge + closure are equi-joins, no cartesian") {
+    val p = plan(ext.PageRank.partsTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
