@@ -45,7 +45,8 @@ object SparkEntry {
         "events_click_attribution" -> (ext.Events.clickAttribution _),
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
-        "events_sessionize" -> (ext.Events.sessionize _))
+        "events_sessionize" -> (ext.Events.sessionize _),
+        "events_markov_transitions" -> (ext.Events.markovTransitions _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -80,5 +81,6 @@ object SparkEntry {
       "events_click_attribution" -> ext.Events.clickAttributionSql,
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
-      "events_sessionize" -> ext.Events.sessionizeSql)
+      "events_sessionize" -> ext.Events.sessionizeSql,
+      "events_markov_transitions" -> ext.Events.markovTransitionsSql)
 }

@@ -435,7 +435,34 @@ object Curation {
        |FROM sbase LEFT JOIN sq USING (source) LEFT JOIN sk USING (source)
        |  LEFT JOIN sb USING (source)""".stripMargin
 
+  /** Source-diversity audit under the integer floor-log2 measure every
+    * scoring key here uses: per-source doc share in floored permille
+    * and the source's draw surprisal bits(s) = fl2(N) − fl2(n_s) — the
+    * corpus-collapse early-warning (one source swallowing the mixture
+    * shows up as share→1000, bits→0, before training ever sees it).
+    * One map-side-combinable agg + a 1-row broadcast; #sources rows at
+    * any SF. */
+  def sourceEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("total"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(n_docs * 1000) div total").as("share_permille"),
+        (length(bin(col("total"))) - length(bin(col("n_docs"))))
+          .cast("long").as("bits"))
+  }
+
+  val sourceEntropySql: String =
+    """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s)
+      |SELECT source, n_docs, (n_docs * 1000) // total AS share_permille,
+      |  CAST(length(bin(total)) - length(bin(n_docs)) AS BIGINT) AS bits
+      |FROM s, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_entropy" -> (sourceEntropy _),
     "corpus_source_report" -> (sourceReport _),
     "corpus_curate" -> (curate _),
     "sample_stratified" -> (sampleStratified _),
@@ -447,6 +474,7 @@ object Curation {
     "decontam_overlap" -> (decontamOverlap _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_source_entropy" -> sourceEntropySql,
     "corpus_source_report" -> sourceReportSql,
     "corpus_curate" -> curateSql,
     "sample_stratified" -> sampleStratifiedSql,

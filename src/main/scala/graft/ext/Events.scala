@@ -81,6 +81,47 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream — the user-journey model behind "what happens after a
+    * view": count (prev_type → next_type) transitions in (ts, event_id)
+    * order and report floored-permille conditional probabilities.
+    * Transitions cross session gaps on purpose (the SESSION journey is
+    * [[Funnel]]'s job; this is the global chain).
+    *
+    * Scale shape: one user_id exchange for the lag window (the same
+    * clustering sessionize/funnel ride), then a (prev, next)-keyed
+    * map-side-combinable count; the row-count term is #type² ≈ tiny, so
+    * the totals frame broadcasts at any SF. Integer permille from exact
+    * Long counts — no float division. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("prev_total"))
+    trans.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("prev_total"),
+        expr("(n * 1000) div prev_total").as("p_permille"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH ordered AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |tr AS (SELECT prev_type, event_type AS next_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS prev_total
+      |  FROM tr GROUP BY 1)
+      |SELECT tr.prev_type, next_type, n, prev_total,
+      |  (n * 1000) // prev_total AS p_permille
+      |FROM tr JOIN tot USING (prev_type)""".stripMargin
+
   /** Gap-filled hourly series: build the complete hour spine between the
     * corpus bounds (sequence + explode — no driver loop), cross it with
     * the type dimension, and left-join the actual counts; missing cells

@@ -43,4 +43,29 @@ class AnomalySpec extends SparkSpec {
     }
     assert(checked == got.size, "every scored row re-derived")
   }
+
+  test("markov transitions match a driver fold over each user's stream") {
+    val evs = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts".cast("timestamp")),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = want.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.sum }
+    val got = Events.markovTransitions(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (p, n, cnt, tot, pm) =>
+      assert(cnt == want((p, n)), s"$p->$n")
+      assert(tot == totals(p) && pm == cnt * 1000 / tot)
+    }
+    assert(got.map(r => (r._1, r._2)).toSet == want.keySet)
+    // Rows per prev sum to the prev total (a proper conditional dist).
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4, s"total($p)")
+    }
+  }
 }
