@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Product quantization (Jégou et al. 2011) over the embedding corpus —
+  * the compression half of the IVF-PQ index every billion-vector ANN
+  * deployment actually ships (the reference's data model stops at raw
+  * vectors; this is the operation that makes them affordable at 100 TB:
+  * 64 dims × 4 bytes → a 32-bit code word, a 8× memory cut before any
+  * index structure).
+  *
+  * The vector space is split into [[NumSub]] = 8 contiguous subspaces of
+  * [[SubDim]] = 8 dims; each subspace gets a [[CodebookK]] = 16-entry
+  * codebook, and a vector's code is the concatenation of its per-subspace
+  * argmin-distance centroid ids — 8 × 4 bits packed into one Long. The
+  * codebooks reuse the IVF quantizer's rule ([[Similarity]]): a
+  * deterministic fixed-size corpus sample (the 16 vectors of smallest
+  * idHash), sliced per subspace — trained k-means would move the
+  * centroids but not the plan, and a fixed sample keeps the whole
+  * codebook a 128-row broadcast replayable in the oracle.
+  *
+  * Scale shape: subvector fan-out is a per-row map (×8), the codebook
+  * join is a broadcast hash join on `sub` (the codebook is CONSTANT-size
+  * at any corpus scale — M·K rows), and the argmin window repartitions on
+  * (vec_id, sub) once. Distances are exact Longs on [[Similarity]]'s
+  * shared integer quantization (|v|² + |c|² − 2⟨v,c⟩ per subspace, ties
+  * to the smaller code), so assignments are bit-identical across engines
+  * and partitionings. Per-subspace distance ≤ 8·(2·10⁴)² ≈ 3.2e9 and the
+  * corpus-total error sum fits Long to ~2.9e9 vectors; DECIMAL(38)
+  * beyond.
+  *
+  * Two gates: `embedding_pq_codes` (per-vector packed code word + exact
+  * reconstruction error — the index payload itself) and
+  * `embedding_pq_report` (per (subspace, code) occupancy + distortion —
+  * the codebook-balance audit run before an index ships; a dead or
+  * overloaded code means the quantizer wastes bits).
+  */
+object ProductQuant {
+
+  /** 8 subspaces × 8 dims = the 64-dim corpus vectors. */
+  private val NumSub = 8
+  private val SubDim = 8
+
+  /** 16 centroids per subspace → 4 bits per sub-code, 32-bit code word. */
+  private val CodebookK = 16
+
+  private def sqDistSub(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    GraftFunctions.dotLong(a, a) + GraftFunctions.dotLong(b, b) -
+      lit(2L) * GraftFunctions.dotLong(a, b)
+
+  /** (vec_id, sub, sv): each vector sliced into its 8 subvectors. */
+  private def subvectors(base: DataFrame): DataFrame =
+    base
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(NumSub - 1))).as("sub"), col("qv"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        slice(col("qv"), col("sub") * SubDim + 1, lit(SubDim)).as("sv"))
+
+  /** (sub, code, cv): the per-subspace codebooks — slices of the 16
+    * smallest-idHash corpus vectors, code = rank in that order. A
+    * constant 128-row frame, always broadcast. */
+  private def codebooks(base: DataFrame): DataFrame = {
+    val seedOrder = Window.orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+    val seeds = base
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(CodebookK)
+      .withColumn("code", row_number().over(seedOrder).cast("long") - 1L)
+    subvectors(seeds.select(col("vec_id"), col("qv")))
+      .join(seeds.select(col("vec_id"), col("code")), "vec_id")
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+  }
+
+  /** Per-(vector, subspace) winning code: argmin exact squared L2, ties
+    * to the smaller code id. One broadcast join + one (vec_id, sub)
+    * window exchange. */
+  private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Similarity.quantized(spark, sfDir)
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("code"))
+    subvectors(base)
+      .join(broadcast(codebooks(base)), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        sqDistSub(col("sv"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+  }
+
+  /** Per-vector PQ payload: the packed 32-bit code word (sub m's code in
+    * bits [4m, 4m+4)) and the exact total reconstruction error. */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    assignments(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("shiftleft(code, CAST(4 * sub AS INT))")).as("code_word"),
+        sum(col("dist")).as("recon_err"))
+
+  /** Codebook-balance audit: per (subspace, code) assignment count and
+    * total distortion — M·K rows at any corpus scale. */
+  def pqReport(spark: SparkSession, sfDir: String): DataFrame =
+    assignments(spark, sfDir)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("total_err"))
+
+  private val assignSqlCte: String = {
+    val ih = Hashing.idHashSql("vec_id")
+    s"""cbseed AS (SELECT vec_id, qv,
+       |    row_number() OVER (ORDER BY $ih, vec_id) - 1 AS code
+       |  FROM n ORDER BY $ih, vec_id LIMIT $CodebookK),
+       |subs AS (SELECT vec_id, CAST(t.m AS BIGINT) AS sub,
+       |    qv[t.m*$SubDim+1 : t.m*$SubDim+$SubDim] AS sv
+       |  FROM n, range(0, $NumSub) t(m)),
+       |csubs AS (SELECT CAST(t.m AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       |    qv[t.m*$SubDim+1 : t.m*$SubDim+$SubDim] AS cv
+       |  FROM cbseed, range(0, $NumSub) t(m)),
+       |pqd AS (SELECT v.vec_id, v.sub, c.code,
+       |    CAST(list_sum(list_transform(range(1, $SubDim + 1),
+       |      i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) AS dist
+       |  FROM subs v JOIN csubs c ON v.sub = c.sub),
+       |pqa AS (SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, code) AS rn
+       |    FROM pqd) WHERE rn = 1)""".stripMargin
+  }
+
+  val pqCodesSql: String =
+    s"""WITH ${Similarity.quantizedSqlCte},
+       |$assignSqlCte
+       |SELECT vec_id,
+       |  CAST(SUM(code << CAST(4 * sub AS INT)) AS BIGINT) AS code_word,
+       |  CAST(SUM(dist) AS BIGINT) AS recon_err
+       |FROM pqa GROUP BY vec_id""".stripMargin
+
+  val pqReportSql: String =
+    s"""WITH ${Similarity.quantizedSqlCte},
+       |$assignSqlCte
+       |SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |  CAST(SUM(dist) AS BIGINT) AS total_err
+       |FROM pqa GROUP BY sub, code""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pq_codes" -> (pqCodes _),
+    "embedding_pq_report" -> (pqReport _))
+
+  val oracles: Map[String, String] = Map(
+    "embedding_pq_codes" -> pqCodesSql,
+    "embedding_pq_report" -> pqReportSql)
+}

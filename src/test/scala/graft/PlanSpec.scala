@@ -387,4 +387,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("pq: codebook join broadcasts; corpus never cartesians") {
+    val p = plan(ext.ProductQuant.pqCodes(spark, sf))
+    // The M*K codebook is a constant-size broadcast at any corpus scale;
+    // the corpus side fans out x8 map-side and joins it on `sub`.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
