@@ -1,0 +1,240 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Audio modality over the opaque-binary column model: a REAL RIFF/WAV
+  * PCM16 codec (the third real public byte format next to
+  * [[Multimodal.PpmCodec]] and BMP/PNG) plus the two passes a training
+  * pipeline runs on decoded audio — per-channel stats and decimation.
+  *
+  * The WAV container (RIFF little-endian, `fmt ` + `data` chunks,
+  * interleaved 16-bit signed PCM frames) is walked chunk-by-chunk: the
+  * parser must skip unknown chunks (with the RIFF even-byte padding
+  * rule) rather than assume the 44-byte canonical layout — the encoder
+  * deliberately inserts a junk `LIST` chunk so a fixed-offset parser
+  * fails the gate. Channel de-interleaving (frame f, channel c at
+  * sample index f·ch + c) is proven by per-channel sums; sign handling
+  * by the peak; scaling by the exact sum-of-squares energy.
+  *
+  * Scale: encode→decode→stats is partition-local map work over the
+  * binary payloads (the same batch shape a JNI audio codec runs in);
+  * zero shuffles, embarrassingly parallel at any corpus size. All stats
+  * are exact Longs (energy ≤ frames · 2³⁰ — Long-safe to ~8e9 frames
+  * per clip).
+  */
+object Audio {
+
+  /** RIFF/WAVE, PCM (format tag 1), 16-bit little-endian. */
+  object WavCodec {
+    case class WavAudio(sampleRate: Int, channels: Int,
+        samples: Array[Short])
+
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def tag(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Standard writer, with one deliberate twist: a junk `LIST` chunk
+      * between `fmt ` and `data` (3 bytes + 1 pad to the RIFF even-size
+      * rule), so any decoder that hardcodes the 44-byte layout instead
+      * of walking chunks reads garbage. */
+    def encode(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0, "frame align")
+      val dataLen = 2 * samples.length
+      val junk = tag("LIST") ++ le32(3) ++ Array[Byte]('i', 'n', 'f', 0)
+      val fmt = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(sampleRate * channels * 2) ++
+        le16(channels * 2) ++ le16(16)
+      val data = tag("data") ++ le32(dataLen) ++
+        samples.flatMap(s => le16(s & 0xffff))
+      val body = tag("WAVE") ++ fmt ++ junk ++ data
+      tag("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** Chunk-walking parser; None on anything malformed (bad magic,
+      * non-PCM format tag, bit depth != 16, missing fmt/data, truncated
+      * payload, frame-misaligned data). Unknown chunks are skipped with
+      * the even-byte padding rule. */
+    def decode(bytes: Array[Byte]): Option[WavAudio] = {
+      def get16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def get32(off: Int): Int =
+        get16(off) | (get16(off + 2) << 16)
+      def tagAt(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 12 || tagAt(0) != "RIFF" || tagAt(8) != "WAVE")
+        return None
+      var i = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= bytes.length && (dataOff < 0 || rate < 0)) {
+        val id = tagAt(i)
+        val len = get32(i + 4)
+        if (len < 0 || i + 8 + len > bytes.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          if (get16(i + 8) != 1) return None // PCM only
+          ch = get16(i + 10)
+          rate = get32(i + 12)
+          bits = get16(i + 22)
+        } else if (id == "data") {
+          dataOff = i + 8; dataLen = len
+        }
+        i += 8 + len + (len & 1) // RIFF pads odd chunks to even size
+      }
+      if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) return None
+      if (dataLen % (2 * ch) != 0) return None
+      val samples = new Array[Short](dataLen / 2)
+      var s = 0
+      while (s < samples.length) {
+        samples(s) = get16(dataOff + 2 * s).toShort
+        s += 1
+      }
+      Some(WavAudio(rate, ch, samples))
+    }
+  }
+
+  /** Decoded-audio stats row: header fields AS PARSED + exact integer
+    * signal stats from the de-interleaved samples. */
+  case class WavDecoded(doc_id: Long, sample_rate: Long, channels: Long,
+      n_frames: Long, sum_ch0: Long, sum_ch1: Long, peak_abs: Long,
+      energy: Long)
+
+  /** Deterministic per-doc PCM: overall sample i is text byte (i mod
+    * len) mapped 0..255 → full 16-bit range via ×257 − 32768 (255·257 −
+    * 32768 = 32767 exactly). Shared between encode side and oracle. */
+  private def sampleAt(tb: Array[Byte], i: Int): Int =
+    (tb(i % tb.length) & 0xff) * 257 - 32768
+
+  private def clipParams(id: Long): (Int, Int, Int) =
+    (8000 + (id % 3).toInt * 4000, 1 + (id % 2).toInt, 50 + (id % 30).toInt)
+
+  private def decodedClips(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (rate, ch, frames) = clipParams(id)
+          val pcm = Array.tabulate(frames * ch)(i => sampleAt(tb, i).toShort)
+          val wav = WavCodec.decode(WavCodec.encode(rate, ch, pcm))
+            .getOrElse(sys.error(s"wav round-trip failed for doc $id"))
+          (id, wav)
+        }
+      }
+  }
+
+  /** Encode→decode round trip with the REAL codec: every output field
+    * comes from the PARSED container (rate/channels from the fmt chunk,
+    * stats from the decoded sample array), while the oracle recomputes
+    * them from the text directly — a header-offset, interleave, sign, or
+    * padding bug hash-mismatches immediately. ASCII-corpus assumption as
+    * in [[Multimodal.decodePpmSql]] (byte i == char i+1). */
+  def decodeWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedClips(spark, sfDir).map { case (id, wav) =>
+      val ch = wav.channels
+      val frames = wav.samples.length / ch
+      var s0 = 0L; var s1 = 0L; var peak = 0L; var energy = 0L
+      var i = 0
+      while (i < wav.samples.length) {
+        val v = wav.samples(i).toLong
+        if (i % ch == 0) s0 += v else s1 += v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        energy += v * v
+        i += 1
+      }
+      WavDecoded(id, wav.sampleRate.toLong, ch.toLong, frames.toLong,
+        s0, s1, peak, energy)
+    }.toDF()
+  }
+
+  /** Decimation (the audio analog of image resize): keep every 2nd
+    * frame of the DECODED signal — frame-aligned, so a stereo clip drops
+    * whole (L,R) pairs, never de-pairs channels. Output stats of the
+    * decimated signal prove the frame arithmetic. */
+  def decimateWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedClips(spark, sfDir).map { case (id, wav) =>
+      val ch = wav.channels
+      val frames = wav.samples.length / ch
+      val kept = (frames + 1) / 2
+      var s0 = 0L; var s1 = 0L; var peak = 0L; var energy = 0L
+      var f = 0
+      while (f < frames) {
+        if (f % 2 == 0) {
+          var c = 0
+          while (c < ch) {
+            val v = wav.samples(f * ch + c).toLong
+            if (c == 0) s0 += v else s1 += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            energy += v * v
+            c += 1
+          }
+        }
+        f += 1
+      }
+      WavDecoded(id, wav.sampleRate.toLong / 2L, ch.toLong, kept.toLong,
+        s0, s1, peak, energy)
+    }.toDF()
+  }
+
+  /** Oracle CTE shared by both gates: per-doc params + the sample
+    * formula over overall index i. */
+  private val clipCte: String =
+    """wavd AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+      |    8000 + (doc_id % 3) * 4000 AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    50 + doc_id % 30 AS frames
+      |  FROM documents WHERE length(text) > 0)""".stripMargin
+
+  /** v(i) for DuckDB: same ×257 − 32768 map over the text bytes. */
+  private def vExpr(iExpr: String): String =
+    s"(ascii(substr(text, CAST(($iExpr) % len AS INTEGER) + 1, 1)) * 257 - 32768)"
+
+  private def statsSelect(frameFilter: String, rateExpr: String,
+      framesExpr: String): String = {
+    val v = vExpr("i")
+    s"""SELECT doc_id, CAST($rateExpr AS BIGINT) AS sample_rate,
+       |  CAST(ch AS BIGINT) AS channels,
+       |  CAST($framesExpr AS BIGINT) AS n_frames,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(idx, i ->
+       |    CASE WHEN i % ch = 0 AND ($frameFilter) THEN CAST($v AS BIGINT) ELSE 0 END))) AS BIGINT) AS sum_ch0,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(idx, i ->
+       |    CASE WHEN i % ch <> 0 AND ($frameFilter) THEN CAST($v AS BIGINT) ELSE 0 END))) AS BIGINT) AS sum_ch1,
+       |  CAST(list_max(list_prepend(0::BIGINT, list_transform(idx, i ->
+       |    CASE WHEN ($frameFilter) THEN abs(CAST($v AS BIGINT)) ELSE 0 END))) AS BIGINT) AS peak_abs,
+       |  CAST(list_sum(list_prepend(0::BIGINT, list_transform(idx, i ->
+       |    CASE WHEN ($frameFilter) THEN CAST($v AS BIGINT) * CAST($v AS BIGINT) ELSE 0 END))) AS BIGINT) AS energy
+       |FROM (SELECT *, range(0, CAST(frames * ch AS INTEGER)) AS idx FROM wavd)""".stripMargin
+  }
+
+  val decodeWavSql: String =
+    s"""WITH $clipCte
+       |${statsSelect("TRUE", "rate", "frames")}""".stripMargin
+
+  val decimateWavSql: String =
+    s"""WITH $clipCte
+       |${statsSelect("(i // ch) % 2 = 0", "rate // 2", "(frames + 1) // 2")}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode_wav" -> (decodeWav _),
+    "multimodal_audio_decimate" -> (decimateWav _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode_wav" -> decodeWavSql,
+    "multimodal_audio_decimate" -> decimateWavSql)
+}
