@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first search over the part co-purchase graph —
+  * the bounded-reachability workload (blast radius of a recalled part,
+  * "related items within N links", contamination spread through a link
+  * graph) completing the graph family: iterative ([[PageRank]]),
+  * transitive ([[Components]]), local ([[PageRank.partsTriangles]]),
+  * and now shortest-hop.
+  *
+  * Frontier expansion, the Spark way: hop k's frontier is one keyed
+  * join of the edge list against hop k−1's frontier plus one LEFT ANTI
+  * join against the visited set — first discovery wins, which IS the
+  * minimum hop count, so no per-node min aggregation is ever needed.
+  * Each round's frames are localCheckpointed: `visited` feeds both the
+  * next anti-join and the final output, and without the cut the plan
+  * doubles per round (the [[Components]] discipline — this is the
+  * shape whose iteration count grows, unlike [[PageRank]]'s fixed-K
+  * unroll).
+  *
+  * Seeds follow the fixed-sample rule ([[Hashing.idHash]] order, LIMIT
+  * [[NumSeeds]]): a constant-size seed set at any corpus scale. Hops
+  * are capped at [[MaxHops]] — bounded-round BFS is the production
+  * form (unbounded BFS on a 100 TB graph is a diameter-length job; a
+  * blast-radius query never wants it), and the cap also keeps the
+  * DuckDB oracle's recursive CTE finite.
+  */
+object Bfs {
+
+  val MaxHops = 4
+  val NumSeeds = 4
+
+  /** BFS over an arbitrary undirected pair frame (part_a, part_b). */
+  private[graft] def bfsHopsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst")))
+      .localCheckpoint()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy(Hashing.idHash(col("node")), col("node"))
+      .limit(NumSeeds)
+    var visited = seeds.select(col("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (k <- 1 to MaxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    visited.select(col("node").as("part"), col("hop"))
+  }
+
+  /** Gate: hops to the nearest of 4 seed parts over the co-purchase
+    * graph, capped at [[MaxHops]]. */
+  def partsBfsHops(spark: SparkSession, sfDir: String): DataFrame =
+    bfsHopsOf(Basket.copurchase(spark, sfDir)
+      .select(col("part_a"), col("part_b")))
+
+  /** The same search as a bounded recursive CTE; `UNION` (not ALL)
+    * dedupes (node, hop) states per step, and MIN collapses the odd/even
+    * revisits a cycle produces. */
+  val partsBfsHopsSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (${Basket.copurchaseSql}),
+       |edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT part_b, part_a FROM pairs),
+       |bnodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT node FROM bnodes
+       |  ORDER BY ${Hashing.idHashSql("node")}, node LIMIT $NumSeeds),
+       |walk(node, hop) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, w.hop + 1 FROM walk w
+       |  JOIN edges e ON e.src = w.node WHERE w.hop < $MaxHops)
+       |SELECT CAST(node AS BIGINT) AS part, CAST(MIN(hop) AS BIGINT) AS hop
+       |FROM walk GROUP BY node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_bfs_hops" -> (partsBfsHops _))
+
+  val oracles: Map[String, String] = Map(
+    "parts_bfs_hops" -> partsBfsHopsSql)
+}
