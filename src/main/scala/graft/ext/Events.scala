@@ -336,4 +336,56 @@ object Events {
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events)
       |GROUP BY user_id""".stripMargin
+
+  /** EWMA window width: 16 hourly lags of α = 1/2 geometric decay. The
+    * weight beyond lag 15 is < 2⁻¹⁶ of the total — truncation is the
+    * standard trick that turns an infinite-memory recurrence into a
+    * bounded window frame (a true recursive EWMA cannot be expressed as
+    * a window function, and a float recurrence would be fold-order-
+    * dependent anyway). */
+  val EwmaLags = 16
+
+  /** Integer-exact truncated EWMA smoother over the gap-filled hourly
+    * series — the trend line an ops dashboard draws next to
+    * [[hourlyAnomaly]]'s z-flags. smoothed(t) = Σ_{i<16} cnt(t−i)·2^(15−i)
+    * accumulates EXACTLY in a Long (`ewma_num`; lag i's weight is the
+    * bit shift 15−i), and the one terminal double division by the
+    * normalizer Σ weights = 2¹⁶−1 is deterministic IEEE on identical
+    * inputs. Only full 16-lag frames are scored ([[hourlyAnomaly]]'s
+    * ragged-leading-edge discipline). The 16 lag() calls all ride ONE
+    * (event_type, hour) window — one exchange over the dense spine,
+    * which is hours × types rows: tiny at any SF. */
+  def ewmaHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val num = (0 until EwmaLags)
+      .map(i => coalesce(lag(col("cnt"), i).over(w), lit(0L)) *
+        lit(1L << (EwmaLags - 1 - i)))
+      .reduce(_ + _)
+    gapfillHourly(spark, sfDir)
+      .withColumn("n_prev", count(col("cnt"))
+        .over(w.rowsBetween(-(EwmaLags - 1), 0)))
+      .withColumn("ewma_num", num)
+      .filter(col("n_prev") === EwmaLags)
+      .select(col("hour"), col("event_type"), col("cnt"),
+        col("ewma_num"),
+        (col("ewma_num").cast("double") /
+          lit(((1L << EwmaLags) - 1).toDouble)).as("ewma"))
+  }
+
+  val ewmaHourlySql: String = {
+    val num = (0 until EwmaLags)
+      .map(i => s"COALESCE(lag(cnt, $i) OVER ew, 0) * ${1L << (EwmaLags - 1 - i)}")
+      .mkString(" + ")
+    s"""WITH g AS ($gapfillHourlySql),
+       |w AS (SELECT hour, event_type, cnt,
+       |    COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN ${EwmaLags - 1} PRECEDING AND CURRENT ROW) AS n_prev,
+       |    $num AS ewma_num
+       |  FROM g
+       |  WINDOW ew AS (PARTITION BY event_type ORDER BY hour))
+       |SELECT hour, event_type, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(ewma_num AS BIGINT) AS ewma_num,
+       |  CAST(ewma_num AS DOUBLE) / ${(1L << EwmaLags) - 1}.0 AS ewma
+       |FROM w WHERE n_prev = $EwmaLags""".stripMargin
+  }
 }

@@ -44,6 +44,35 @@ class AnomalySpec extends SparkSpec {
     assert(checked == got.size, "every scored row re-derived")
   }
 
+  test("ewma matches an independent weighted fold over the raw series") {
+    val series = Events.gapfillHourly(spark, sf)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toVector).toMap
+    val hours = Events.gapfillHourly(spark, sf)
+      .select(col("hour")).distinct().orderBy(col("hour"))
+      .collect().map(_.getTimestamp(0))
+    val got = Events.ewmaHourly(spark, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    for ((tpe, counts) <- series; i <- (Events.EwmaLags - 1) until counts.length) {
+      // num = Σ_{lag<16} cnt(t−lag) · 2^(15−lag), exactly.
+      val num = (0 until Events.EwmaLags)
+        .map(lag => counts(i - lag) * (1L << (Events.EwmaLags - 1 - lag))).sum
+      val (cnt, gotNum, gotEwma) = got((tpe, hours(i)))
+      assert(cnt == counts(i) && gotNum == num, s"$tpe ${hours(i)}")
+      assert(gotEwma == num.toDouble / ((1L << Events.EwmaLags) - 1).toDouble)
+      // The smoother is a convex combination: bounded by the frame.
+      val frame = counts.slice(i - Events.EwmaLags + 1, i + 1)
+      assert(gotEwma >= frame.min.toDouble && gotEwma <= frame.max.toDouble)
+      checked += 1
+    }
+    assert(checked == got.size, "every smoothed row re-derived")
+  }
+
   test("markov transitions match a driver fold over each user's stream") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts".cast("timestamp")),
