@@ -135,15 +135,103 @@ object Formats {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Bits per normalized dimension in the Z-order demo: keys are scaled
+    * into [0, 256) so the interleave is a fixed 16-bit z-value whatever
+    * the raw key domain. */
+  private val ZBits = 8
+
+  /** 16 equal-width buckets = the top 4 z-bits (resp. key bits). */
+  private val ZBucketShift = 2 * ZBits - 4
+
+  /** Z-order (Morton-curve) clustering report over (l_partkey,
+    * l_suppkey) — the MULTI-dimensional data-skipping layout
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`), completing the layout trio:
+    * partition pruning (one column, exact), bucketing (one join key),
+    * and now z-ordering (several filter columns at once). Each row's
+    * keys are normalized to [[ZBits]]-bit space against a 1-row max
+    * aggregate (broadcast — O(1) at any SF), bit-interleaved into a
+    * z-value with pure integer shifts (codegen'd map work, no UDF), and
+    * bucketed by the top 4 z-bits — equal-WIDTH z ranges, deliberately
+    * not equal-count ranks: a rank bucketing needs a global sort, while
+    * the z-value is a pure row-local function, which is also why
+    * rewriting a 100 TB table in z order is just `repartitionByRange(z)`
+    * + write. The report emits each bucket's row count and min/max of
+    * BOTH raw keys next to the same stats under single-column range
+    * bucketing ('lex'). The point is NOT the span product — on
+    * independent uniform keys any balanced grid split has the same
+    * product (16 buckets ⇒ A·B/16 however the bits divide between
+    * dims, and the gate output shows exactly that) — it is the
+    * per-dimension bound: z buckets subdivide BOTH key ranges, so a
+    * min/max-pruning scan filtered on EITHER column skips most
+    * buckets, while lex buckets leave the second column full-width and
+    * prune NOTHING for b-only filters (FormatsSpec pins both halves of
+    * that statement). */
+  def zorderReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val maxes = li.agg(max(col("a")).as("amax"), max(col("b")).as("bmax"))
+    val norm = li.crossJoin(broadcast(maxes))
+      .select(col("a"), col("b"),
+        (col("a") * (1L << ZBits)).divide(col("amax") + 1).cast("long").as("a8"),
+        (col("b") * (1L << ZBits)).divide(col("bmax") + 1).cast("long").as("b8"))
+    val z = (0 until ZBits).map { i =>
+      shiftright(col("a8"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("b8"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    val bucketed = norm.select(col("a"), col("b"),
+      shiftright(z, ZBucketShift).as("zbucket"),
+      shiftright(col("a8"), ZBits - 4).as("lexbucket"))
+    def spans(strategy: String, bucket: org.apache.spark.sql.Column) =
+      bucketed.groupBy(lit(strategy).as("strategy"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+        .withColumn("span_product",
+          (col("a_max") - col("a_min") + 1) * (col("b_max") - col("b_min") + 1))
+    spans("zorder", col("zbucket")).unionAll(spans("lex", col("lexbucket")))
+  }
+
+  val zorderReportSql: String = {
+    val zExpr = (0 until ZBits).map { i =>
+      s"((a8 >> $i) & 1) * ${1L << (2 * i + 1)} + ((b8 >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH li AS (SELECT l_partkey AS a, l_suppkey AS b FROM lineitem),
+       |mx AS (SELECT MAX(a) AS amax, MAX(b) AS bmax FROM li),
+       |norm AS (SELECT a, b,
+       |    CAST(a * ${1L << ZBits} // (amax + 1) AS BIGINT) AS a8,
+       |    CAST(b * ${1L << ZBits} // (bmax + 1) AS BIGINT) AS b8
+       |  FROM li, mx),
+       |bk AS (SELECT a, b,
+       |    CAST(($zExpr) >> $ZBucketShift AS BIGINT) AS zbucket,
+       |    CAST(a8 >> ${ZBits - 4} AS BIGINT) AS lexbucket
+       |  FROM norm),
+       |sp AS (
+       |  SELECT 'zorder' AS strategy, zbucket AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+       |  FROM bk GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'lex' AS strategy, lexbucket AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+       |  FROM bk GROUP BY 2)
+       |SELECT strategy, bucket, n_rows, a_min, a_max, b_min, b_max,
+       |  CAST((a_max - a_min + 1) * (b_max - b_min + 1) AS BIGINT)
+       |    AS span_product
+       |FROM sp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "export_jsonl_roundtrip" -> (jsonlRoundTrip _),
     "export_csv_roundtrip" -> (csvRoundTrip _),
     "layout_partitioned_scan" -> (partitionedScan _),
-    "layout_bucketed_join" -> (bucketedJoin _))
+    "layout_bucketed_join" -> (bucketedJoin _),
+    "layout_zorder_report" -> (zorderReport _))
 
   val oracles: Map[String, String] = Map(
     "export_jsonl_roundtrip" -> fingerprintsSql,
     "export_csv_roundtrip" -> fingerprintsSql,
     "layout_partitioned_scan" -> partitionedScanSql,
-    "layout_bucketed_join" -> bucketedJoinSql)
+    "layout_bucketed_join" -> bucketedJoinSql,
+    "layout_zorder_report" -> zorderReportSql)
 }

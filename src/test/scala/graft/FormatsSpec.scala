@@ -70,4 +70,30 @@ class FormatsSpec extends SparkSpec {
     assert(a.sameElements(b), "jsonl and csv gates disagree")
     assert(a.length == Tables.documents(spark, sf).count())
   }
+
+  test("zorder: mass conserved per strategy; z buckets bound BOTH dims") {
+    val rows = graft.ext.Formats.zorderReport(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    val byStrat = rows.groupBy(_.getAs[String]("strategy"))
+    assert(byStrat.keySet == Set("zorder", "lex"))
+    for ((_, rs) <- byStrat)
+      assert(rs.map(_.getAs[Long]("n_rows")).sum == n, "rows lost/dup'd")
+    // The reason z-order exists: every z bucket strictly subdivides
+    // BOTH key ranges (so a filter on either column prunes buckets),
+    // while lex buckets leave the second dimension full-width — a
+    // b-only filter prunes nothing under single-column range layout.
+    val aAll = rows.map(_.getAs[Long]("a_max")).max -
+      rows.map(_.getAs[Long]("a_min")).min + 1
+    val bAll = rows.map(_.getAs[Long]("b_max")).max -
+      rows.map(_.getAs[Long]("b_min")).min + 1
+    for (r <- byStrat("zorder")) {
+      val aSpan = r.getAs[Long]("a_max") - r.getAs[Long]("a_min") + 1
+      val bSpan = r.getAs[Long]("b_max") - r.getAs[Long]("b_min") + 1
+      assert(aSpan * 2 <= aAll + 1, s"z bucket a-span $aSpan of $aAll")
+      assert(bSpan * 2 <= bAll + 1, s"z bucket b-span $bSpan of $bAll")
+    }
+    assert(byStrat("lex").forall { r =>
+      r.getAs[Long]("b_max") - r.getAs[Long]("b_min") + 1 == bAll
+    }, "lex buckets should leave b full-width on independent keys")
+  }
 }
