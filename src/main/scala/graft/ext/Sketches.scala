@@ -31,6 +31,11 @@ object Sketches {
   private val P = graft.ext.Hashing.P
 
   private val K = 64
+  /** Set-op sketches need more resolution than a lone distinct-count:
+    * the intersection estimate sees ~k*J hits, so k must be >> 1/J for
+    * the gate to be non-vacuous (k=64 at J~2.5% would round to zero;
+    * 512 yields ~13 hits at sf0.01). Still constant-size state. */
+  private val KSet = 512
 
   /** KMV distinct estimate over the corpus's 3-word shingle hashes (the
     * high-cardinality universe the dedup layer works in — the synthetic
@@ -508,8 +513,107 @@ object Sketches {
        |  n_bins, exact_p25_cents, exact_p50_cents, exact_p75_cents
        |FROM est JOIN exact ON est.l_returnflag = exact.l_returnflag""".stripMargin
 
+  /** KMV SET OPERATIONS — the reason k-minimum-values beats a plain
+    * distinct-count sketch: two sketches alone estimate their sets'
+    * union, intersection, and Jaccard, no corpus-wide join needed (the
+    * federated planning primitive: "how much do source A's and source
+    * B's vocabularies overlap?" answered from 2×k Longs before anyone
+    * pays for a cross-source dedup pass). Estimators are the classic
+    * ones (Beyer et al. 2007): X = k smallest of S_A ∪ S_B, union from
+    * X's k-th min as in [[kmvDistinctWords]], ρ = |X ∩ S_A ∩ S_B|/|X|
+    * as the Jaccard estimate, intersection = ρ·union — all carried in
+    * integer arithmetic (permille ratios, `div`), with the
+    * small-cardinality exact branch when a sketch holds its whole set.
+    *
+    * Scale: each vocabulary sketch is a TakeOrdered top-k (per-partition
+    * k-smallest + driver merge, no full sort) and everything after
+    * operates on ≤ 2k rows. Exact union/intersection ride along as
+    * test-scale audit columns, [[kmvDistinctWords]]-style: the estimate
+    * is gated, the truth is printed next to it. */
+  def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def vocab(src: String): DataFrame = docs
+      .filter(col("source") === src)
+      .select(explode(GraftFunctions.shingleHashes(
+        GraftFunctions.wordHashes(col("text")), 3)).as("h"))
+      .distinct()
+    val a = vocab("src0")
+    val b = vocab("src1")
+    val skA = a.orderBy(col("h")).limit(KSet)
+    val skB = b.orderBy(col("h")).limit(KSet)
+    val x = skA.unionAll(skB).distinct().orderBy(col("h")).limit(KSet)
+    val interSk = x.join(skA, "h").join(skB, "h")
+      .agg(count(lit(1)).as("inter_in_sketch"))
+    val scale = (KSet - 1).toLong * P
+    x.agg(count(col("h")).as("n_union_sketch"),
+        max(col("h")).as("kth_union_hash"))
+      .crossJoin(skA.agg(count(lit(1)).as("n_sketch_a")))
+      .crossJoin(skB.agg(count(lit(1)).as("n_sketch_b")))
+      .crossJoin(interSk)
+      .crossJoin(a.unionAll(b).distinct().agg(count(lit(1)).as("exact_union")))
+      .crossJoin(a.join(b, "h").agg(count(lit(1)).as("exact_inter")))
+      .select(
+        lit(KSet.toLong).as("k"),
+        col("n_sketch_a"), col("n_sketch_b"), col("n_union_sketch"),
+        col("kth_union_hash"),
+        expr(s"CASE WHEN n_union_sketch < $KSet OR kth_union_hash <= 0 " +
+          s"THEN n_union_sketch ELSE ${scale}L div kth_union_hash END")
+          .as("union_est"),
+        col("inter_in_sketch"),
+        expr("(1000 * inter_in_sketch) div n_union_sketch")
+          .as("jaccard_permille"),
+        col("exact_union"), col("exact_inter"),
+        expr("(1000 * exact_inter) div exact_union")
+          .as("exact_jaccard_permille"))
+      .withColumn("inter_est",
+        expr("(inter_in_sketch * union_est) div n_union_sketch"))
+  }
+
+  val kmvSetOpsSql: String = {
+    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql}
+    def vocabCte(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT DISTINCT unnest(sh) AS h FROM (
+         |    SELECT ${shingleHashesSql("whs", 3)} AS sh FROM (
+         |      SELECT ${wordHashesSql("text")} AS whs FROM documents
+         |      WHERE source = '$src')))""".stripMargin
+    s"""WITH ${vocabCte("va", "src0")},
+       |${vocabCte("vb", "src1")},
+       |ska AS (SELECT h FROM va ORDER BY h LIMIT $KSet),
+       |skb AS (SELECT h FROM vb ORDER BY h LIMIT $KSet),
+       |x AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+       |      ORDER BY h LIMIT $KSet),
+       |agg AS (SELECT
+       |    (SELECT COUNT(*) FROM ska) AS n_sketch_a,
+       |    (SELECT COUNT(*) FROM skb) AS n_sketch_b,
+       |    (SELECT COUNT(*) FROM x) AS n_union_sketch,
+       |    (SELECT MAX(h) FROM x) AS kth_union_hash,
+       |    (SELECT COUNT(*) FROM x
+       |      JOIN ska ON x.h = ska.h JOIN skb ON x.h = skb.h)
+       |      AS inter_in_sketch,
+       |    (SELECT COUNT(*) FROM (SELECT h FROM va UNION SELECT h FROM vb))
+       |      AS exact_union,
+       |    (SELECT COUNT(*) FROM va JOIN vb ON va.h = vb.h) AS exact_inter)
+       |SELECT CAST($KSet AS BIGINT) AS k,
+       |  n_sketch_a, n_sketch_b, n_union_sketch, kth_union_hash,
+       |  CASE WHEN n_union_sketch < $KSet OR kth_union_hash <= 0
+       |       THEN n_union_sketch
+       |       ELSE ${(KSet - 1).toLong * P} // kth_union_hash END AS union_est,
+       |  inter_in_sketch,
+       |  (1000 * inter_in_sketch) // n_union_sketch AS jaccard_permille,
+       |  exact_union, exact_inter,
+       |  (1000 * exact_inter) // exact_union AS exact_jaccard_permille,
+       |  (inter_in_sketch *
+       |    CASE WHEN n_union_sketch < $KSet OR kth_union_hash <= 0
+       |         THEN n_union_sketch
+       |         ELSE ${(KSet - 1).toLong * P} // kth_union_hash END)
+       |    // n_union_sketch AS inter_est
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinctWords _),
+    "sketch_kmv_setops" -> (kmvSetOps _),
     "sketch_cms_words" -> (cmsWordCounts _),
     "sketch_bloom_filter" -> (bloomMembership _),
     "sketch_kmv_grouped" -> (kmvGroupedShingles _),
@@ -518,6 +622,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctWordsSql,
+    "sketch_kmv_setops" -> kmvSetOpsSql,
     "sketch_cms_words" -> cmsWordCountsSql,
     "sketch_bloom_filter" -> bloomMembershipSql,
     "sketch_kmv_grouped" -> kmvGroupedShinglesSql,

@@ -20,6 +20,29 @@ class SketchSpec extends SparkSpec {
       s"est $est vs exact $exact")
   }
 
+  test("KMV set ops: internal consistency + exact branch below k") {
+    val r = Sketches.kmvSetOps(spark, sf).collect().head
+    def f(c: String) = r.getAs[Long](c)
+    val k = f("k")
+    assert(f("n_sketch_a") <= k && f("n_sketch_b") <= k &&
+      f("n_union_sketch") <= k)
+    assert(f("inter_in_sketch") <= f("n_union_sketch"))
+    assert(f("jaccard_permille") >= 0 && f("jaccard_permille") <= 1000)
+    assert(f("exact_inter") <= f("exact_union"))
+    // Estimates can never exceed what the sketch can express, and the
+    // union estimate is always >= the union sketch's own size.
+    assert(f("union_est") >= f("n_union_sketch"))
+    assert(f("inter_est") <= f("union_est"))
+    if (f("n_union_sketch") < k) {
+      // Small-cardinality branch: the union sketch holds BOTH whole
+      // vocabularies, so every estimate must be exactly the truth.
+      assert(f("union_est") == f("exact_union"))
+      assert(f("inter_in_sketch") == f("exact_inter"))
+      assert(f("inter_est") == f("exact_inter"))
+      assert(f("jaccard_permille") == f("exact_jaccard_permille"))
+    }
+  }
+
   test("CMS: estimates dominate exact counts, never undercount") {
     val rows = Sketches.cmsWordCounts(spark, sf)
       .select($"word", $"est_count", $"exact_count")
