@@ -63,6 +63,22 @@ object Formats {
       spark.read.schema(docs.schema).option("header", "true").csv(dir))
   }
 
+  /** Same gate through the ORC sink/source — the other columnar lake
+    * format (Hive-lineage warehouses standardize on it), completing the
+    * interchange matrix: row-oriented text (JSONL/CSV) and columnar
+    * binary (parquet via the layout gates, ORC here). Unlike CSV there
+    * are no lossy writer defaults to force off — the gate's value is
+    * proving the TYPE fidelity of the second binary format (a long
+    * silently widened/narrowed or a string re-encoded on the ORC path
+    * would hash-mismatch) with the same explicit-schema read-back
+    * discipline. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = scratch(sfDir, "orc")
+    docs.write.mode("overwrite").orc(dir)
+    fingerprints(spark.read.schema(docs.schema).orc(dir))
+  }
+
   /** The oracle never sees the round trip — it fingerprints the source
     * parquet directly, so the gate passes only if the export→import
     * cycle is lossless. */
@@ -224,6 +240,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "export_jsonl_roundtrip" -> (jsonlRoundTrip _),
     "export_csv_roundtrip" -> (csvRoundTrip _),
+    "export_orc_roundtrip" -> (orcRoundTrip _),
     "layout_partitioned_scan" -> (partitionedScan _),
     "layout_bucketed_join" -> (bucketedJoin _),
     "layout_zorder_report" -> (zorderReport _))
@@ -231,6 +248,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "export_jsonl_roundtrip" -> fingerprintsSql,
     "export_csv_roundtrip" -> fingerprintsSql,
+    "export_orc_roundtrip" -> fingerprintsSql,
     "layout_partitioned_scan" -> partitionedScanSql,
     "layout_bucketed_join" -> bucketedJoinSql,
     "layout_zorder_report" -> zorderReportSql)

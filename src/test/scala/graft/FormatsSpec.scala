@@ -40,6 +40,17 @@ class FormatsSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("ORC round trip preserves ALL adversarial content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt-orc").toString
+    nasty.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(nasty.schema).orc(dir)
+      .as[(Long, String)].collect().toMap
+    val orig = nasty.as[(Long, String)].collect().toMap
+    // Columnar binary: no text-format boundaries — embedded newlines,
+    // empty strings, and surrounding whitespace must all survive.
+    assert(back == orig)
+  }
+
   test("CSV round trip: full fidelity on newline-free non-empty text") {
     val back = roundTrip("csv")
     val orig = nasty.as[(Long, String)].collect().toMap
