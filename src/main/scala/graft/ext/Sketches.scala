@@ -325,6 +325,110 @@ object Sketches {
        |FROM conf""".stripMargin
   }
 
+  // ------------------------------------------------- bloom-filtered join
+
+  /** The bloom as a packed bit vector: BloomBits/32 words. 32 bits per
+    * long (not 64): DuckDB range-checks `1::BIGINT << 63` as overflow
+    * while Spark wraps, so the portable mask keeps shifts ≤ 31. */
+  private val BloomWords = (BloomBits / 32L).toInt
+
+  /** Bloom-filtered fact⋈dim join — the runtime-filter composition that
+    * [[bloomMembership]] only measures: build the bloom over the DIM
+    * side's join keys, pack it into a [[BloomWords]]-long bit VECTOR
+    * (not bit rows), broadcast the single-row vector, and drop probe
+    * rows with pure row-local shift/mask arithmetic BEFORE the join's
+    * exchange. This is the semi-join reduction Spark's own
+    * `runtime.bloomFilter.enabled` rewrite injects — built explicitly
+    * here so the pruning is a composable, measurable operator.
+    *
+    * Gate semantics: the oracle computes revenue from the PLAIN join
+    * (no bloom), so equality proves the prefilter lost no matching row
+    * (the bloom's no-false-negative guarantee, now end-to-end through a
+    * real join); `n_bloom_passed` is replayed bit-exactly by the oracle,
+    * making the pruning ratio (passed/probe ≈ member fraction + FP
+    * rate) part of the hash, not a prose claim.
+    *
+    * Scale shape: the vector is FIXED 2 KiB regardless of SF (vs m bit
+    * rows joined per probe in the membership gate) — the probe is one
+    * broadcast nested-loop against a 1-row frame + codegen'd mask
+    * checks, so the exchange into the join carries only the surviving
+    * ~12% of the fact side. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the matching slice;
+    * sizing m for the dim cardinality keeps the FP tax bounded. */
+  def bloomFilteredJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate").between(lit("1995-03-01").cast("date"),
+        lit("1995-03-31").cast("date")))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .localCheckpoint() // feeds both the bloom build and the final join
+    // bit rows → (word, mask) → bit_or per word → DENSE ordered array
+    // (absent words must be present zeros, or probe indexing shifts).
+    val words = dim
+      .select(explode(bloomPositions(Hashing.idHash(col("o_orderkey"))))
+        .as("bit"))
+      .select((col("bit") / lit(32L)).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(bit % 32 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val bv = spark.range(BloomWords.toLong).select(col("id").as("w"))
+      .join(words, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(expr("transform(array_sort(collect_list(struct(w, bits)))," +
+        " s -> s.bits)").as("bv"))
+    val probe = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val passed = probe
+      .withColumn("bp", bloomPositions(Hashing.idHash(col("l_orderkey"))))
+      .crossJoin(broadcast(bv))
+      .filter((0 until BloomHashes).map { d =>
+        expr(s"(shiftright(element_at(bv, CAST(bp[$d] / 32 AS INT) + 1)," +
+          s" CAST(bp[$d] % 32 AS INT)) & 1) = 1")
+      }.reduce(_ && _))
+      .drop("bp", "bv")
+      .localCheckpoint() // feeds both the passed-count and the join
+    val stats = probe.agg(count(lit(1)).as("n_probe_rows"))
+      .crossJoin(passed.agg(count(lit(1)).as("n_bloom_passed")))
+    passed.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("revenue_e6"))
+      .crossJoin(broadcast(stats))
+  }
+
+  val bloomFilteredJoinSql: String = {
+    val h = Hashing.idHashSql("l_orderkey")
+    val conds = (0 until BloomHashes).map { d =>
+      val a = graft.functions.HashKernels.permA(d)
+      val b = graft.functions.HashKernels.permB(d)
+      val p = s"((($a * $h + $b) % $P) % $BloomBits)"
+      s"((bv[CAST($p // 32 AS INTEGER) + 1] >> CAST($p % 32 AS INTEGER)) & 1) = 1"
+    }.mkString(" AND ")
+    s"""WITH dim AS (SELECT o_orderkey, o_orderpriority FROM orders
+       |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+       |bbits AS (SELECT DISTINCT
+       |    ((a * ${Hashing.idHashSql("o_orderkey")} + b) % $P) % $BloomBits AS bit
+       |  FROM dim, (VALUES ${(0 until BloomHashes).map(d =>
+             s"(${graft.functions.HashKernels.permA(d)}, ${graft.functions.HashKernels.permB(d)})")
+             .mkString(", ")}) perms(a, b)),
+       |words AS (SELECT bit // 32 AS w,
+       |    bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
+       |  FROM bbits GROUP BY 1),
+       |spine AS (SELECT unnest(range(0, $BloomWords)) AS w),
+       |bvt AS (SELECT list(COALESCE(words.bits, 0) ORDER BY spine.w) AS bv
+       |  FROM spine LEFT JOIN words ON spine.w = words.w),
+       |probe AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem),
+       |passed AS (SELECT probe.* FROM probe CROSS JOIN bvt WHERE $conds)
+       |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+       |    AS revenue_e6,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe_rows,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_bloom_passed
+       |FROM probe JOIN dim ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+  }
+
   // ------------------------------------------------- hyperloglog
 
   private val HllM = 64 // registers (p = 6 bucket bits)
@@ -616,6 +720,7 @@ object Sketches {
     "sketch_kmv_setops" -> (kmvSetOps _),
     "sketch_cms_words" -> (cmsWordCounts _),
     "sketch_bloom_filter" -> (bloomMembership _),
+    "join_bloom_filtered" -> (bloomFilteredJoin _),
     "sketch_kmv_grouped" -> (kmvGroupedShingles _),
     "sketch_hll_distinct" -> (hllDistinctShingles _),
     "sketch_quantile_prices" -> (quantilePrices _))
@@ -625,6 +730,7 @@ object Sketches {
     "sketch_kmv_setops" -> kmvSetOpsSql,
     "sketch_cms_words" -> cmsWordCountsSql,
     "sketch_bloom_filter" -> bloomMembershipSql,
+    "join_bloom_filtered" -> bloomFilteredJoinSql,
     "sketch_kmv_grouped" -> kmvGroupedShinglesSql,
     "sketch_hll_distinct" -> hllDistinctShinglesSql,
     "sketch_quantile_prices" -> quantilePricesSql)

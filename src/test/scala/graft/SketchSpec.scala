@@ -68,6 +68,28 @@ class SketchSpec extends SparkSpec {
     assert(nProbes > 0 && nMembers > 0)
   }
 
+  test("bloom-filtered join: lossless vs plain join, and actually prunes") {
+    val rows = Sketches.bloomFilteredJoin(spark, sf).collect()
+    // Result identity with the UNFILTERED join — the no-false-negative
+    // guarantee proven through the full pipeline, not just membership.
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.join(
+      Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderdate").between("1995-03-01", "1995-03-31"))
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plain, s"prefiltered join diverged: $got vs $plain")
+    // The prefilter must do real work: passed is a strict subset of the
+    // probe, and everything that joins must have passed.
+    val (nProbe, nPassed) = (rows.head.getLong(3), rows.head.getLong(4))
+    val nJoined = rows.map(_.getLong(1)).sum
+    assert(nPassed < nProbe, "bloom pruned nothing")
+    assert(nJoined <= nPassed, "joined rows must all pass the bloom")
+  }
+
   test("HLL at sf0.001: estimate within 15% of exact, register math sane") {
     val row = Sketches.hllDistinctShingles(spark, sf).collect().head
     val (n, zeroRegs, sumPow, est, exact) = (row.getLong(0), row.getLong(1),
