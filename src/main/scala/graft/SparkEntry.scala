@@ -43,6 +43,7 @@ object SparkEntry {
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
         "events_hourly_anomaly" -> (ext.Events.hourlyAnomaly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
+        "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
@@ -80,6 +81,7 @@ object SparkEntry {
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
       "events_hourly_anomaly" -> ext.Events.hourlyAnomalySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
+      "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,

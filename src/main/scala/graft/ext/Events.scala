@@ -388,4 +388,78 @@ object Events {
        |  CAST(ewma_num AS DOUBLE) / ${(1L << EwmaLags) - 1}.0 AS ewma
        |FROM w WHERE n_prev = $EwmaLags""".stripMargin
   }
+
+  /** Autocorrelation lags: 1 (trend persistence) and 24 (daily
+    * seasonality — THE question an hourly series is asked). */
+  val AcfLags: Seq[Int] = Seq(1, 24)
+
+  /** Lag-k autocorrelation of the gap-filled hourly series per event
+    * type — the seasonality detector (r(24) high ⇒ a daily cycle worth
+    * a seasonal baseline in [[hourlyAnomaly]]; r(1) high ⇒ trending,
+    * not noise). The [[hourlyAnomaly]] moment discipline, pairwise:
+    * all five sums (Σx, Σy, Σxy, Σx², Σy²) accumulate EXACTLY as Longs
+    * over the (x_t, x_{t−k}) pairs, and Pearson r is derived from them
+    * in a handful of terminal IEEE ops on identical integer inputs —
+    * bit-identical across engines, fold-order-free (a running-
+    * covariance formulation would not be). Both lag columns ride ONE
+    * (event_type, hour) window exchange over the dense spine; output is
+    * #types × #lags rows. n·Σx² stays in Long to ~3.6e6 events/hour
+    * over a 30-day spine; the moments widen to DECIMAL(38) beyond. */
+  def autocorrHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val lagged = gapfillHourly(spark, sfDir)
+      .select(col("event_type") +: col("cnt").as("x") +:
+        AcfLags.map(k => lag(col("cnt"), k).over(w).as(s"y$k")): _*)
+      .localCheckpoint() // one window pass feeds every per-lag aggregate
+    AcfLags.map { k =>
+      val y = col(s"y$k")
+      lagged.filter(y.isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(y).as("sy"),
+          sum(col("x") * y).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(y * y).as("syy"))
+        .select(col("event_type"), lit(k.toLong).as("lag"),
+          col("n_pairs"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy"))
+    }.reduce(_ unionAll _)
+      .withColumn("covn",
+        col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varxn",
+        col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("varyn",
+        col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .withColumn("r",
+        when(col("varxn") === 0L || col("varyn") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("covn").cast("double") /
+            sqrt(col("varxn").cast("double") * col("varyn").cast("double"))))
+  }
+
+  val autocorrHourlySql: String = {
+    val lagCols = AcfLags.map(k => s"lag(cnt, $k) OVER hw AS y$k").mkString(", ")
+    val perLag = AcfLags.map { k =>
+      s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y$k) AS BIGINT) AS sy,
+         |  CAST(SUM(x * y$k) AS BIGINT) AS sxy,
+         |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |  CAST(SUM(y$k * y$k) AS BIGINT) AS syy
+         |FROM lagged WHERE y$k IS NOT NULL GROUP BY event_type""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH g AS ($gapfillHourlySql),
+       |lagged AS (SELECT event_type, cnt AS x, $lagCols
+       |  FROM g WINDOW hw AS (PARTITION BY event_type ORDER BY hour)),
+       |m AS ($perLag)
+       |SELECT *, n_pairs * sxy - sx * sy AS covn,
+       |  n_pairs * sxx - sx * sx AS varxn,
+       |  n_pairs * syy - sy * sy AS varyn,
+       |  CASE WHEN n_pairs * sxx - sx * sx = 0
+       |         OR n_pairs * syy - sy * sy = 0 THEN NULL
+       |    ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |           * CAST(n_pairs * syy - sy * sy AS DOUBLE)) END AS r
+       |FROM m""".stripMargin
+  }
 }

@@ -73,6 +73,40 @@ class AnomalySpec extends SparkSpec {
     assert(checked == got.size, "every smoothed row re-derived")
   }
 
+  test("autocorrelation matches an independent pairwise recomputation") {
+    val series = Events.gapfillHourly(spark, sf)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.getTime).map(_._3).toVector).toMap
+    val got = Events.autocorrHourly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7),
+          if (r.isNullAt(11)) None else Some(r.getDouble(11))))
+      .toMap
+    assert(got.size == series.size * Events.AcfLags.size)
+    for ((tpe, counts) <- series; k <- Events.AcfLags) {
+      // Pairs (x_t, x_{t−k}) for t ≥ k, folded with exact Long moments.
+      val pairs = (k until counts.length).map(t => (counts(t), counts(t - k)))
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val expectR =
+        if (vx == 0L || vy == 0L) None
+        else Some((n * sxy - sx * sy).toDouble /
+          math.sqrt(vx.toDouble * vy.toDouble))
+      val (gn, gsx, gsy, gsxy, gsxx, gsyy, gr) = got((tpe, k.toLong))
+      assert((gn, gsx, gsy, gsxy, gsxx, gsyy) == ((n, sx, sy, sxy, sxx, syy)),
+        s"$tpe lag $k moments")
+      assert(gr == expectR, s"$tpe lag $k: got $gr expected $expectR")
+      // Cauchy–Schwarz: a correlation is always in [−1, 1].
+      gr.foreach(r => assert(r >= -1.0 && r <= 1.0))
+    }
+  }
+
   test("markov transitions match a driver fold over each user's stream") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts".cast("timestamp")),
