@@ -215,9 +215,13 @@ object Similarity {
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame =
     ivfTop3(spark, sfDir, _.filter(col("vec_id") % 50 === 0))
 
-  /** Body of [[knnIvf]] with the query-set selector injected (see
-    * [[lshTop3]] — same audit-vs-workload split). */
-  private def ivfTop3(spark: SparkSession, sfDir: String,
+  /** IVF cell-join candidates — (vec_a, qa, na, vec_b, qb, nb), one row
+    * per (probed query, same-cell corpus vector). Shared between the
+    * exact-rerank path ([[knnIvf]]) and the ADC path
+    * ([[ProductQuant.knnIvfPq]]), which scores the SAME candidate set
+    * against compressed codes instead of raw vectors (unused columns
+    * prune out of each consumer's plan). */
+  private[ext] def ivfCandidates(spark: SparkSession, sfDir: String,
       pickQ: DataFrame => DataFrame): DataFrame = {
     val base = quantized(spark, sfDir)
     val cent = base
@@ -241,10 +245,16 @@ object Similarity {
         col("nrm").as("na"), col("cid").as("cell"))
     val c = assigned.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
       col("nrm").as("nb"), col("cell"))
+    q.join(c, Seq("cell")).filter(col("vec_a") =!= col("vec_b"))
+  }
+
+  /** Body of [[knnIvf]] with the query-set selector injected (see
+    * [[lshTop3]] — same audit-vs-workload split). */
+  private def ivfTop3(spark: SparkSession, sfDir: String,
+      pickQ: DataFrame => DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cos").desc, col("vec_b"))
-    q.join(c, Seq("cell"))
-      .filter(col("vec_a") =!= col("vec_b"))
+    ivfCandidates(spark, sfDir, pickQ)
       .select(col("vec_a"), col("vec_b"), cosCol.as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -252,12 +262,11 @@ object Similarity {
 
   val knnIvfSql: String = knnIvfSqlFor("q.vec_id % 50 = 0")
 
-  private def knnIvfSqlFor(queryPred: String): String = {
-    val cosExpr =
-      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
-        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
-    s"""WITH $quantizedSqlCte,
-       |cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
+  /** The cent/ranked/assigned/cands CTE chain (over CTE `n`) — shared
+    * with [[ProductQuant]]'s ADC oracle so both engines' candidate
+    * stages are stated once. */
+  private[ext] def ivfCandsSqlCte(queryPred: String): String =
+    s"""cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
        |  ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT $IvfNumCentroids),
        |ranked AS (
        |    SELECT n.vec_id, n.qv, n.nrm, cent.cid,
@@ -268,7 +277,14 @@ object Similarity {
        |assigned AS (SELECT vec_id, qv, nrm, cid AS cell FROM ranked WHERE rn = 1),
        |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
        |  FROM ranked q JOIN assigned c ON q.cid = c.cell
-       |  WHERE q.rn <= $IvfNprobe AND $queryPred AND q.vec_id <> c.vec_id)
+       |  WHERE q.rn <= $IvfNprobe AND $queryPred AND q.vec_id <> c.vec_id)""".stripMargin
+
+  private def knnIvfSqlFor(queryPred: String): String = {
+    val cosExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
+    s"""WITH $quantizedSqlCte,
+       |${ivfCandsSqlCte(queryPred)}
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
        |    $cosExpr AS cos,
