@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of via sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// line-oriented JSON parse of the bench/verify contract output (the
+// driver tails stdout and json-parses the bench line — prefixed, it
+// failed in every round 1–8).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

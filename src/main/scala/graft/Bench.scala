@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query and total seconds.
+/** Benchmark main: a SHORT summary JSON line on stdout, the full
+  * per-query map in `bench_last.json`.
   *
-  * Measurement discipline (stabilized in round 5, init-split in round 7):
+  * Measurement discipline (stabilized in round 5, init-split in round 7,
+  * session-hygiene + short-line in round 9):
   *   - queries run in SORTED name order, so the position of a query in the
   *     run never changes as keys are added — per-query numbers stay
   *     comparable across rounds (an unordered Map reshuffled every round
@@ -11,14 +13,35 @@ import org.apache.spark.sql.SparkSession
   *   - each query runs REPS times (default 3) and we report the MEDIAN,
   *     with the min alongside in "queries_min" so JIT/GC outliers are
   *     visible instead of silently polluting the headline number;
+  *   - AFTER each rep, every persistent RDD and cached plan is dropped
+  *     ([[graft.ext.Frames.freeSessionState]]): the suite leans on
+  *     `localCheckpoint` for
+  *     multi-consumer lineage cuts, and nothing ever unpersisted those
+  *     blocks, so by round 8 (182 keys × 3 reps ≈ thousands of resident
+  *     MEMORY_AND_DISK RDDs) block-manager/GC pressure inflated
+  *     alphabetically-late iterative queries up to 18×
+  *     (`dedup_cluster_keepers` 0.89 → 16.2 s with min ≈ median — real
+  *     in-session elevation, not contention). The cleanup runs OUTSIDE
+  *     the timed window: it is instrument hygiene, not query cost;
   *   - streaming queries' fixed engine-start cost (planning, state-store
-  *     setup — constant per stream start, NOT per row; its 1.5–2× wobble
-  *     dominated the streaming medians through r6) is measured inside
+  *     setup — constant per stream start, NOT per row) is measured inside
   *     [[graft.streaming.Streaming]] and reported separately in
   *     "stream_init"; "queries" carries the per-batch PLAN cost;
   *   - "value" (the driver-graded total) is the sum of plan-cost medians;
   *     "value_with_init" adds the stream_init medians back so nothing is
   *     hidden.
+  *
+  * Stdout-line contract (round 9): the driver keeps only the LAST 2000
+  * characters of the sbt run's stdout, and sbt's own "[success] Total
+  * time …" epilogue (~85 chars) sits inside that window — so a full
+  * 182-key queries map (~4.5 KB) ALWAYS arrived head-truncated and
+  * `BENCH_r*.json` carried `"parsed": null` in every round 1–8, silently
+  * hiding per-key regressions from the driver's comparator. The fix is
+  * structural, not precision-trimming: stdout carries a summary that
+  * cannot outgrow the window — totals, spread sentinel, error map, the
+  * "slow" top-12 medians (the regression-relevant heavy hitters), and a
+  * pointer to `bench_last.json`, which holds every median and min with
+  * no size limit and is committed each round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +74,9 @@ object Bench {
         // setup (0.0 for batch queries); billed to stream_init, not to
         // the plan-cost median.
         val init = graft.streaming.Streaming.initCost
+        // Untimed session hygiene (see scaladoc): drop per-query
+        // checkpoint debris so 182 keys × reps can't pile up pressure.
+        graft.ext.Frames.freeSessionState(spark)
         (wall - init, init, ok)
       }
       def median(xs: Seq[Double]): Double =
@@ -65,15 +91,10 @@ object Bench {
         if (good.isEmpty) -1.0 else good.map(_._1).min,
         failed, median(good.map(_._2).sorted).max(0.0))
     }
-    // 3-decimal (ms) precision keeps the line short: the driver stores
-    // only the line's tail, so "queries" (the graded medians) goes LAST
-    // and every char saved widens the visible window. At 130+ keys the
-    // r7 line (medians AND mins) overflowed the driver's capture window
-    // ("parsed": null) — stdout now carries ONLY the medians; the mins
-    // live in bench_last.json, which has no size limit.
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    def row(sel: ((String, Double, Double, Int, Double)) => Double) =
-      results.map { case t @ (k, _, _, _, _) => s"\"" + k + "\":" + r3(sel(t)) }
+    def row(rs: Seq[(String, Double, Double, Int, Double)],
+        sel: ((String, Double, Double, Int, Double)) => Double) =
+      rs.map { case t @ (k, _, _, _, _) => s"\"" + k + "\":" + r3(sel(t)) }
         .mkString("{", ",", "}")
     // Failed queries carry -1 sentinels and are EXCLUDED from the total
     // (an honest gap, not a fake fast time); "errors" lists failed reps.
@@ -81,15 +102,12 @@ object Bench {
     val initTotal = results.map(_._5).sum
     val errors = results.filter(_._4 > 0)
       .map { case (k, _, _, f, _) => s"\"$k\":$f" }.mkString("{", ",", "}")
-    val streamInit = results.filter(_._5 > 0)
-      .map { case (k, _, _, _, i) => s"\"$k\":${r3(i)}" }.mkString("{", ",", "}")
     // Contention sentinel: on idle hardware median/min per query stays
     // near 1; a machine-contended run inflates medians while mins stay
-    // close to true cost (the r7 driver run showed 4.5–8× spreads on
-    // pure map queries and was nearly graded as a 2× regression). The
-    // median spread over all queries self-identifies such a run — read
-    // spread_med > ~1.5 as "this total is contention, rerun before
-    // grading". spread_max names the worst query for triage.
+    // close to true cost. The median spread over all queries
+    // self-identifies such a run — read spread_med > ~1.5 as "this total
+    // is contention, rerun before grading". spread_max names the worst
+    // query for triage.
     val spreads = results.collect { case (k, med, mn, _, _) if mn > 0.05 && med > 0 =>
       (k, med / mn) }
     def rankedSpread(p: Double): Double =
@@ -99,18 +117,22 @@ object Bench {
     val worst = if (spreads.isEmpty) ("none", 1.0) else spreads.maxBy(_._2)
     val sentinel =
       s""""spread_med":${r3(spreadMed)},"spread_max":${r3(worst._2)},"spread_max_q":"${worst._1}""""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"value_with_init":${r3(total + initTotal)},$sentinel,"stream_init":$streamInit,"errors":$errors,"queries":${row(_._2)},"sf":"$sfDir"}"""
-    println(line)
-    // Full, untruncated copy for the end-of-round snapshot / local triage
-    // — this one also carries the per-query minima dropped from stdout.
-    // Resolved against the repo root (not the process cwd) so it lands in
-    // a known place; a failed write warns instead of vanishing silently.
-    val fullLine = line.dropRight(1) + s""","queries_min":${row(_._3)}}"""
+    // The short stdout line: guaranteed to fit the driver's tail window.
+    // "queries" = the 12 slowest medians (regression-relevant heavy
+    // hitters); the complete map is in "queries_file".
+    val slow12 = results.filter(_._2 >= 0).sortBy(-_._2).take(12).sortBy(_._1)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"stream_init_total":${r3(initTotal)},$sentinel,"errors":$errors,"queries_file":"bench_last.json","queries":${row(slow12, _._2)},"sf":"$sfDir"}"""
+    // Full, untruncated record for grading / local triage — every median
+    // and per-query minimum. Resolved against the repo root (not the
+    // process cwd) so it lands in a known place; a failed write warns
+    // instead of vanishing silently.
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"sf":"$sfDir"}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
     try java.nio.file.Files.writeString(benchOut, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not write $benchOut: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -35,6 +35,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same session hygiene as Bench: a 180+-key dump session otherwise
+      // accumulates every query's localCheckpoint blocks.
+      graft.ext.Frames.freeSessionState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,15 +45,24 @@ object Bfs {
     var visited = seeds.select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()
     var frontier = visited.select(col("node"))
+    var prevNext: Option[DataFrame] = None
     for (k <- 1 to MaxHops) {
       val next = edges.join(frontier, edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("hop"))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+      // `next` is materialized (eager checkpoint): the previous round's
+      // frontier frame has no further consumer — free its blocks now
+      // instead of pinning every round's frontier for the session.
+      prevNext.foreach(Frames.freeCheckpoint)
+      val grown = visited.unionAll(next).localCheckpoint()
+      Frames.freeCheckpoint(visited) // superseded by `grown`
+      visited = grown
       frontier = next.select(col("node"))
+      prevNext = Some(next)
     }
+    prevNext.foreach(Frames.freeCheckpoint) // rows live on in `visited`
     visited.select(col("node").as("part"), col("hop"))
   }
 

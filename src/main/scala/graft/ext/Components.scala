@@ -27,7 +27,9 @@ object Components {
     // localCheckpoint each round: the next round's plan references THIS
     // round's labels twice, so without lineage truncation the logical
     // plan doubles per iteration (2^rounds nodes — OOMs the driver on
-    // long chains long before the data does).
+    // long chains long before the data does). Each round's checkpoint is
+    // FREED as soon as the next round's is materialized (eager) — only
+    // the final labels frame's blocks outlive the call.
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -65,6 +67,10 @@ object Components {
             .as("label"),
           col("oldLabel"))
         .localCheckpoint()
+      // `updated` is materialized (localCheckpoint is eager), so the
+      // previous round's blocks have no remaining consumer — free them
+      // before they pile up across rounds and sessions.
+      Frames.freeCheckpoint(labels)
       changed = updated.filter(col("label") =!= col("oldLabel")).count()
       labels = updated.select("node", "label")
     }
@@ -72,12 +78,44 @@ object Components {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** Session-scoped memo of the converged label frame per (SparkContext,
+    * sfDir): `dedup_components`, `dedup_cluster_keepers`, and any future
+    * cluster consumer each need the SAME LSH→verify→CC chain, and before
+    * round 9 each gated call rebuilt it from scratch. The memoized value
+    * is the final checkpointed labels frame; since Bench/Verify drop all
+    * persistent RDDs between queries (session hygiene), a hit is only
+    * served while its blocks are still alive ([[Frames.checkpointAlive]])
+    * — otherwise it rebuilds, so the memo can never turn a cleanup into
+    * a "checkpoint block not found" failure. */
+  private val labelsMemo =
+    collection.mutable.Map.empty[(String, String), DataFrame]
+
+  /** Number of actual CC-chain builds — observability seam for the
+    * reuse-pinning spec (a second same-session call must not build). */
+  private[graft] var labelBuilds: Int = 0
+
+  private def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
+    labelsMemo.synchronized {
+      val key = (spark.sparkContext.applicationId, sfDir)
+      labelsMemo.get(key).filter(Frames.checkpointAlive).getOrElse {
+        labelsMemo.get(key).foreach(Frames.unprotect) // stale entry
+        val built = connectedComponents(
+          Dedup.minhashLsh(spark, sfDir)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        labelBuilds += 1
+        // Survives [[Frames.freeSessionState]] — the whole point of the
+        // memo is reuse ACROSS gated queries in one session; the frame
+        // is bounded by the near-dup node count, not the corpus.
+        Frames.protect(built)
+        labelsMemo(key) = built
+        built
+      }
+    }
+
   /** Dedup clusters: components of the MinHash-LSH verified pair graph.
     * Every doc in a near-dup pair gets its cluster's min doc_id. */
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
-    connectedComponents(
-      Dedup.minhashLsh(spark, sfDir)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    sharedLabels(spark, sfDir)
 
   /** Oracle CTE chain: transitive closure by recursive CTE, component =
     * min reachable node (self included via LEAST). Shared prefix so

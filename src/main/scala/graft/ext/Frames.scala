@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle helpers for `localCheckpoint`ed frames.
+  *
+  * `Dataset.localCheckpoint()` persists its materialized rows as
+  * MEMORY_AND_DISK blocks on the session's block manager and nothing
+  * ever frees them — fine for one query, but an iterative loop that
+  * checkpoints per round (connected components, BFS) pins every
+  * superseded round's blocks for the life of the session, and a long
+  * bench/verify session accumulates thousands of dead RDDs (the round-8
+  * in-session elevation: alphabetically-late iterative keys ran up to
+  * 18× slower under the accumulated block-manager/GC pressure).
+  *
+  * The checkpointed Dataset's analyzed plan is a [[LogicalRDD]] leaf
+  * whose `rdd` IS the persisted RDD, so the blocks can be dropped (and
+  * liveness checked) directly — no session-global registry needed.
+  * A freed checkpoint CANNOT recompute (lineage is truncated by
+  * design), so only frames no live plan references may be freed.
+  */
+object Frames {
+
+  private def checkpointLeaves(df: DataFrame): Seq[LogicalRDD] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRDD => lr
+    }
+
+  /** Drop the persisted blocks behind a checkpointed frame. No-op on
+    * non-checkpointed frames. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    checkpointLeaves(df).foreach(_.rdd.unpersist(blocking = false))
+
+  /** True iff every checkpointed leaf of `df` still has its blocks —
+    * the validity test a cross-query memo must pass before reusing a
+    * cached frame (the session cleanup below invalidates any memoized
+    * checkpoint it does not know about). */
+  private[graft] def checkpointAlive(df: DataFrame): Boolean =
+    checkpointLeaves(df).forall(_.rdd.getStorageLevel != StorageLevel.NONE)
+
+  /** RDD ids [[freeSessionState]] must NOT drop: the backing blocks of
+    * deliberately session-scoped memos (one bounded frame per memo key,
+    * e.g. [[Components]]' shared cluster labels) — everything else
+    * persisted is per-query lineage-cut debris. */
+  private val protectedIds = collection.mutable.Set.empty[Int]
+
+  private[graft] def protect(df: DataFrame): Unit = synchronized {
+    checkpointLeaves(df).foreach(lr => protectedIds += lr.rdd.id)
+  }
+
+  private[graft] def unprotect(df: DataFrame): Unit = synchronized {
+    checkpointLeaves(df).foreach(lr => protectedIds -= lr.rdd.id)
+  }
+
+  /** Between-queries session hygiene for long bench/verify sessions:
+    * drop every cached plan and every persistent RDD except protected
+    * memo frames. Runs OUTSIDE any timed window. */
+  def freeSessionState(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => protectedIds.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
+    }
+}

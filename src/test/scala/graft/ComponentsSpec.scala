@@ -29,6 +29,30 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 100 && got.values.forall(_ == 1L))
   }
 
+  test("cluster consumers share one label build per session (r9 seam)") {
+    val before = Components.labelBuilds
+    val comp = Components.dedupComponents(spark, sf).count()
+    val afterFirst = Components.labelBuilds
+    // Second consumer in the same session: the keepers query must ride
+    // the memoized checkpointed label frame, not rebuild the
+    // LSH→verify→CC chain.
+    val keepers = Components.clusterKeepers(spark, sf).count()
+    assert(Components.labelBuilds == afterFirst,
+      "clusterKeepers rebuilt the label frame instead of reusing the memo")
+    assert(comp > 0 && keepers > 0)
+    // Session hygiene invalidates the memo; the next call must REBUILD
+    // (not serve a lineage-truncated corpse) and still be correct.
+    graft.ext.Frames.freeSessionState(spark)
+    graft.ext.Frames.unprotect(Components.dedupComponents(spark, sf))
+    // unprotect+free so the rebuild path is actually exercised:
+    graft.ext.Frames.freeSessionState(spark)
+    val n2 = Components.dedupComponents(spark, sf).count()
+    assert(n2 == comp)
+    assert(Components.labelBuilds > afterFirst,
+      "invalidated memo was served instead of rebuilt")
+    assert(Components.labelBuilds >= before + 1)
+  }
+
   test("random graphs match a union-find oracle") {
     val rnd = new scala.util.Random(21)
     for (_ <- 1 to 3) {
