@@ -30,6 +30,7 @@ object SparkEntry {
       ext.Funnel.queries ++ ext.AggState.queries ++ ext.Retention.queries ++ ext.Skew.queries ++ ext.Basket.queries ++ ext.Audit.queries ++ ext.PageRank.queries ++ ext.Tokenize.queries ++ ext.Bpe.queries ++ ext.Pipeline.queries ++ ext.ProductQuant.queries ++ ext.Audio.queries ++ ext.Bfs.queries ++ ext.Winnow.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
+        "kv_replay_resharded" -> (kv.KvReplay.replayResharded _),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
         "q3_top_orders" -> (ext.Relational.q3TopOrders _),
         "q5_region_volume" -> (ext.Relational.q5RegionVolume _),
@@ -68,6 +69,7 @@ object SparkEntry {
       ext.Basket.oracles ++ ext.Audit.oracles ++
       ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
+      "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,
       "q5_region_volume" -> ext.Relational.q5Sql,

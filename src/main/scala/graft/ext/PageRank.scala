@@ -122,9 +122,13 @@ object PageRank {
     trianglesOf(Basket.copurchase(spark, sfDir)
       .select(col("part_a").as("a"), col("part_b").as("b")))
 
-  /** The count itself over any canonical (a < b, distinct) undirected
-    * edge frame — split out for BasketSpec's hand graphs. */
-  private[graft] def trianglesOf(edgesIn: DataFrame): DataFrame = {
+  /** Degree-ordered orientation + its wedge candidates, split out so the
+    * planted-hub spec can measure the fan-out the orientation is FOR:
+    * on a star graph every edge points INTO the hub, so the hub builds
+    * zero wedges while a naive adjacency self-join would build
+    * C(hub_degree, 2). Returns (degrees, oriented edges, wedges). */
+  private[graft] def orientedWedges(edgesIn: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val edges = edgesIn.localCheckpoint()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
@@ -148,6 +152,13 @@ object PageRank {
             (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
       .select(col("x.src").as("u"), col("x.dst").as("v"),
         col("y.dst").as("w"))
+    (deg, oriented, wedges)
+  }
+
+  /** The count itself over any canonical (a < b, distinct) undirected
+    * edge frame — split out for BasketSpec's hand graphs. */
+  private[graft] def trianglesOf(edgesIn: DataFrame): DataFrame = {
+    val (deg, oriented, wedges) = orientedWedges(edgesIn)
     val tris = wedges.join(oriented.select(col("src").as("v"),
         col("dst").as("w")), Seq("v", "w"))
       .localCheckpoint()

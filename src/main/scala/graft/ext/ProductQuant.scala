@@ -129,6 +129,110 @@ object ProductQuant {
        |    FROM pqd) WHERE rn = 1)""".stripMargin
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** ADC shortlist width: how many PQ-scored candidates per query
+    * survive to exact rerank. At 100 TB this is THE knob that makes ANN
+    * affordable — the full-precision vectors are touched for only W
+    * rows per query while the cell scan runs entirely on 32-bit codes. */
+  private val ShortlistW = 32
+
+  /** IVF-PQ ANN — the deployable 100 TB shape (Jégou et al. 2011):
+    * coarse IVF cells route candidates ([[Similarity.ivfCandidates]],
+    * same cells and nprobe as `knn_ivf`), candidates are scored by
+    * ASYMMETRIC distance (raw query subvectors against the candidate's
+    * 128-row broadcast codebook reconstruction — the candidate's raw
+    * vector is never read), the ADC top-[[ShortlistW]] per query
+    * survive, and exact cosine reranks the shortlist to top-3.
+    *
+    * Exactness: ADC dot and reconstruction norm are exact Long sums over
+    * the shared integer quantization; the shortlist/final orderings are
+    * single double divides with ties to the smaller vec_b — bit-identical
+    * in DuckDB. Scale shape: the cell equi-join is the only data-sized
+    * shuffle; the codes join is keyed on vec_b (the ×8 subspace fan-out
+    * collapses map-side in the pair aggregation); the codebook join is
+    * broadcast; rerank touches W raw vectors per query. */
+  def knnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTop3(spark, sfDir, _.filter(col("vec_id") % 50 === 0))
+
+  /** Body of [[knnIvfPq]] with the query-set selector injected —
+    * [[Similarity.knnRecallAudit]] passes the fixed 32-vector sample so
+    * all four ANN methods rank the SAME queries. */
+  private[ext] def ivfPqTop3(spark: SparkSession, sfDir: String,
+      pickQ: DataFrame => DataFrame): DataFrame = {
+    val base = Similarity.quantized(spark, sfDir)
+    // (vec_a, qa, na, vec_b): the IVF candidate pairs; qb/nb prune out
+    // of the scan — ADC's whole point is not reading candidate vectors.
+    val cands = Similarity.ivfCandidates(spark, sfDir, pickQ)
+      .select(col("vec_a"), col("qa"), col("na"), col("vec_b"))
+    val codes = assignments(spark, sfDir)
+      .select(col("vec_id").as("vec_b"), col("sub"), col("code"))
+    val adcSub = GraftFunctions.dotLong(
+      slice(col("qa"), (col("sub") * SubDim + 1).cast("int"), lit(SubDim)),
+      col("cv"))
+    val scored = cands
+      .join(codes, Seq("vec_b"))
+      .join(broadcast(codebooks(base)), Seq("sub", "code"))
+      .groupBy(col("vec_a"), col("vec_b"), col("na"))
+      .agg(sum(adcSub).as("adc"),
+        sum(GraftFunctions.dotLong(col("cv"), col("cv"))).as("rnrm"))
+      .withColumn("adc_cos", col("adc").cast("double") /
+        sqrt(col("na").cast("double") * col("rnrm").cast("double")))
+    val wShort = Window.partitionBy(col("vec_a"))
+      .orderBy(col("adc_cos").desc, col("vec_b"))
+    val short = scored
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= ShortlistW)
+      .select(col("vec_a"), col("vec_b"))
+    val a = base.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+      col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("nrm").as("nb"))
+    val cos = GraftFunctions.dotLong(col("qa"), col("qb")).cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    short.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  private[ext] def knnIvfPqSqlFor(queryPred: String): String = {
+    val cosExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
+    s"""WITH ${Similarity.quantizedSqlCte},
+       |${Similarity.ivfCandsSqlCte(queryPred)},
+       |$assignSqlCte,
+       |adc AS (SELECT cd.vec_a, cd.vec_b,
+       |    CAST(SUM(list_sum(list_transform(range(1, $SubDim + 1),
+       |      i -> qa.qv[pa.sub*$SubDim + i] * cb.cv[i]))) AS BIGINT) AS adc,
+       |    CAST(SUM(list_sum(list_transform(cb.cv, x -> x*x))) AS BIGINT) AS rnrm
+       |  FROM cands cd
+       |  JOIN pqa pa ON pa.vec_id = cd.vec_b
+       |  JOIN csubs cb ON cb.sub = pa.sub AND cb.code = pa.code
+       |  JOIN n qa ON qa.vec_id = cd.vec_a
+       |  GROUP BY cd.vec_a, cd.vec_b),
+       |short AS (SELECT vec_a, vec_b FROM (
+       |    SELECT d.vec_a, d.vec_b,
+       |      row_number() OVER (PARTITION BY d.vec_a ORDER BY
+       |        CAST(d.adc AS DOUBLE) / sqrt(CAST(q.nrm AS DOUBLE) * CAST(d.rnrm AS DOUBLE)) DESC,
+       |        d.vec_b) AS srank
+       |    FROM adc d JOIN n q ON q.vec_id = d.vec_a)
+       |  WHERE srank <= $ShortlistW)
+       |SELECT vec_a, vec_b, cos, rank FROM (
+       |  SELECT s.vec_a, s.vec_b,
+       |    $cosExpr AS cos,
+       |    row_number() OVER (PARTITION BY s.vec_a ORDER BY
+       |      $cosExpr DESC, s.vec_b) AS rank
+       |  FROM short s JOIN n a ON a.vec_id = s.vec_a
+       |               JOIN n c ON c.vec_id = s.vec_b)
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  val knnIvfPqSql: String = knnIvfPqSqlFor("q.vec_id % 50 = 0")
+
   val pqCodesSql: String =
     s"""WITH ${Similarity.quantizedSqlCte},
        |$assignSqlCte
@@ -146,9 +250,11 @@ object ProductQuant {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_pq_codes" -> (pqCodes _),
-    "embedding_pq_report" -> (pqReport _))
+    "embedding_pq_report" -> (pqReport _),
+    "knn_ivfpq" -> (knnIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "embedding_pq_codes" -> pqCodesSql,
-    "embedding_pq_report" -> pqReportSql)
+    "embedding_pq_report" -> pqReportSql,
+    "knn_ivfpq" -> knnIvfPqSql)
 }

@@ -324,13 +324,15 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), lit("lsh_dense").as("method")))
       .unionAll(ivfTop3(spark, sfDir, forSample)
         .select(col("vec_a"), col("vec_b"), lit("ivf").as("method")))
+      .unionAll(ProductQuant.ivfPqTop3(spark, sfDir, forSample)
+        .select(col("vec_a"), col("vec_b"), lit("ivfpq").as("method")))
     val hits = exact.join(ann, Seq("vec_a", "vec_b"))
       .groupBy("method").agg(count(lit(1)).as("h"))
     val ex = exact.agg(count(lit(1)).as("n_exact"),
       countDistinct(col("vec_a")).as("n_queries"))
     // Left join from the method list: a method with ZERO hits (a
     // too-sparse dial) must still report its row, not vanish.
-    Seq("lsh", "lsh_dense", "ivf").toDF("method")
+    Seq("lsh", "lsh_dense", "ivf", "ivfpq").toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("h"), lit(0L)))
       .crossJoin(ex)
@@ -346,6 +348,7 @@ object Similarity {
        |lsh AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, LshTables, LshBits)})),
        |lshd AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, DenseLshTables, DenseLshBits)})),
        |ivf AS (SELECT vec_a, vec_b FROM (${knnIvfSqlFor(samplePred)})),
+       |ivfpq AS (SELECT vec_a, vec_b FROM (${ProductQuant.knnIvfPqSqlFor(samplePred)})),
        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
        |  CAST(COUNT(DISTINCT vec_a) AS BIGINT) AS n_queries FROM exact),
        |lh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -353,7 +356,9 @@ object Similarity {
        |ldh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
        |  FROM exact JOIN lshd USING (vec_a, vec_b)),
        |ih AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
-       |  FROM exact JOIN ivf USING (vec_a, vec_b))
+       |  FROM exact JOIN ivf USING (vec_a, vec_b)),
+       |iph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact JOIN ivfpq USING (vec_a, vec_b))
        |SELECT 'lsh' AS method, n_queries, n_exact, lh.n_hits,
        |  CASE WHEN n_exact = 0 THEN 0 ELSE lh.n_hits * 10000 // n_exact END AS recall_bp
        |FROM ex, lh
@@ -364,7 +369,11 @@ object Similarity {
        |UNION ALL
        |SELECT 'ivf', n_queries, n_exact, ih.n_hits,
        |  CASE WHEN n_exact = 0 THEN 0 ELSE ih.n_hits * 10000 // n_exact END AS recall_bp
-       |FROM ex, ih""".stripMargin
+       |FROM ex, ih
+       |UNION ALL
+       |SELECT 'ivfpq', n_queries, n_exact, iph.n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0 ELSE iph.n_hits * 10000 // n_exact END AS recall_bp
+       |FROM ex, iph""".stripMargin
   }
 
   /** Per-label embedding statistics — the class-balance / norm-drift

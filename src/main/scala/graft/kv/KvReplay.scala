@@ -67,6 +67,114 @@ object KvReplay {
     replay(opsFromEvents(graft.Tables.events(spark, sfDir)))
   }
 
+  // ------------------- replay across a shard reconfiguration (C6+A8) ---
+
+  /** [[replay]] with an explicit routing column: ops are partitioned by
+    * (owning replica group, key) — the data-plane rendering of "each
+    * group serves its shards" — and folded per key run. Key runs stay
+    * contiguous under the (gid, key, seq) sort because a key lives in
+    * exactly one shard, hence one group, per configuration. */
+  private def replayRouted(ops: DataFrame, gid: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mutating = ops.filter(col("op") =!= "get")
+      .withColumn("gid", gid)
+      .repartition(col("gid"), col("key"))
+      .sortWithinPartitions(col("gid"), col("key"), col("seq"))
+      .select(col("gid"), col("key"), col("op"), col("value"))
+      .as[(Long, String, String, String)]
+    mutating.mapPartitions { it =>
+      new Iterator[(Long, String, String)] {
+        private var cur: Option[(Long, String, String, String)] =
+          if (it.hasNext) Some(it.next()) else None
+        def hasNext: Boolean = cur.isDefined
+        def next(): (Long, String, String) = {
+          val (gid, key) = (cur.get._1, cur.get._2)
+          val sb = new StringBuilder
+          while (cur.isDefined && cur.get._1 == gid && cur.get._2 == key) {
+            val (_, _, op, v) = cur.get
+            if (op == "put") { sb.clear(); sb.append(v) } else sb.append(v)
+            cur = if (it.hasNext) Some(it.next()) else None
+          }
+          (gid, key, sb.toString)
+        }
+      }
+    }.toDF("gid", "key", "value")
+  }
+
+  /** The two-config history the resharded gate replays across: three
+    * groups join, then group 101 leaves — both transitions exercise the
+    * controller's minimal-movement rebalance, and the leave forces real
+    * shard MIGRATION mid-history. Deterministic constants, rendered
+    * identically into the oracle SQL. */
+  private[kv] val cfgBefore: Sharding.Config = Sharding.join(
+    Sharding.initialConfig,
+    Map(100 -> Seq("s100a"), 101 -> Seq("s101a"), 102 -> Seq("s102a")))
+  private[kv] val cfgAfter: Sharding.Config =
+    Sharding.leave(cfgBefore, Seq(101))
+
+  private def gidOf(cfg: Sharding.Config,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(cfg.shards.map(g => lit(g.toLong)): _*),
+      (Sharding.key2shard(key) + 1).cast("int"))
+
+  /** The last un-executable [SPEC] behavior rendered as a gated query:
+    * replay the op log ACROSS a shard-config change. The log splits at
+    * its seq midpoint (derived from the data, so both engines split
+    * identically at any SF); epoch-1 ops are routed and folded under
+    * [[cfgBefore]]'s shard→group map, the resulting per-key state is
+    * HANDED OFF to each key's NEW owner under [[cfgAfter]] (a synthetic
+    * `put` at the boundary seq — exactly the state-transfer a shardkv
+    * migration ships, `/root/reference/src/shardkv/client.go:62-122`
+    * routes per-config while state stays key-local), and epoch-2 ops
+    * fold on top under the new routing. Because state is key-local, the
+    * per-key result must be IDENTICAL to the config-free replay — which
+    * is precisely what the DuckDB oracle computes, so the hash gate
+    * proves reconfiguration-transparency rather than assuming it.
+    *
+    * Scale shape: two routed folds (one shuffle each, same secondary-
+    * sort pattern as [[replay]]) plus one broadcast scalar for the
+    * boundary; the handoff frame is |keys|, not |ops|. */
+  def replayResharded(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ops = opsFromEvents(graft.Tables.events(spark, sfDir))
+    val mid = ops.agg(expr("(min(seq) + max(seq)) div 2").as("mid"))
+    val withMid = ops.crossJoin(broadcast(mid))
+    val e1 = withMid.filter(col("seq") <= col("mid"))
+      .select("seq", "key", "op", "value")
+    val state1 = replayRouted(e1, gidOf(cfgBefore, col("key")))
+    val handoff = state1.crossJoin(broadcast(mid))
+      .select(col("mid").as("seq"), col("key"), lit("put").as("op"),
+        col("value"))
+    val e2 = withMid.filter(col("seq") > col("mid"))
+      .select("seq", "key", "op", "value")
+    val fin = replayRouted(handoff.unionByName(e2),
+      gidOf(cfgAfter, col("key")))
+    fin.select(col("key"), col("value"),
+      Sharding.key2shard(col("key")).as("shard"),
+      gidOf(cfgBefore, col("key")).as("gid_before"),
+      col("gid").as("gid_after"))
+      .withColumn("migrated", col("gid_before") =!= col("gid_after"))
+  }
+
+  /** Config-free replay + the shard→group maps as inline constants: the
+    * oracle never simulates the migration, so a hash match IS the
+    * reconfiguration-transparency proof. */
+  lazy val reshardedOracleSql: String = { // lazy: composes oracleSql, declared below
+    def gidList(cfg: Sharding.Config): String =
+      cfg.shards.map(g => s"${g}::BIGINT").mkString("[", ", ", "]")
+    s"""WITH plain AS ($oracleSql),
+       |sh AS (SELECT key, value,
+       |  CAST(ascii(substr(key, 1, 1)) % ${Sharding.NShards} AS BIGINT) AS shard
+       |  FROM plain)
+       |SELECT key, value, shard,
+       |  (${gidList(cfgBefore)})[CAST(shard AS INT) + 1] AS gid_before,
+       |  (${gidList(cfgAfter)})[CAST(shard AS INT) + 1] AS gid_after,
+       |  (${gidList(cfgBefore)})[CAST(shard AS INT) + 1]
+       |    <> (${gidList(cfgAfter)})[CAST(shard AS INT) + 1] AS migrated
+       |FROM sh""".stripMargin
+  }
+
   /** DuckDB oracle: last put per key, then appends after it, in seq order.
     * Aggregates skip NULLs, so the CASE projections align exactly with the
     * fold above. */

@@ -64,6 +64,27 @@ class ShardingSpec extends SparkSpec {
     assert(Sharding.query(history, 99) == history.last)
   }
 
+  test("resharded replay equals config-free replay per key (r9 gate twin)") {
+    import org.apache.spark.sql.functions.col
+    val plain = graft.kv.KvReplay.fromEvents(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val resharded = graft.kv.KvReplay.replayResharded(spark, sf)
+    val got = resharded.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // Reconfiguration-transparency: state is key-local, so replaying
+    // under (join → leave) routing with a state hand-off must be
+    // invisible in the per-key values.
+    assert(got == plain)
+    // The leave(101) transition must actually migrate some shards —
+    // otherwise the hand-off path isn't exercised.
+    val migrated = resharded.filter(col("migrated")).count()
+    assert(migrated > 0, "no key changed owner across the reconfig")
+    // And every key must carry a real owner in both epochs (gid 0 =
+    // unowned never appears once 3 groups have joined).
+    assert(resharded.filter(col("gid_before") === 0L ||
+      col("gid_after") === 0L).count() == 0)
+  }
+
   test("key2shard matches the Go formula int(key[0]) % NShards") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
