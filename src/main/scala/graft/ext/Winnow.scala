@@ -58,14 +58,15 @@ object Winnow {
       .toDF("doc_id", "pos", "h")
   }
 
-  /** The fingerprint sketch: distinct (doc_id, fp) where fp is the min
-    * hash of some complete W-window of the doc's spans (plus the
-    * short-doc fallback — see object doc). */
-  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+  /** The winnow selection over an existing (doc_id, h, pos) span frame —
+    * split out so [[fingerprintCoverage]] can feed ONE materialized span
+    * pass to both of its aggregates instead of re-running the hash
+    * kernel per consumer. */
+  private def fingerprintsOfSpans(spans: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     val all = Window.partitionBy(col("doc_id"))
-    posSpans(docs)
+    spans
       .withColumn("fp", min(col("h")).over(win))
       .withColumn("wn", count(lit(1)).over(win))
       .withColumn("n_sp", count(lit(1)).over(all))
@@ -73,6 +74,12 @@ object Winnow {
         (col("n_sp") < WinnowW && col("pos") === 0))
       .select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** The fingerprint sketch: distinct (doc_id, fp) where fp is the min
+    * hash of some complete W-window of the doc's spans (plus the
+    * short-doc fallback — see object doc). */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame =
+    fingerprintsOfSpans(posSpans(docs))
 
   private def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     fingerprintsOf(Tables.documents(spark, sfDir))
@@ -114,13 +121,17 @@ object Winnow {
   /** Per-document winnow profile: sketch size, spans, the measured
     * density (sketch/spans in permille — the 2/(W+1) expectation made a
     * per-doc observable), and how much of the sketch is shared with
-    * other documents. The fingerprint frame feeds two consumers (the
-    * shared set and the coverage join), so it is lineage-cut. */
+    * other documents. The positional span frame — the expensive
+    * hash-kernel stage — is computed ONCE and lineage-cut for its two
+    * derivations (the n_spans aggregate and the winnow selection), and
+    * the fingerprint frame is cut again for ITS two consumers (the
+    * shared set and the coverage join). */
   def fingerprintCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val nSpans = posSpans(docs)
+    val spans = posSpans(docs).localCheckpoint()
+    val nSpans = spans
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-    val fps = fingerprints(spark, sfDir).localCheckpoint()
+    val fps = fingerprintsOfSpans(spans).localCheckpoint()
     val shared = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

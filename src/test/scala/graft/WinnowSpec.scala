@@ -38,23 +38,40 @@ class WinnowSpec extends SparkSpec {
     assert(shared >= 1, "threshold-length duplicated run must share a fingerprint")
   }
 
-  test("sketch is a subset of span hashes at ~2/(W+1) density") {
+  test("sketch is a subset of span hashes (fixture corpus)") {
     val docs = Tables.documents(spark, sf)
     val sp = docs.select(col("doc_id"),
       explode(Hashing.spanHashes64(Hashing.wordHashes(col("text")),
         Hashing.wordHashes37(col("text")), Substring.K)).as("h"))
     val f = fps(docs)
-    // Every fingerprint is one of the doc's own span hashes.
+    // Every fingerprint is one of the doc's own span hashes, and the
+    // winnow strictly thinned the span set. (The NUMERIC density band is
+    // asserted on synthetic random text below — the fixture's value
+    // depends on its duplication profile and may drift across
+    // regenerations without any code bug.)
     val orphan = f.join(sp,
       f("doc_id") === sp("doc_id") && f("fp") === sp("h"), "left_anti").count()
     assert(orphan == 0)
-    val nSpans = sp.count().toDouble
-    val nFp = f.count().toDouble
-    val density = nFp / nSpans
-    // Expectation 2/(W+1) = 0.4 for random hashes; distinct-per-doc and
-    // run-sharing pull it down. Assert the winnow actually thinned the
-    // exchange without collapsing it.
-    assert(density > 0.15 && density < 0.6, s"density $density out of range")
+    assert(f.count() < sp.count())
+  }
+
+  test("density on random text matches the 2/(W+1) expectation") {
+    // Random distinct-word documents: span hashes behave as i.i.d. draws,
+    // where SWA-2003's expected sketch density is provably 2/(W+1) = 0.4.
+    // 60 docs x 120 words gives ~7k spans; assert a generous band around
+    // the expectation (distinct-per-doc dedupe pulls slightly down).
+    val rnd = new scala.util.Random(9)
+    // Letter-only words: the span kernel tokenizes on unicode letters
+    // (Go parity), so digits would collapse every word to one token.
+    def word() = Seq.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1L to 60L).map { id =>
+      (id, Seq.fill(120)(word()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sp = docs.select(col("doc_id"),
+      explode(Hashing.spanHashes64(Hashing.wordHashes(col("text")),
+        Hashing.wordHashes37(col("text")), Substring.K)).as("h"))
+    val density = fps(docs).count().toDouble / sp.count().toDouble
+    assert(density > 0.3 && density < 0.5, s"density $density out of range")
   }
 
   test("short-doc fallback: K..K+W-2 words -> exactly one fingerprint") {
