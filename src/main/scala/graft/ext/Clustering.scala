@@ -167,6 +167,57 @@ object Clustering {
 
   private val DiverseCap = 12
 
+  /** Cluster↔label purity — the audit that tells you whether semantic
+    * dedup cells are coherent before you trust them to define "near
+    * duplicate": per k-means cell, the member count, distinct-label
+    * count, majority label, and purity in basis points (integer
+    * division — exact across engines). A cell whose majority label
+    * covers 40% of members is mixing semantics, and [[semanticDedup]]
+    * inside it compares unrelated content. The same contingency is
+    * what external cluster-quality measures (purity / NMI inputs)
+    * start from.
+    *
+    * Scale shape: one keyed label join on vec_id, one (cell, label)
+    * map-side-combinable count, then a K-row window — output is K rows
+    * at any SF. */
+  def labelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val counts = finalAssign(spark, sfDir)
+      .join(lab, "vec_id")
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("nl"))
+      .localCheckpoint() // feeds both the totals agg and the argmax
+    val tot = counts.groupBy(col("cid"))
+      .agg(sum(col("nl")).as("n_vecs"), count(lit(1)).as("n_labels"))
+    val top = counts
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("nl").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("majority_label"),
+        col("nl").as("n_majority"))
+    tot.join(top, "cid")
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("n_labels"),
+        col("majority_label"), col("n_majority"),
+        expr("n_majority * 10000 div n_vecs").as("purity_bp"))
+  }
+
+  lazy val labelPuritySql: String = // lazy: assignSqlCtes is declared below
+    s"""WITH $assignSqlCtes,
+       |lc AS (SELECT a2.cid, e2.label, CAST(COUNT(*) AS BIGINT) AS nl
+       |  FROM a2 JOIN embeddings e2 ON a2.vec_id = e2.vec_id
+       |  GROUP BY 1, 2),
+       |ltot AS (SELECT cid, CAST(SUM(nl) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_labels FROM lc GROUP BY cid),
+       |ltop AS (SELECT cid, label, nl FROM (
+       |    SELECT cid, label, nl, row_number() OVER (
+       |      PARTITION BY cid ORDER BY nl DESC, label) AS rn FROM lc)
+       |  WHERE rn = 1)
+       |SELECT t.cid AS cluster_id, t.n_vecs, t.n_labels,
+       |  p.label AS majority_label, p.nl AS n_majority,
+       |  (p.nl * 10000) // t.n_vecs AS purity_bp
+       |FROM ltot t JOIN ltop p ON t.cid = p.cid""".stripMargin
+
   // ------------------------------------------------------------ oracles
 
   private def dotSql(a: String, b: String): String =
@@ -240,11 +291,13 @@ object Clustering {
     "embedding_kmeans" -> (kmeans _),
     "dedup_semantic" -> (semanticDedup _),
     "embedding_outliers" -> (outliers _),
+    "cluster_label_purity" -> (labelPurity _),
     "sample_diverse_cells" -> (diverseSample _))
 
   val oracles: Map[String, String] = Map(
     "embedding_kmeans" -> kmeansSql,
     "dedup_semantic" -> semanticDedupSql,
     "embedding_outliers" -> outliersSql,
+    "cluster_label_purity" -> labelPuritySql,
     "sample_diverse_cells" -> diverseSampleSql)
 }

@@ -395,6 +395,88 @@ object Dedup {
         expr("inter * 1000 div uni").as("jac_permille"))
   }
 
+  // ---------------------------------------------- containment join
+
+  /** Containment threshold |A∩B| / |A| ≥ 0.9, in permille. */
+  private val ContainTauPermille = 900L
+
+  /** EXACT one-sided containment self-join — the asymmetric case the
+    * Jaccard paths structurally miss: a short document pasted inside a
+    * much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| (far
+    * below any usable τ), and minhash collision probability TRACKS
+    * Jaccard, so neither [[minhashLsh]] nor [[jaccardPrefixJoin]] can
+    * see it. Quote inclusion, boilerplate wrapping, and chunk-level
+    * test-set leakage are all this shape, which is why decontamination
+    * pipelines key on containment (Brown et al. 2020's n-gram overlap
+    * is a containment test on the SMALLER side).
+    *
+    * One-sided prefix principle: if |A∩B| ≥ τ·|A| then fewer than
+    * p = |A| − ⌈τ·|A|⌉ + 1 of A's tokens lie outside B, so A's p
+    * rarest tokens (global df-asc order, the [[jaccardPrefixJoin]]
+    * total order) must hit B — candidates are prefix(A) ⨝ inverted
+    * index(B) on token, recall 1 by construction, verified with the
+    * exact two-pointer intersect. The oracle brute-forces every
+    * ordered token-sharing pair with no pruning; hash equality proves
+    * completeness.
+    *
+    * Scale shape: same df table and prefix window as the Jaccard join;
+    * the candidate fan-out is Σ_h pf(h)·df(h) — heavier than PPJoin's
+    * pf² because the CONTAINER side must index every token (asymmetry
+    * is the point), but still keyed, never all-pairs; a deployment
+    * caps df with a stop-shingle list exactly like an inverted-index
+    * search tier. Output is ordered pairs: doc_a is the contained
+    * side. */
+  def containmentJoin(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOf(shingled(spark, sfDir), ContainTauPermille)
+
+  /** The join over any `(doc_id, sh: array<long>)` frame — split out
+    * for DedupSpec's planted small-inside-big families. */
+  private[graft] def containmentOf(shIn: DataFrame,
+      tauPermille: Long): DataFrame = {
+    val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
+    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("h"))
+    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfTab, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <=
+        col("n") - expr(s"($tauPermille * n + 999) div 1000") + 1L)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val cand = prefix
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val inter =
+      graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .filter(col("inter") * 1000L >= lit(tauPermille) * col("n_a"))
+      .withColumn("cont_permille", expr("inter * 1000 div n_a"))
+  }
+
+  /** Brute force: every ordered token-sharing pair — a pair sharing no
+    * token has containment 0 — so this is the complete ≥τ ground
+    * truth for the pruned path. */
+  val containmentJoinSql: String =
+    s"""WITH $shingledSqlCte,
+       |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM u a JOIN u b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz)
+       |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+       |  (inter * 1000) // sa.n AS cont_permille
+       |FROM pairs
+       |JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE inter * 1000 >= $ContainTauPermille * sa.n""".stripMargin
+
   /** Brute force, deliberately: every token-sharing pair, no prefix
     * pruning — pairs sharing NO token have J = 0 < τ, so this is the
     * complete ≥τ ground truth the pruned Spark path must reproduce. */
@@ -415,6 +497,7 @@ object Dedup {
        |WHERE inter * 1000 >= $PrefixTauPermille * (sa.n + sb.n - inter)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containmentJoin _),
     "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "dedup_lsh_calibration" -> (lshCalibration _),
     "dedup_exact" -> (exact _),
@@ -426,6 +509,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> containmentJoinSql,
     "dedup_jaccard_prefix" -> jaccardPrefixJoinSql,
     "dedup_lsh_calibration" -> lshCalibrationSql,
     "dedup_exact" -> exactSql,

@@ -294,6 +294,57 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ------------------------------------------- hard-negative mining
+
+  /** Contrastive-training hard negatives: for each workload query, the
+    * top-3 most-similar vectors with a DIFFERENT label — the pairs a
+    * metric-learning / embedding-finetune pipeline mines as its
+    * hardest contrastive examples (easy negatives are useless; the
+    * near-boundary ones carry the gradient). Rides the IVF cell router
+    * ([[ivfCandidates]]) so mining cost is the ANN candidate cost, not
+    * all-pairs: at 100 TB this is one cell equi-join plus a keyed
+    * label join, the same shapes the index itself pays. Label joins
+    * are on vec_id (keyed, no broadcast needed at scale); ranking is
+    * the per-query window every knn gate uses. */
+  def knnHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    ivfCandidates(spark, sfDir, _.filter(col("vec_id") % 50 === 0))
+      .join(lab.select(col("vec_id").as("vec_a"),
+        col("label").as("label_a")), "vec_a")
+      .join(lab.select(col("vec_id").as("vec_b"),
+        col("label").as("label_b")), "vec_b")
+      .filter(col("label_a") =!= col("label_b"))
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        cosCol.as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val knnHardNegativesSql: String = {
+    val cosExpr =
+      """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
+    s"""WITH $quantizedSqlCte,
+       |${ivfCandsSqlCte("q.vec_id % 50 = 0")},
+       |neg AS (SELECT cd.vec_a, cd.vec_b,
+       |    ea.label AS label_a, eb.label AS label_b
+       |  FROM cands cd
+       |  JOIN embeddings ea ON ea.vec_id = cd.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = cd.vec_b
+       |  WHERE ea.label <> eb.label)
+       |SELECT vec_a, vec_b, label_a, label_b, cos, rank FROM (
+       |  SELECT g.vec_a, g.vec_b, g.label_a, g.label_b,
+       |    $cosExpr AS cos,
+       |    row_number() OVER (PARTITION BY g.vec_a ORDER BY
+       |      $cosExpr DESC, g.vec_b) AS rank
+       |  FROM neg g JOIN n a ON a.vec_id = g.vec_a
+       |             JOIN n c ON c.vec_id = g.vec_b)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   // ------------------------------------------------------- recall audit
 
   /** Recall@3 of both ANN paths against the exact baseline, as a GATED
@@ -515,6 +566,7 @@ object Similarity {
     "knn_lsh_dense" -> (knnLshDense _),
     "knn_ivf" -> (knnIvf _),
     "knn_recall_audit" -> (knnRecallAudit _),
+    "knn_hard_negatives" -> (knnHardNegatives _),
     "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
@@ -525,5 +577,6 @@ object Similarity {
     "knn_lsh_dense" -> knnLshDenseSql,
     "knn_ivf" -> knnIvfSql,
     "knn_recall_audit" -> knnRecallAuditSql,
+    "knn_hard_negatives" -> knnHardNegativesSql,
     "embedding_label_stats" -> labelStatsSql)
 }

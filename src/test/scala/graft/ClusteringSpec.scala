@@ -82,6 +82,32 @@ class ClusteringSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("label purity: mass conserved, majority really the max, bp exact") {
+    val rows = Clustering.labelPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Cluster masses must sum to the corpus size.
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == corpus)
+    // Check each cell against a driver-side contingency table.
+    val truth = Clustering.finalAssign(spark, sf).select("vec_id", "cid")
+      .as[(Long, Long)].collect().toMap
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    // keys.toSeq BEFORE mapping: mapping a key SET through labels would
+    // silently dedupe equal labels and flatten the histogram.
+    val byCell = truth.groupBy(_._2).view
+      .mapValues(_.keys.toSeq.map(labels))
+    rows.foreach { r =>
+      val cell = byCell(r.getAs[Long]("cluster_id"))
+      val hist = cell.groupBy(identity).view.mapValues(_.size).toMap
+      val (wantLabel, wantN) = hist.toSeq.minBy { case (l, n) => (-n, l) }
+      assert(r.getAs[Long]("n_labels") == hist.size.toLong)
+      assert(r.getAs[Int]("majority_label") == wantLabel)
+      assert(r.getAs[Long]("n_majority") == wantN.toLong)
+      assert(r.getAs[Long]("purity_bp") == wantN.toLong * 10000 / cell.size)
+    }
+  }
+
   test("semantic dedup: non-vacuous, same-cluster, ordered, thresholded") {
     val pairs = Clustering.semanticDedup(spark, sf).collect()
     assert(pairs.nonEmpty, "no semantic near-dup pairs — gate vacuous")

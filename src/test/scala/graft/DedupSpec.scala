@@ -127,4 +127,47 @@ class DedupSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("containment join catches small-inside-big pairs Jaccard misses") {
+    def s(xs: Long*): Array[Long] = xs.toArray.sorted
+    // Doc 1 (10 tokens) fully inside doc 2 (40 tokens): containment
+    // 1000, Jaccard 10/40 = 0.25 — invisible to the >= 0.8 Jaccard
+    // join. Doc 3 shares 8/10 of doc 1 (below the 0.9 containment
+    // bar); doc 4 disjoint.
+    val sh = Seq(
+      1L -> s(1L to 10L: _*),
+      2L -> s(1L to 40L: _*),
+      3L -> s((1L to 8L) ++ Seq(90L, 91L): _*),
+      4L -> s(100L to 120L: _*))
+      .toDF("doc_id", "sh")
+    val got = Dedup.containmentOf(sh, 900L)
+      .select($"doc_a", $"doc_b", $"cont_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1000L)))
+    // The same family through the Jaccard prefix join: NOTHING.
+    assert(Dedup.jaccardPrefixOf(sh, 800L).count() == 0)
+    // Exact duplicates contain each other: both ordered pairs appear.
+    val dup = Seq(7L -> s(1, 2, 3, 4, 5), 8L -> s(1, 2, 3, 4, 5))
+      .toDF("doc_id", "sh")
+    val both = Dedup.containmentOf(dup, 900L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(both == Set((7L, 8L), (8L, 7L)))
+  }
+
+  test("containment join == brute force over all ordered pairs") {
+    val vecs = Tables.documents(spark, sf).select($"doc_id",
+      Hashing.shingleHashes(Hashing.wordHashes($"text"), 3).as("sh"))
+      .as[(Long, Array[Long])].collect().filter(_._2.nonEmpty)
+    val truth = (for {
+      (da, sa) <- vecs; (db, sb) <- vecs if da != db
+      inter = sa.intersect(sb).length.toLong
+      if inter * 1000 >= 900 * sa.length
+    } yield (da, db, inter, sa.length.toLong, sb.length.toLong,
+      inter * 1000 / sa.length)).toSet
+    val got = Dedup.containmentJoin(spark, sf)
+      .select($"doc_a", $"doc_b", $"inter", $"n_a", $"n_b", $"cont_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(got.nonEmpty, "corpus has planted duplicate pairs")
+  }
 }

@@ -104,6 +104,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: cross-label only, ranked, within IVF candidates") {
+    val rows = Similarity.knnHardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty, "no hard negatives mined — gate vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") != r.getAs[Int]("label_b"))
+      val rk = r.getAs[Long]("rank")
+      assert(rk >= 1L && rk <= 3L)
+    }
+    // Per query: ranks are dense from 1 and cosines descend with rank.
+    rows.groupBy(_.getAs[Long]("vec_a")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.size).toSeq)
+      val cs = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
   test("gram matrix: equals driver outer-product sum, upper triangle only") {
     val vecs = quantizedVecs(sf)
     val d = vecs.values.head.length
