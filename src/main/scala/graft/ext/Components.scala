@@ -78,38 +78,21 @@ object Components {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
-  /** Session-scoped memo of the converged label frame per (SparkContext,
-    * sfDir): `dedup_components`, `dedup_cluster_keepers`, and any future
-    * cluster consumer each need the SAME LSH→verify→CC chain, and before
-    * round 9 each gated call rebuilt it from scratch. The memoized value
-    * is the final checkpointed labels frame; since Bench/Verify drop all
-    * persistent RDDs between queries (session hygiene), a hit is only
-    * served while its blocks are still alive ([[Frames.checkpointAlive]])
-    * — otherwise it rebuilds, so the memo can never turn a cleanup into
-    * a "checkpoint block not found" failure. */
-  private val labelsMemo =
-    collection.mutable.Map.empty[(String, String), DataFrame]
-
   /** Number of actual CC-chain builds — observability seam for the
     * reuse-pinning spec (a second same-session call must not build). */
-  private[graft] var labelBuilds: Int = 0
+  private[graft] def labelBuilds: Int = Frames.buildsOf("cc_labels")
 
+  /** Session-scoped shared label frame ([[Frames.sessionMemo]]):
+    * `dedup_components`, `dedup_cluster_keepers`, and any future cluster
+    * consumer each need the SAME LSH→verify→CC chain, and before round 9
+    * each gated call rebuilt it from scratch. The memoized frame is the
+    * final checkpointed labels — bounded by the near-dup node count, not
+    * the corpus. */
   private def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
-    labelsMemo.synchronized {
-      val key = (spark.sparkContext.applicationId, sfDir)
-      labelsMemo.get(key).filter(Frames.checkpointAlive).getOrElse {
-        labelsMemo.get(key).foreach(Frames.unprotect) // stale entry
-        val built = connectedComponents(
-          Dedup.minhashLsh(spark, sfDir)
-            .select(col("doc_a").as("a"), col("doc_b").as("b")))
-        labelBuilds += 1
-        // Survives [[Frames.freeSessionState]] — the whole point of the
-        // memo is reuse ACROSS gated queries in one session; the frame
-        // is bounded by the near-dup node count, not the corpus.
-        Frames.protect(built)
-        labelsMemo(key) = built
-        built
-      }
+    Frames.sessionMemo("cc_labels", spark, sfDir) {
+      connectedComponents(
+        Dedup.minhashLsh(spark, sfDir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
     }
 
   /** Dedup clusters: components of the MinHash-LSH verified pair graph.

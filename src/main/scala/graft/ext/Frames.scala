@@ -64,4 +64,39 @@ object Frames {
         .filterNot(r => protectedIds.contains(r.id))
         .foreach(_.unpersist(blocking = false))
     }
+
+  private val memo =
+    collection.mutable.Map.empty[(String, String, String), DataFrame]
+
+  /** Per-tag count of actual builds — observability for reuse-pinning
+    * specs (a same-session second consumer must not rebuild). */
+  private val buildCounts =
+    collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+
+  private[graft] def buildsOf(tag: String): Int =
+    synchronized { buildCounts(tag) }
+
+  /** Session-scoped shared-frame memo, keyed by (tag, SparkContext,
+    * sfDir) — the cross-query seam for an intermediate several gated
+    * queries need (cluster labels, the co-purchase graph): within one
+    * session it is computed once; across sessions or after
+    * [[freeSessionState]] invalidation it transparently rebuilds
+    * (liveness-checked, so a cleanup can never surface as a truncated-
+    * lineage failure). `build` must return a `localCheckpoint`-backed,
+    * BOUNDED frame: its blocks are protected from session cleanup for
+    * the session's lifetime, which is only sound for frames far smaller
+    * than the corpus (pair graphs, label maps — never raw scans). */
+  private[graft] def sessionMemo(tag: String,
+      spark: org.apache.spark.sql.SparkSession, sfDir: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val key = (tag, spark.sparkContext.applicationId, sfDir)
+    memo.get(key).filter(checkpointAlive).getOrElse {
+      memo.get(key).foreach(unprotect)
+      val built = build
+      buildCounts(tag) += 1
+      protect(built)
+      memo(key) = built
+      built
+    }
+  }
 }

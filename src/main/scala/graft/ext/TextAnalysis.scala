@@ -248,7 +248,16 @@ object TextAnalysis {
     * SF-independent); scoring is a tri-keyed join + (doc, lang) count
     * + per-doc argmax window. Accuracy is MEASURED by the companion
     * confusion gate, not assumed. */
-  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
+    // Session-memoized ([[Frames.sessionMemo]]): the per-doc prediction
+    // frame (a 4-column label map, tiny next to the text it derives
+    // from) is the shared input of this gate AND the confusion audit,
+    // which re-ran the whole trigram train+score chain before round 9.
+    Frames.sessionMemo("lang_id_ngram", spark, sfDir) {
+      langIdNgramBuild(spark, sfDir).localCheckpoint()
+    }
+
+  private def langIdNgramBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = array_join(
       graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern), " ")
