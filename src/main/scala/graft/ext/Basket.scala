@@ -49,10 +49,17 @@ object Basket {
     // self-join before round 9. The pair graph is support-filtered —
     // bounded well below the lineitem scan it derives from.
     Frames.sessionMemo("copurchase", spark, sfDir) {
-      val li = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      copurchaseOf(li, MaxBasket, MinSupport).localCheckpoint()
+      copurchaseBuild(spark, sfDir).localCheckpoint()
     }
+
+  /** The un-memoized build — the frame PlanSpec pins (the memoized
+    * gate's executed plan is just a checkpoint scan). */
+  private[graft] def copurchaseBuild(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    copurchaseOf(li, MaxBasket, MinSupport)
+  }
 
   /** Pair counting over an explicit (l_orderkey, l_partkey) membership
     * frame — the seam BasketSpec drives with planted mega-baskets.

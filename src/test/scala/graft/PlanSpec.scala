@@ -288,7 +288,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("basket: order-keyed equi-self-join, residual < on parts, no cartesian") {
-    val p = plan(ext.Basket.copurchase(spark, sf))
+    val p = plan(ext.Basket.copurchaseBuild(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("l_orderkey"), p)
     // support filter runs AFTER the pair agg, not as a join condition
@@ -395,5 +395,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivfpq: codebook broadcast; candidate/code joins keyed; no cartesian") {
+    val p = plan(ext.ProductQuant.knnIvfPq(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The IVF assignment's centroid nested-loop is a CONSTANT-size
+    // broadcast (64 rows) — the only NL join allowed in this plan is
+    // against that broadcast, never corpus x corpus. The candidate,
+    // code, and rerank joins must all be hash equi-joins.
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("containment: prefix/index joins keyed on token hash; no cartesian") {
+    val p = plan(ext.Dedup.containmentJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hard negatives: label joins keyed; no cartesian beyond centroid bcast") {
+    val p = plan(ext.Similarity.knnHardNegatives(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph family shares one session copurchase build (memo seam)") {
+    val before = ext.Frames.buildsOf("copurchase")
+    ext.Basket.copurchase(spark, sf).count()
+    val afterFirst = ext.Frames.buildsOf("copurchase")
+    // Triangles, BFS, and PageRank must all ride the memoized pair
+    // graph, not re-run the basket self-join.
+    ext.PageRank.partsTriangles(spark, sf).count()
+    ext.Bfs.partsBfsHops(spark, sf).count()
+    assert(ext.Frames.buildsOf("copurchase") == afterFirst)
+    assert(afterFirst >= before)
   }
 }
