@@ -369,19 +369,7 @@ object Dedup {
   private[graft] def jaccardPrefixOf(shIn: DataFrame,
       tauPermille: Long): DataFrame = {
     val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
-    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("h"))
-    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfTab, Seq("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(col("rn") <=
-        col("n") - expr(s"($tauPermille * n + 999) div 1000") + 1L)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = prefixCandidatesOf(sh, tauPermille)
     val inter =
       graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
     cand
@@ -429,24 +417,53 @@ object Dedup {
   def containmentJoin(spark: SparkSession, sfDir: String): DataFrame =
     containmentOf(shingled(spark, sfDir), ContainTauPermille)
 
+  /** The rarest-first (df asc, hash asc) per-doc prefix of a shingle
+    * frame — each doc's first n − ⌈τ·n⌉ + 1 tokens in the global
+    * order. Split out so the fan-out probes can count candidates
+    * directly: a corpus-universal boilerplate token has MAXIMUM df, so
+    * it never enters a prefix unless a doc has nothing rarer — the
+    * property that keeps the candidate join's Σ fan-out off the df²
+    * detonation a raw token join pays. */
+  private[graft] def prefixTokensOf(sh: DataFrame,
+      tauPermille: Long): DataFrame = {
+    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("h"))
+    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    tok.join(dfTab, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <=
+        col("n") - expr(s"($tauPermille * n + 999) div 1000") + 1L)
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Symmetric prefix⋈prefix candidates (the Jaccard join's stage). */
+  private[graft] def prefixCandidatesOf(sh: DataFrame,
+      tauPermille: Long): DataFrame = {
+    val prefix = prefixTokensOf(sh, tauPermille)
+    prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** One-sided prefix⋈inverted-index candidates (containment's stage). */
+  private[graft] def containCandidatesOf(sh: DataFrame,
+      tauPermille: Long): DataFrame = {
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    prefixTokensOf(sh, tauPermille)
+      .select(col("doc_id").as("doc_a"), col("h"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** The join over any `(doc_id, sh: array<long>)` frame — split out
     * for DedupSpec's planted small-inside-big families. */
   private[graft] def containmentOf(shIn: DataFrame,
       tauPermille: Long): DataFrame = {
     val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
-    val tok = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("h"))
-    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(dfTab, Seq("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(col("rn") <=
-        col("n") - expr(s"($tauPermille * n + 999) div 1000") + 1L)
-      .select(col("doc_id").as("doc_a"), col("h"))
-    val cand = prefix
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = containCandidatesOf(sh, tauPermille)
     val inter =
       graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
     cand
@@ -496,7 +513,82 @@ object Dedup {
        |JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
        |WHERE inter * 1000 >= $PrefixTauPermille * (sa.n + sb.n - inter)""".stripMargin
 
+  // ---------------------------------------------- method agreement
+
+  /** Per-document dedup decision table — which of four signals fired:
+    * exact (byte hash group ≥ 2), fingerprint (whitespace-normalized
+    * hash group ≥ 2), minhash (endpoint of a verified ≥0.8-Jaccard LSH
+    * pair), contained (the contained side of a ≥0.9 containment pair).
+    * This is the audit a curation pipeline runs when TUNING its dedup
+    * stack: where the methods agree the decision is safe; where exactly
+    * one fires, that method's threshold is doing unilateral work and
+    * deserves review (the standard practice when composing exact +
+    * near-dup + containment passes, cf. Lee et al. 2022's comparison of
+    * dedup signals). Flags are 0/1 BIGINTs — bit-identical across
+    * engines, no boolean-ordering subtleties.
+    *
+    * Scale shape: two hash-group passes (map-side combinable), the two
+    * pair joins reuse the gated plans (and the session-memoized frames
+    * under them), and the final per-doc agg is one keyed exchange over
+    * only the flagged docs. */
+  def methodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def groupDocs(key: org.apache.spark.sql.Column, m: String) = {
+      val g = docs.groupBy(key.as("h")).agg(count(lit(1)).as("c"))
+      docs.select(col("doc_id"), key.as("h"))
+        .join(g, "h").filter(col("c") >= 2)
+        .select(col("doc_id"), lit(m).as("m"))
+    }
+    val flags = groupDocs(md5(col("text")), "exact")
+      .unionAll(groupDocs(
+        md5(graft.functions.GraftFunctions.normalizeWs(col("text"))), "fp"))
+      .unionAll(minhashLsh(spark, sfDir).select(col("doc_a").as("doc_id"))
+        .unionAll(minhashLsh(spark, sfDir).select(col("doc_b").as("doc_id")))
+        .select(col("doc_id"), lit("minhash").as("m")))
+      .unionAll(containmentJoin(spark, sfDir)
+        .select(col("doc_a").as("doc_id"), lit("contained").as("m")))
+      .distinct()
+    def flag(m: String) = max(when(col("m") === m, 1L).otherwise(0L))
+    flags.groupBy(col("doc_id"))
+      .agg(flag("exact").as("is_exact"), flag("fp").as("is_fingerprint"),
+        flag("minhash").as("is_minhash"), flag("contained").as("is_contained"))
+      .withColumn("n_methods",
+        col("is_exact") + col("is_fingerprint") + col("is_minhash") +
+          col("is_contained"))
+  }
+
+  lazy val methodAgreementSql: String = // lazy: composes SQLs declared below
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM ($minhashLshSql)),
+       |ct AS (SELECT doc_a FROM ($containmentJoinSql)),
+       |exg AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1),
+       |fpg AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h,
+       |  COUNT(*) AS c FROM documents GROUP BY 1),
+       |flags AS (
+       |  SELECT d.doc_id, 'exact' AS m FROM documents d
+       |    JOIN exg ON md5(d.text) = exg.h WHERE exg.c >= 2
+       |  UNION
+       |  SELECT d.doc_id, 'fp' FROM documents d
+       |    JOIN fpg ON md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) = fpg.h
+       |    WHERE fpg.c >= 2
+       |  UNION
+       |  SELECT doc_a, 'minhash' FROM mh
+       |  UNION
+       |  SELECT doc_b, 'minhash' FROM mh
+       |  UNION
+       |  SELECT doc_a, 'contained' FROM ct)
+       |SELECT doc_id,
+       |  CAST(MAX(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS is_exact,
+       |  CAST(MAX(CASE WHEN m = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS is_fingerprint,
+       |  CAST(MAX(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS BIGINT) AS is_minhash,
+       |  CAST(MAX(CASE WHEN m = 'contained' THEN 1 ELSE 0 END) AS BIGINT) AS is_contained,
+       |  CAST(MAX(CASE WHEN m = 'exact' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'fp' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'contained' THEN 1 ELSE 0 END) AS BIGINT) AS n_methods
+       |FROM flags GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_method_agreement" -> (methodAgreement _),
     "dedup_containment" -> (containmentJoin _),
     "dedup_jaccard_prefix" -> (jaccardPrefixJoin _),
     "dedup_lsh_calibration" -> (lshCalibration _),
@@ -509,6 +601,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_method_agreement" -> methodAgreementSql,
     "dedup_containment" -> containmentJoinSql,
     "dedup_jaccard_prefix" -> jaccardPrefixJoinSql,
     "dedup_lsh_calibration" -> lshCalibrationSql,

@@ -154,6 +154,30 @@ class DedupSpec extends SparkSpec {
     assert(both == Set((7L, 8L), (8L, 7L)))
   }
 
+  test("boilerplate token never detonates the prefix candidate stage") {
+    // 100 docs sharing ONE universal token plus 9 unique tokens each: a
+    // raw token join pays C(100,2) = 4950 pairs through the universal
+    // token; the rarest-first prefix (df asc) takes each doc's 3 unique
+    // rarest, so BOTH candidate stages must build zero pairs.
+    def doc(i: Long): (Long, Array[Long]) =
+      (i, (Array(1L) ++ (0 until 9).map(j => 1000L + i * 16 + j)).sorted)
+    val sh = (1L to 100L).map(doc).toDF("doc_id", "sh")
+    assert(Dedup.prefixCandidatesOf(sh, 800L).count() == 0L)
+    assert(Dedup.containCandidatesOf(sh, 900L).count() == 0L)
+    // Control: the same family with a genuinely contained doc — only
+    // that doc's pairs appear, not the boilerplate cross product.
+    val withDup = sh.unionAll(Seq(
+      (999L, (1L to 5L).map(j => 1000L + 16 + j - 1).toArray)) // ⊂ doc 1
+      .toDF("doc_id", "sh"))
+    val cands = Dedup.containCandidatesOf(withDup, 900L)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.nonEmpty && cands.forall(p => p._1 == 999L || p._2 == 999L),
+      s"unexpected candidates: $cands")
+    val found = Dedup.containmentOf(withDup, 900L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((999L, 1L)))
+  }
+
   test("containment join == brute force over all ordered pairs") {
     val vecs = Tables.documents(spark, sf).select($"doc_id",
       Hashing.shingleHashes(Hashing.wordHashes($"text"), 3).as("sh"))
