@@ -68,9 +68,12 @@ object Clustering {
     assign(base, initCentroids(base))
   }
 
-  /** Final per-vector assignment after init -> one exact-integer Lloyd
-    * update: (vec_id, qv, nrm, cid, dist). */
-  private[graft] def finalAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Lloyd-updated (mean) centroids — exposed for the residual-PQ
+    * encoder, which subtracts each vector's assigned MEAN centroid
+    * (cosine-sample centroids would widen residuals, means shrink
+    * them). */
+  private[ext] def finalCentroids(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val base = Similarity.quantized(spark, sfDir)
     val a1 = assign(base, initCentroids(base))
     // Exact-integer centroid update: component-wise floor(sum/count).
@@ -84,15 +87,19 @@ object Clustering {
       .groupBy(col("cid"), col("d"))
       .agg(sum(col("v")).as("s"))
     val cnt = a1.groupBy(col("cid")).agg(count(lit(1)).as("nv"))
-    val cent1 = sums.join(cnt, Seq("cid"))
+    sums.join(cnt, Seq("cid"))
       .select(col("cid"), col("d"),
         expr("s div nv").as("mv")) // trunc-toward-zero == DuckDB `//`
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("mv")))),
         x => x.getField("mv")).as("cqv"))
       .withColumn("cnrm", GraftFunctions.dotLong(col("cqv"), col("cqv")))
-    assign(base, cent1)
   }
+
+  /** Final per-vector assignment after init -> one exact-integer Lloyd
+    * update: (vec_id, qv, nrm, cid, dist). */
+  private[graft] def finalAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assign(Similarity.quantized(spark, sfDir), finalCentroids(spark, sfDir))
 
   /** Gated k-means report: per-cluster size and exact integer inertia
     * after one Lloyd update. The numbers a curation pipeline watches to
@@ -225,7 +232,7 @@ object Clustering {
 
   /** CTE chain ending in `a2` (vec_id, qv, nrm, cid, dist) — the final
     * assignment both oracles read. */
-  private val assignSqlCtes: String = {
+  private[ext] val assignSqlCtes: String = {
     val idh = Hashing.idHashSql("vec_id")
     s"""${Similarity.quantizedSqlCte},
        |cent0 AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n

@@ -75,21 +75,24 @@ object ProductQuant {
       .select(col("sub"), col("code"), col("sv").as("cv"))
   }
 
-  /** Per-(vector, subspace) winning code: argmin exact squared L2, ties
-    * to the smaller code id. One broadcast join + one (vec_id, sub)
-    * window exchange. */
-  private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Similarity.quantized(spark, sfDir)
+  /** Per-(vector, subspace) winning code over ANY (vec_id, qv) frame
+    * (codebooks derived from the same frame): argmin exact squared L2,
+    * ties to the smaller code id. One broadcast join + one
+    * (vec_id, sub) window exchange. */
+  private def assignOf(vecs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist"), col("code"))
-    subvectors(base)
-      .join(broadcast(codebooks(base)), Seq("sub"))
+    subvectors(vecs)
+      .join(broadcast(codebooks(vecs)), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
         sqDistSub(col("sv"), col("cv")).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("code"), col("dist"))
   }
+
+  private def assignments(spark: SparkSession, sfDir: String): DataFrame =
+    assignOf(Similarity.quantized(spark, sfDir))
 
   /** Per-vector PQ payload: the packed 32-bit code word (sub m's code in
     * bits [4m, 4m+4)) and the exact total reconstruction error. */
@@ -107,27 +110,75 @@ object ProductQuant {
       .groupBy(col("sub"), col("code"))
       .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("total_err"))
 
-  private val assignSqlCte: String = {
+  /** The PQ assignment CTE chain over source CTE `src`, all names
+    * prefixed with `p` — stated once so the raw-vector oracles
+    * (src = n, p = "") and the residual oracle (src = resid, p = "r")
+    * are provably the same kernel. */
+  private def assignSqlCteFor(src: String, p: String): String = {
     val ih = Hashing.idHashSql("vec_id")
-    s"""cbseed AS (SELECT vec_id, qv,
+    s"""${p}cbseed AS (SELECT vec_id, qv,
        |    row_number() OVER (ORDER BY $ih, vec_id) - 1 AS code
-       |  FROM n ORDER BY $ih, vec_id LIMIT $CodebookK),
-       |subs AS (SELECT vec_id, CAST(t.m AS BIGINT) AS sub,
+       |  FROM $src ORDER BY $ih, vec_id LIMIT $CodebookK),
+       |${p}subs AS (SELECT vec_id, CAST(t.m AS BIGINT) AS sub,
        |    qv[t.m*$SubDim+1 : t.m*$SubDim+$SubDim] AS sv
-       |  FROM n, range(0, $NumSub) t(m)),
-       |csubs AS (SELECT CAST(t.m AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       |  FROM $src, range(0, $NumSub) t(m)),
+       |${p}csubs AS (SELECT CAST(t.m AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
        |    qv[t.m*$SubDim+1 : t.m*$SubDim+$SubDim] AS cv
-       |  FROM cbseed, range(0, $NumSub) t(m)),
-       |pqd AS (SELECT v.vec_id, v.sub, c.code,
+       |  FROM ${p}cbseed, range(0, $NumSub) t(m)),
+       |${p}pqd AS (SELECT v.vec_id, v.sub, c.code,
        |    CAST(list_sum(list_transform(range(1, $SubDim + 1),
        |      i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) AS dist
-       |  FROM subs v JOIN csubs c ON v.sub = c.sub),
-       |pqa AS (SELECT vec_id, sub, code, dist FROM (
+       |  FROM ${p}subs v JOIN ${p}csubs c ON v.sub = c.sub),
+       |${p}pqa AS (SELECT vec_id, sub, code, dist FROM (
        |    SELECT vec_id, sub, code, dist,
        |      row_number() OVER (PARTITION BY vec_id, sub
        |        ORDER BY dist, code) AS rn
-       |    FROM pqd) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}pqd) WHERE rn = 1)""".stripMargin
   }
+
+  private val assignSqlCte: String = assignSqlCteFor("n", "")
+
+  // ------------------------------------------------------- residual PQ
+
+  /** Each vector minus its assigned k-means MEAN centroid — the input
+    * of true IVFADC (Jégou et al. 2011 §III): residuals against means
+    * concentrate around the origin (within-cell spread < total spread
+    * by the argmin assignment), so the same codebook budget spends its
+    * 4 bits/subspace on a tighter distribution and distortion drops —
+    * measured by the spec as Σ residual err < Σ raw err, not claimed.
+    * Mean centroids matter: residuals against the COSINE-sampled IVF
+    * quantizer widen instead (near-orthogonal high-dim vectors give
+    * |v−c|² ≈ |v|²+|c|²), which is why real IVFADC trains its coarse
+    * quantizer with k-means. Exact Long elementwise difference; the
+    * K mean centroids ride a broadcast. */
+  private def residuals(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = Clustering.finalAssign(spark, sfDir)
+      .select(col("vec_id"), col("qv"), col("cid"))
+    val cent = Clustering.finalCentroids(spark, sfDir)
+      .select(col("cid"), col("cqv"))
+    assigned.join(broadcast(cent), "cid")
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("qv"))
+  }
+
+  /** Per-(subspace, code) occupancy + exact distortion of the RESIDUAL
+    * codebooks — the report shape of [[pqReport]] over the encoding an
+    * IVFADC index actually stores. M·K rows at any scale; the residual
+    * pass adds one broadcast centroid join to the raw pipeline. */
+  def pqResidualReport(spark: SparkSession, sfDir: String): DataFrame =
+    assignOf(residuals(spark, sfDir))
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("total_err"))
+
+  lazy val pqResidualReportSql: String = // lazy: Clustering's CTE chain
+    s"""WITH ${Clustering.assignSqlCtes},
+       |resid AS (SELECT a.vec_id,
+       |    list_transform(range(1, len(a.qv)+1), i -> a.qv[i] - c.cqv[i]) AS qv
+       |  FROM a2 a JOIN cent1n c ON a.cid = c.cid),
+       |${assignSqlCteFor("resid", "r")}
+       |SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |  CAST(SUM(dist) AS BIGINT) AS total_err
+       |FROM rpqa GROUP BY sub, code""".stripMargin
 
   // ------------------------------------------------------------ IVF-PQ
 
@@ -251,10 +302,12 @@ object ProductQuant {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_pq_codes" -> (pqCodes _),
     "embedding_pq_report" -> (pqReport _),
+    "embedding_pq_residual_report" -> (pqResidualReport _),
     "knn_ivfpq" -> (knnIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "embedding_pq_codes" -> pqCodesSql,
     "embedding_pq_report" -> pqReportSql,
+    "embedding_pq_residual_report" -> pqResidualReportSql,
     "knn_ivfpq" -> knnIvfPqSql)
 }

@@ -221,20 +221,29 @@ object Similarity {
     * ([[ProductQuant.knnIvfPq]]), which scores the SAME candidate set
     * against compressed codes instead of raw vectors (unused columns
     * prune out of each consumer's plan). */
-  private[ext] def ivfCandidates(spark: SparkSession, sfDir: String,
-      pickQ: DataFrame => DataFrame): DataFrame = {
-    val base = quantized(spark, sfDir)
-    val cent = base
-      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+  /** The constant-size coarse quantizer over any quantized frame. */
+  private[ext] def ivfCentroids(base: DataFrame): DataFrame =
+    base.orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
       .limit(IvfNumCentroids)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+
+  /** Per-vector centroid ranking (rn = 1 is the home cell) — shared by
+    * the candidate stage and [[ProductQuant]]'s residual encoder. */
+  private[ext] def ivfRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = quantized(spark, sfDir)
+    val cent = ivfCentroids(base)
     val ccos = GraftFunctions.dotLong(col("qv"), col("cqv")).cast("double") /
       sqrt(col("nrm").cast("double") * col("cnrm").cast("double"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val ranked = base.crossJoin(broadcast(cent))
+    base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), ccos.as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
+  }
+
+  private[ext] def ivfCandidates(spark: SparkSession, sfDir: String,
+      pickQ: DataFrame => DataFrame): DataFrame = {
+    val ranked = ivfRanked(spark, sfDir)
     // Corpus vectors live in exactly one cell (rn=1); queries probe
     // their top-nprobe cells, so a (query, corpus) pair appears at most
     // once — no distinct needed.
@@ -265,7 +274,9 @@ object Similarity {
   /** The cent/ranked/assigned/cands CTE chain (over CTE `n`) — shared
     * with [[ProductQuant]]'s ADC oracle so both engines' candidate
     * stages are stated once. */
-  private[ext] def ivfCandsSqlCte(queryPred: String): String =
+  /** cent/ranked/assigned — the IVF assignment CTEs alone (shared with
+    * the residual-PQ oracle, which needs cells but no candidates). */
+  private[ext] def ivfAssignSqlCte: String = // def: used by vals above
     s"""cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
        |  ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT $IvfNumCentroids),
        |ranked AS (
@@ -274,7 +285,10 @@ object Similarity {
        |        CAST(CAST(list_sum(list_transform(range(1, len(n.qv)+1), i -> n.qv[i]*cent.cqv[i])) AS BIGINT) AS DOUBLE)
        |          / sqrt(CAST(n.nrm AS DOUBLE) * CAST(cent.cnrm AS DOUBLE)) DESC, cent.cid) AS rn
        |    FROM n, cent),
-       |assigned AS (SELECT vec_id, qv, nrm, cid AS cell FROM ranked WHERE rn = 1),
+       |assigned AS (SELECT vec_id, qv, nrm, cid AS cell FROM ranked WHERE rn = 1)""".stripMargin
+
+  private[ext] def ivfCandsSqlCte(queryPred: String): String =
+    s"""$ivfAssignSqlCte,
        |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
        |  FROM ranked q JOIN assigned c ON q.cid = c.cell
        |  WHERE q.rn <= $IvfNprobe AND $queryPred AND q.vec_id <> c.vec_id)""".stripMargin
