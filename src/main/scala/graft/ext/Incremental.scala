@@ -129,6 +129,60 @@ object Incremental {
       .join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** Containment threshold for the cross-snapshot quote detector. */
+  private val ContTauPermille = 900L
+
+  /** Cross-snapshot containment — arriving docs that are ≥0.9 CONTAINED
+    * in some already-ingested doc: the rolling-ingest quote/re-post
+    * detector ([[Dedup.containmentJoin]]'s asymmetric case, which the
+    * Jaccard-verified [[incrementalPairs]] structurally misses when the
+    * container is much larger). Candidates are the batch side's
+    * rarest-first prefixes joined against the snapshot's inverted
+    * index — the prefix principle holds under ANY fixed token order, so
+    * computing the df order on the batch alone (O(batch), the whole
+    * point of incremental state) loses no recall, only some pruning
+    * power. Verify is the exact two-pointer intersect. */
+  def incrementalContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingled(spark, sfDir)
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    val newSh = sh.filter(isNew(col("doc_id")))
+    val oldSh = sh.filter(!isNew(col("doc_id")))
+    val cands = Dedup.prefixTokensOf(newSh, ContTauPermille)
+      .select(col("doc_id").as("doc_new"), col("h"))
+      .join(oldSh.select(col("doc_id").as("doc_old"),
+        explode(col("sh")).as("h")), Seq("h"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val inter =
+      graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
+    cands
+      .join(newSh.select(col("doc_id").as("doc_new"), col("sh").as("sha")),
+        "doc_new")
+      .join(oldSh.select(col("doc_id").as("doc_old"), col("sh").as("shb")),
+        "doc_old")
+      .select(col("doc_new"), col("doc_old"), inter.as("inter"),
+        size(col("sha")).cast("long").as("n_new"),
+        size(col("shb")).cast("long").as("n_old"))
+      .filter(col("inter") * 1000L >= lit(ContTauPermille) * col("n_new"))
+      .withColumn("cont_permille", expr("inter * 1000 div n_new"))
+  }
+
+  /** Brute force: every (new, old) token-sharing pair, no pruning. */
+  val incrementalContainmentSql: String =
+    s"""WITH ${Dedup.bandsSqlCtes},
+       |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
+       |pairs AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM u a JOIN u b ON a.h = b.h
+       |  WHERE ${isNewSql("a.doc_id")} AND NOT ${isNewSql("b.doc_id")}
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz)
+       |SELECT doc_new, doc_old, inter, sa.n AS n_new, sb.n AS n_old,
+       |  (inter * 1000) // sa.n AS cont_permille
+       |FROM pairs
+       |JOIN sz sa ON doc_new = sa.doc_id JOIN sz sb ON doc_old = sb.doc_id
+       |WHERE inter * 1000 >= $ContTauPermille * sa.n""".stripMargin
+
   private def jacSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE) / " +
       s"CAST(len($a.sh) + len($b.sh) - len(list_intersect($a.sh, $b.sh)) AS DOUBLE)"
@@ -165,9 +219,11 @@ object Incremental {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> (incrementalPairs _),
-    "dedup_incremental_admitted" -> (admitted _))
+    "dedup_incremental_admitted" -> (admitted _),
+    "dedup_incremental_containment" -> (incrementalContainment _))
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalPairsSql,
-    "dedup_incremental_admitted" -> admittedSql)
+    "dedup_incremental_admitted" -> admittedSql,
+    "dedup_incremental_containment" -> incrementalContainmentSql)
 }

@@ -84,4 +84,25 @@ class IncrementalSpec extends SparkSpec {
     assert(admitted.nonEmpty && admitted != newDocs,
       "corpus must exercise both admission and rejection")
   }
+
+  test("incremental containment: thresholded, and supersets high-Jaccard pairs") {
+    val cont = Incremental.incrementalContainment(spark, sf).collect()
+    cont.foreach { r =>
+      assert(r.getAs[Long]("cont_permille") >= 900L)
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("cont_permille") ==
+        r.getAs[Long]("inter") * 1000 / r.getAs[Long]("n_new"))
+    }
+    val contSet = cont.map(r =>
+      (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    // Containment >= Jaccard for any pair, so every cross-snapshot pair
+    // verified at J >= 0.9 MUST appear here — recall is checked against
+    // the sibling gate, not assumed.
+    val highJac = Incremental.incrementalPairs(spark, sf).collect()
+      .filter(_.getAs[Double]("jac") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    assert(highJac.nonEmpty, "fixture must exercise the cross-snapshot path")
+    assert(highJac.subsetOf(contSet),
+      s"missing containment pairs: ${highJac -- contSet}")
+  }
 }
