@@ -63,7 +63,17 @@ object Frames {
       spark.sparkContext.getPersistentRDDs.values
         .filterNot(r => protectedIds.contains(r.id))
         .foreach(_.unpersist(blocking = false))
+      // Broadcast blocks are only released when ContextCleaner's weak
+      // references are collected — on a large idle heap GC may not run
+      // for hundreds of queries, so thousands of dead broadcasts pile up
+      // in block-manager storage. Nudge the collector periodically
+      // (untimed, between queries; throttled — a full GC on a big heap
+      // costs ~0.5-2 s and per-rep nudging would bloat wall clock).
+      cleanups += 1
+      if (cleanups % 24 == 0) System.gc()
     }
+
+  private var cleanups = 0L
 
   private val memo =
     collection.mutable.Map.empty[(String, String, String), DataFrame]
