@@ -52,6 +52,48 @@ class DedupSpec extends SparkSpec {
       s"planted avg $plantedAvg vs random avg $randomAvg")
   }
 
+  test("simhash hamming: banded search == brute force at radius 3 (recall 1)") {
+    // In-engine twin of the oracle's proof: the pigeonhole band join
+    // must reproduce the all-pairs brute force exactly on the corpus.
+    val sig = Dedup.simhash62(spark, sf).as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= Dedup.HammingRadius
+    } yield (a, b, d.toLong)).toSet
+    val got = Dedup.simhashHamming(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("simhash hamming: planted signatures — boundary, multi-band, miss") {
+    // Base signature plus: dist 0 (identical), dist 3 (= radius, bits
+    // spread over three different bands), dist 4 (one past radius —
+    // must NOT appear even though it matches three of four bands).
+    val base = 0x2AAAAAAAAAAAAAAL & ((1L << 62) - 1)
+    val sig = Seq(
+      1L -> base,
+      2L -> base,                                   // dist 0
+      3L -> (base ^ (1L << 1) ^ (1L << 33)),        // dist 2, two bands hit
+      4L -> (base ^ (1L << 0) ^ (1L << 20) ^ (1L << 40)), // dist 3 exactly
+      5L -> (base ^ 0xFL)                           // dist 4: excluded
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.hammingPairsOf(sig)
+      .as[(Long, Long, Long)].collect().toSet
+    val truth = (for {
+      (a, sa) <- sig.as[(Long, Long)].collect()
+      (b, sb) <- sig.as[(Long, Long)].collect() if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= Dedup.HammingRadius
+    } yield (a, b, d.toLong)).toSet
+    assert(got == truth)
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 4L, 3L)))
+    assert(!got.exists { case (a, b, _) => (a, b) == ((1L, 5L)) },
+      "dist-4 pair must be excluded")
+    // A dist-0 pair collides in all four bands — distinct must collapse
+    // the four collisions to ONE output row (checked by set equality
+    // above plus an explicit count here).
+    assert(Dedup.hammingPairsOf(sig).count() == got.size)
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Tables.documents(spark, sf)
     val doubled = docs.unionAll(docs.withColumn("doc_id", $"doc_id" + 1000000))

@@ -365,6 +365,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(h") || p.contains("h#"), p)
   }
 
+  test("simhash hamming: band self-join keyed on (band, key), no cartesian") {
+    val p = plan(ext.Dedup.simhashHamming(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // The doc_id < residual rides the band equi-join; the exact
+    // bit_count verify is a post-join filter, never a join condition
+    // on its own.
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("gram matrix: one exchange; partial cells combine map-side") {
     val p = plan(ext.Similarity.gramMatrix(spark, sf))
     // d(d+1)/2 cells per partition, partial + final agg around the one
