@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community structure over the part co-purchase graph — the last wing
+  * of the graph family next to the iterative ([[PageRank]]), transitive
+  * ([[Components]]), local ([[PageRank.partsTriangles]]) and
+  * shortest-hop ([[Bfs]]) workloads:
+  *
+  *  - [[partsCommunities]]: synchronous label propagation (Raghavan/
+  *    Albert/Kumara 2007) — each node adopts the label held by the
+  *    PLURALITY of its neighbors, ties to the smallest label, for a
+  *    fixed [[LpaRounds]] rounds. The fixed round count is semantic,
+  *    not a convergence heuristic: synchronous LPA can oscillate
+  *    forever on bipartite structure, so "the label frame after K
+  *    rounds" is the well-defined operator both engines compute —
+  *    the same fixed-unroll discipline as [[PageRank]].
+  *  - [[partsKcore]]: iterative 2-core peeling — drop nodes whose
+  *    degree in the SURVIVING subgraph is < [[CoreK]], for
+  *    [[PeelRounds]] rounds. The k-core is the standard
+  *    link-spam/noise filter run before community detection at scale
+  *    (a page linked once is not community evidence).
+  *
+  * Scale shape, per LPA round: one edge⋈label equi-join keyed on dst,
+  * one map-side-combinable (node, label) count, one per-node top-1
+  * window riding the node clustering — never anything all-pairs, and
+  * label state is one row per node. Per peel round: two keyed
+  * semi-joins of the edge list against the survivor set plus a
+  * map-side-combinable degree count; survivor frames are
+  * localCheckpointed and freed round-over-round (the [[Bfs]]
+  * discipline — peeling depth grows with data, unlike the fixed-K LPA
+  * unroll, whose 4-round plan tree stays linear and cheaper without
+  * per-round cuts).
+  *
+  * Determinism: plurality counts are exact integers and the argmax is
+  * total-ordered by (count DESC, label ASC), so the label trajectory is
+  * bit-identical across engines and partitionings — the property the
+  * DuckDB unrolled-CTE oracle gates.
+  */
+object Communities {
+
+  val LpaRounds = 4
+  val CoreK = 2
+  val PeelRounds = 4
+
+  /** Synchronous LPA over an arbitrary undirected (part_a, part_b) pair
+    * frame — the seam CommunitiesSpec drives with hand graphs. */
+  private[graft] def communitiesOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst")))
+      .localCheckpoint()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LpaRounds) {
+      val cnt = edges.join(lab, edges("dst") === lab("node"))
+        .select(edges("src").as("n"), col("lab"))
+        .groupBy(col("n"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("lab").asc)
+      lab = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("n").as("node"), col("lab"))
+    }
+    lab.select(col("node").as("part"), col("lab").as("community"))
+  }
+
+  def partsCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    communitiesOf(Basket.copurchase(spark, sfDir)
+      .select(col("part_a"), col("part_b")))
+
+  /** The same K rounds as chained CTEs; ROW_NUMBER carries the
+    * identical (c DESC, lab ASC) total order. */
+  val partsCommunitiesSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""c$k AS (SELECT e.src AS n, l.lab, COUNT(*) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.node = e.dst GROUP BY 1, 2),
+         |l$k AS (SELECT n AS node, lab FROM (
+         |    SELECT n, lab, ROW_NUMBER() OVER (
+         |      PARTITION BY n ORDER BY c DESC, lab ASC) AS rk FROM c$k)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH pairs AS (${Basket.copurchaseSql}),
+       |edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT part_b, part_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |${rounds.mkString(",\n")}
+       |SELECT node AS part, lab AS community FROM l$LpaRounds""".stripMargin
+  }
+
+  /** Fixed-round [[CoreK]]-core peel over an arbitrary undirected
+    * (part_a, part_b) pair frame: survivors after [[PeelRounds]] rounds
+    * with their degree at admission (their degree in the round's
+    * surviving subgraph). */
+  private[graft] def kcoreOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst")))
+      .localCheckpoint()
+    var nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var deg: DataFrame = null
+    var prevDeg: DataFrame = null
+    for (_ <- 1 to PeelRounds) {
+      val sub = edges
+        .join(nodes.select(col("node").as("sa")), col("src") === col("sa"))
+        .join(nodes.select(col("node").as("sb")), col("dst") === col("sb"))
+      val d = sub.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      prevDeg = deg
+      deg = d
+      val grown = deg.filter(col("c") >= CoreK)
+        .select(col("src").as("node")).localCheckpoint()
+      Frames.freeCheckpoint(nodes) // superseded by `grown`
+      if (prevDeg != null) Frames.freeCheckpoint(prevDeg)
+      nodes = grown
+    }
+    deg.filter(col("c") >= CoreK)
+      .select(col("src").as("part"), col("c").as("core_deg"))
+  }
+
+  def partsKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreOf(Basket.copurchase(spark, sfDir)
+      .select(col("part_a"), col("part_b")))
+
+  val partsKcoreSql: String = {
+    val rounds = (1 to PeelRounds).map { k =>
+      s"""s$k AS (SELECT e.src, e.dst FROM edges e
+         |  JOIN n${k - 1} a ON e.src = a.node
+         |  JOIN n${k - 1} b ON e.dst = b.node),
+         |d$k AS (SELECT src, COUNT(*) AS c FROM s$k GROUP BY 1),
+         |n$k AS (SELECT src AS node FROM d$k WHERE c >= $CoreK)""".stripMargin
+    }
+    s"""WITH pairs AS (${Basket.copurchaseSql}),
+       |edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT part_b, part_a FROM pairs),
+       |n0 AS (SELECT DISTINCT src AS node FROM edges),
+       |${rounds.mkString(",\n")}
+       |SELECT src AS part, CAST(c AS BIGINT) AS core_deg
+       |FROM d$PeelRounds WHERE c >= $CoreK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_communities" -> (partsCommunities _),
+    "parts_kcore" -> (partsKcore _))
+
+  val oracles: Map[String, String] = Map(
+    "parts_communities" -> partsCommunitiesSql,
+    "parts_kcore" -> partsKcoreSql)
+}

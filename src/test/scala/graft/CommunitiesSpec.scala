@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.Communities
+
+/** Pins the synchronous-LPA and k-core-peel recurrences against
+  * independent from-scratch folds on hand graphs, plus partition
+  * invariance of the corpus gates. */
+class CommunitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent synchronous LPA fold (plurality label, ties → min). */
+  private def lpaRef(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val dir = und ++ und.map(_.swap)
+    val nbrs = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = dir.map(_._1).distinct
+    var lab: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to Communities.LpaRounds) {
+      lab = nodes.map { n =>
+        val counts = nbrs(n).map(lab).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        // total order: (count DESC, label ASC)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  /** Independent peel fold: survivors + degree at admission. */
+  private def kcoreRef(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val dir = und ++ und.map(_.swap)
+    var nodes = dir.map(_._1).distinct.toSet
+    var deg: Map[Long, Long] = Map.empty
+    for (_ <- 1 to Communities.PeelRounds) {
+      deg = dir.filter(e => nodes(e._1) && nodes(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      nodes = deg.filter(_._2 >= Communities.CoreK).keySet
+    }
+    deg.filter(_._2 >= Communities.CoreK)
+  }
+
+  private def lpaRows(und: Seq[(Long, Long)]): Map[Long, Long] =
+    Communities.communitiesOf(und.toDF("part_a", "part_b"))
+      .as[(Long, Long)].collect().toMap
+
+  private def kcoreRows(und: Seq[(Long, Long)]): Map[Long, Long] =
+    Communities.kcoreOf(und.toDF("part_a", "part_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("LPA: two triangles joined by a bridge collapse to two communities") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L),           // triangle B
+      (3L, 4L))                               // bridge
+    val got = lpaRows(g)
+    assert(got == lpaRef(g))
+    // Structure: each triangle agrees on one label, and the two
+    // communities are distinct.
+    assert(got(1L) == got(2L))
+    assert(got(5L) == got(6L))
+    assert(got(1L) != got(5L))
+  }
+
+  test("LPA: star adopts the hub's plurality dynamics deterministically") {
+    // Star 1-{2,3,4,5}: leaves see only the hub; the hub sees four
+    // leaf labels and the (count DESC, label ASC) order must break the
+    // 4-way tie to the smallest — pinned via the independent fold.
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(lpaRows(g) == lpaRef(g))
+  }
+
+  test("kcore: triangle survives, pendant chain peels over two rounds") {
+    // Chain 4-5-6 hangs off triangle 1-2-3: node 6 peels in round 1,
+    // THEN 5 (degree fell to 1), then 4 — multi-round peeling that a
+    // single degree filter would get wrong.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = kcoreRows(g)
+    assert(got == kcoreRef(g))
+    assert(got.keySet == Set(1L, 2L, 3L), s"2-core must be the triangle: $got")
+    assert(got.values.forall(_ == 2L))
+  }
+
+  test("kcore: K4 is its own 2-core, degrees intact") {
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = kcoreRows(g)
+    assert(got == kcoreRef(g))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L) && got.values.forall(_ == 3L))
+  }
+
+  test("corpus gates are shuffle-partition invariant") {
+    val a = Communities.partsCommunities(spark, sf).orderBy("part")
+      .collect().map(_.toString).toSeq
+    val k = Communities.partsKcore(spark, sf).orderBy("part")
+      .collect().map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = Communities.partsCommunities(spark, sf).orderBy("part")
+        .collect().map(_.toString).toSeq
+      val k2 = Communities.partsKcore(spark, sf).orderBy("part")
+        .collect().map(_.toString).toSeq
+      assert(a == b, "label trajectory must not depend on parallelism")
+      assert(k == k2, "peel trajectory must not depend on parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -392,6 +392,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("communities + kcore: every round joins keyed, no cartesian") {
+    for (df <- Seq(ext.Communities.partsCommunities(spark, sf),
+        ext.Communities.partsKcore(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
   test("triangles: wedge + closure are equi-joins, no cartesian") {
     val p = plan(ext.PageRank.partsTriangles(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
