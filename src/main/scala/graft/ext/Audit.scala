@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -187,13 +187,84 @@ object Audit {
        |FROM documents GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ Heaps' law
+
+  /** Vocabulary-growth (Heaps'-law) curve: at each doc-count checkpoint
+    * 2^k, how many documents, running tokens, and DISTINCT word types
+    * the corpus prefix contains. The curve's bend is the collect-more-
+    * data signal (V ≈ K·n^β flattening early means the source is
+    * exhausting its vocabulary — a dedup/diversity red flag upstream of
+    * training-mix decisions).
+    *
+    * Checkpoints are doc_id-PREFIX filters (docs with doc_id < 2^k),
+    * valid because ingest assigns doc_id monotonically — so "the first
+    * N documents" needs NO global rank/sort at any scale. Each word
+    * type's first occurrence is one wh-keyed min aggregation
+    * (map-side combinable, and words travel as the 31-bit hashes of
+    * [[Hashing.wordHashes]], Long shuffles — the lang-ID discipline);
+    * a first occurrence at doc d then contributes one row per
+    * checkpoint ≥ d via an integer-exact `sequence(len(bin(d)), L)`
+    * fan-out, bounded by L = log2(corpus) ≤ ~47 rows at any SF and ~2-3
+    * on average (half of all first occurrences land in the last
+    * checkpoint's window). The only other input is the 1-row L
+    * broadcast; output is L+1 rows. */
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val whs = docs.select(col("doc_id"),
+      Hashing.wordHashes(col("text")).as("ws"))
+    val lmax = docs.agg(max(col("doc_id")).as("m"))
+      .select(expr("length(bin(m))").as("L"))
+    // integer-exact smallest k with 2^k > id (k_min of the contribution
+    // range): length of the binary rendering, with the id-0 edge pinned.
+    def kmin(c: Column): Column =
+      when(c === 0L, lit(0)).otherwise(length(bin(c)).cast("int"))
+    val vocab = whs.select(col("doc_id"), explode(col("ws")).as("wh"))
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(lmax)
+      .withColumn("kmin", kmin(col("first_id")))
+      .select(explode(expr("sequence(kmin, L)")).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab_size"))
+    val dtk = whs
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"))
+      .crossJoin(lmax)
+      .withColumn("kmin", kmin(col("doc_id")))
+      .select(explode(expr("sequence(kmin, L)")).as("k"), col("n_toks"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+    dtk.join(vocab, "k")
+      .select(expr("shiftleft(cast(1 as bigint), k)").as("at_docs"),
+        col("n_docs"), col("n_tokens"), col("vocab_size"))
+  }
+
+  val heapsLawSql: String = {
+    val kminSql = (e: String) =>
+      s"CASE WHEN $e = 0 THEN 0 ELSE length(bin($e)) END"
+    s"""WITH whs AS (SELECT doc_id, ${Hashing.wordHashesSql("text")} AS ws
+       |             FROM documents),
+       |mx AS (SELECT length(bin(MAX(doc_id))) AS L FROM documents),
+       |first AS (SELECT wh, MIN(doc_id) AS first_id
+       |  FROM (SELECT doc_id, unnest(ws) AS wh FROM whs) GROUP BY 1),
+       |vocab AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab_size
+       |  FROM first, mx, UNNEST(range(${kminSql("first_id")}, L + 1)) t(k)
+       |  GROUP BY 1),
+       |dtk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+       |  FROM whs, mx, UNNEST(range(${kminSql("doc_id")}, L + 1)) t(k)
+       |  GROUP BY 1)
+       |SELECT (1::BIGINT << d.k) AS at_docs, d.n_docs, d.n_tokens,
+       |  v.vocab_size
+       |FROM dtk d JOIN vocab v ON d.k = v.k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_length_histogram" -> (lengthHistogram _),
+    "corpus_heaps_law" -> (heapsLaw _),
     "integrity_audit" -> (integrityAudit _),
     "corpus_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "corpus_length_histogram" -> lengthHistogramSql,
+    "corpus_heaps_law" -> heapsLawSql,
     "integrity_audit" -> integrityAuditSql,
     "corpus_snapshot_diff" -> snapshotDiffSql)
 }
