@@ -607,6 +607,20 @@ object TextAnalysis {
     * candidate hits, the standard distributed top-k. */
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    bm25Hits(spark, sfDir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("term"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("tf"), col("dl"), col("df"), col("idf_bits"),
+        col("tf_permille"), col("score"))
+  }
+
+  /** The scored candidate set behind [[bm25TopK]] — every (query term,
+    * matching doc) with its exact-integer statistics, BEFORE the top-k
+    * cut. The seam [[searchRrf]] fuses other rankers over. */
+  private def bm25Hits(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -629,17 +643,12 @@ object TextAnalysis {
         expr("(1000 * 22 * tf * s) div (10 * s * tf + 3 * s + 9 * dl * n)")
           .as("tf_permille"))
       .withColumn("score", col("idf_bits") * col("tf_permille"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("term"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rnk") <= Bm25TopK)
-      .select(col("term"), col("rnk").cast("long").as("rnk"), col("doc_id"),
-        col("tf"), col("dl"), col("df"), col("idf_bits"),
-        col("tf_permille"), col("score"))
   }
 
-  val bm25TopKSql: String =
-    s"""WITH tok AS (
+  /** The shared CTE chain ending in `hits` — the SQL twin of
+    * [[bm25Hits]], prefix of both search oracles. */
+  private val bm25HitsCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(list_filter(
        |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word
        |  FROM documents),
@@ -657,12 +666,83 @@ object TextAnalysis {
        |    (1000 * 22 * tf.tf * s) //
        |      (10 * s * tf.tf + 3 * s + 9 * dl.dl * n) AS tf_permille
        |  FROM tf JOIN terms ON tf.word = terms.term
-       |  JOIN dl ON tf.doc_id = dl.doc_id)
+       |  JOIN dl ON tf.doc_id = dl.doc_id)""".stripMargin
+
+  val bm25TopKSql: String =
+    s"""WITH $bm25HitsCtes
        |SELECT term, CAST(rnk AS BIGINT) AS rnk, doc_id, tf, dl, df, idf_bits,
        |  tf_permille, idf_bits * tf_permille AS score
        |FROM (SELECT *, row_number() OVER (PARTITION BY term
        |        ORDER BY idf_bits * tf_permille DESC, doc_id) AS rnk
        |      FROM hits)
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
+  /** Reciprocal-rank-fusion constant — Cormack/Clarke/Buettcher 2009's
+    * k = 60, the hybrid-retrieval standard. */
+  private val RrfK = 60
+  private val RrfScale = 1000000L
+
+  /** Hybrid retrieval: fuse THREE rankers over the same candidate set
+    * with reciprocal-rank fusion — the standard way production search
+    * combines heterogeneous scorers without calibrating their score
+    * scales (only RANKS cross the fusion boundary):
+    *
+    *  - r_bm25: the BM25 order (score DESC) — lexical relevance;
+    *  - r_tf:   raw term frequency (tf DESC) — no length normalization,
+    *            diverges from BM25 exactly on long stuffed documents;
+    *  - r_len:  document brevity (dl ASC) — a tf-independent concision
+    *            prior.
+    *
+    * rrf = Σ_rankers floor(10^6 / (60 + rank)) — the 1/(k+r) weights as
+    * exact integer micros, so fused scores and the final order are
+    * engine- and partition-identical (ties break on doc_id throughout).
+    *
+    * Scale shape: all three row_numbers ride ONE term-keyed exchange
+    * (the same candidate pruning as [[bm25TopK]] — posting lists are
+    * filtered to the broadcast query terms before anything widens);
+    * fusion is per-row arithmetic; the final top-k is the same bounded
+    * window. Adding an ANN ranker later changes none of the shape —
+    * one more rank column into the same sum. */
+  def searchRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def byTerm(first: Column*) =
+      Window.partitionBy(col("term")).orderBy(first: _*)
+    val ranked = bm25Hits(spark, sfDir)
+      .withColumn("r_bm25",
+        row_number().over(byTerm(col("score").desc, col("doc_id"))).cast("long"))
+      .withColumn("r_tf",
+        row_number().over(byTerm(col("tf").desc, col("doc_id"))).cast("long"))
+      .withColumn("r_len",
+        row_number().over(byTerm(col("dl").asc, col("doc_id"))).cast("long"))
+      .withColumn("rrf_score",
+        expr(s"$RrfScale div ($RrfK + r_bm25) + $RrfScale div ($RrfK + r_tf)" +
+          s" + $RrfScale div ($RrfK + r_len)"))
+    ranked
+      .withColumn("rnk", row_number().over(
+        byTerm(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("term"), col("rnk"), col("doc_id"),
+        col("r_bm25"), col("r_tf"), col("r_len"), col("rrf_score"))
+  }
+
+  val searchRrfSql: String =
+    s"""WITH $bm25HitsCtes,
+       |ranked AS (SELECT term, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY idf_bits * tf_permille DESC, doc_id) AS BIGINT) AS r_bm25,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY tf DESC, doc_id) AS BIGINT) AS r_tf,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY dl ASC, doc_id) AS BIGINT) AS r_len
+       |  FROM hits),
+       |fused AS (SELECT *,
+       |    $RrfScale // ($RrfK + r_bm25) + $RrfScale // ($RrfK + r_tf)
+       |      + $RrfScale // ($RrfK + r_len) AS rrf_score
+       |  FROM ranked)
+       |SELECT term, CAST(rnk AS BIGINT) AS rnk, doc_id, r_bm25, r_tf, r_len,
+       |  rrf_score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY term
+       |        ORDER BY rrf_score DESC, doc_id) AS rnk FROM fused)
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
   /** Conjunctive (AND) keyword search through an inverted-index plan —
@@ -767,6 +847,7 @@ object TextAnalysis {
     "quality_lm_bigram" -> (lmBigramSurprisal _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "search_bm25" -> (bm25TopK _),
+    "search_rrf" -> (searchRrf _),
     "search_postings_and" -> (postingsAnd _),
     "search_phrase" -> (phraseSearch _))
 
@@ -783,6 +864,7 @@ object TextAnalysis {
     "quality_lm_bigram" -> lmBigramSurprisalSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "search_bm25" -> bm25TopKSql,
+    "search_rrf" -> searchRrfSql,
     "search_postings_and" -> postingsAndSql,
     "search_phrase" -> phraseSearchSql)
 }

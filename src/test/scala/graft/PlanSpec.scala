@@ -385,6 +385,7 @@ class PlanSpec extends SparkSpec {
 
   test("bm25 + postings: query terms broadcast, posting joins keyed") {
     for (df <- Seq(ext.TextAnalysis.bm25TopK(spark, sf),
+        ext.TextAnalysis.searchRrf(spark, sf),
         ext.TextAnalysis.postingsAnd(spark, sf))) {
       val p = plan(df)
       assert(p.contains("BroadcastExchange"), p)

@@ -87,6 +87,50 @@ class TextParitySpec extends SparkSpec {
     assert(got.exists(_._9 > 0), "all scores zero — idf collapsed")
   }
 
+  test("rrf: fused order matches a driver-side recompute of all 3 rankers") {
+    import spark.implicits._
+    val got = TextAnalysis.searchRrf(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // Independent recompute: BM25 stats from raw words, three rank
+    // orders, integer-micros fusion.
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0))).as("word"))
+      .as[(Long, String)].collect()
+    val tf = words.groupBy(identity).map { case ((id, w), xs) =>
+      (id, w) -> xs.length.toLong }
+    val dl = words.groupBy(_._1).map { case (id, xs) => id -> xs.length.toLong }
+    val dfm = tf.keys.toSeq.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val s = dl.values.sum; val n = dl.size.toLong
+    def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val terms = dfm.toSeq.sortBy { case (w, d) => (d, w) }.take(4)
+    val want = terms.flatMap { case (term, df) =>
+      val idfBits = fl2((2 * n + 1) / (2 * df + 1))
+      val hits = tf.collect { case ((id, w), t) if w == term =>
+        val tfp = (1000L * 22 * t * s) / (10 * s * t + 3 * s + 9 * dl(id) * n)
+        (id, t, idfBits * tfp)
+      }.toSeq
+      def rankBy[A: Ordering](key: ((Long, Long, Long)) => A): Map[Long, Long] =
+        hits.sortBy(h => (key(h), h._1)).zipWithIndex
+          .map { case (h, i) => h._1 -> (i + 1L) }.toMap
+      val rB = rankBy { case (_, _, sc) => -sc }
+      val rT = rankBy { case (_, t, _) => -t }
+      val rL = rankBy { case (id, _, _) => dl(id) }
+      def rrf(id: Long) = 1000000L / (60 + rB(id)) +
+        1000000L / (60 + rT(id)) + 1000000L / (60 + rL(id))
+      hits.map(_._1).sortBy(id => (-rrf(id), id)).take(10).zipWithIndex
+        .map { case (id, i) =>
+          (term, i + 1L, id, rB(id), rT(id), rL(id), rrf(id)) }
+    }.toSet
+    assert(got.toSet == want)
+    // Non-vacuous: the rankers genuinely disagree somewhere (otherwise
+    // fusion degenerates to any single order and proves nothing).
+    assert(got.exists(r => r._4 != r._5 || r._4 != r._6),
+      "all three rankers identical — fusion vacuous")
+  }
+
   test("postings AND + phrase search match driver recomputes") {
     import spark.implicits._
     val toks = docs.select(col("doc_id"),
