@@ -31,6 +31,7 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "kv_replay_resharded" -> (kv.KvReplay.replayResharded _),
+        "kv_replay_snapshot" -> (kv.KvReplay.replaySnapshotted _),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
         "q3_top_orders" -> (ext.Relational.q3TopOrders _),
         "q5_region_volume" -> (ext.Relational.q5RegionVolume _),
@@ -70,6 +71,7 @@ object SparkEntry {
       ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ ext.Communities.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
+      "kv_replay_snapshot" -> kv.KvReplay.oracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,
       "q5_region_volume" -> ext.Relational.q5Sql,

@@ -157,6 +157,42 @@ object KvReplay {
       .withColumn("migrated", col("gid_before") =!= col("gid_after"))
   }
 
+  /** The raft-snapshot data semantics rendered as a gated query
+    * (reference snapshots lab: a server discards its log prefix and
+    * keeps only the folded state machine; followers resume from
+    * InstallSnapshot + the remaining suffix). Here: fold the log prefix
+    * up to the seq midpoint into per-key state, re-encode that state as
+    * synthetic `put` ops AT the boundary seq (exactly what a snapshot
+    * is — state that overwrites whatever came before), and replay
+    * snapshot + suffix. Because `put` erases history and `append` only
+    * extends it, the result must equal the full-log replay — the DuckDB
+    * oracle computes the config-free full replay, so the hash gate
+    * proves compaction-transparency rather than assuming it.
+    *
+    * Scale shape: two secondary-sort folds (one shuffle each) and a
+    * broadcast boundary scalar; the snapshot frame is |keys| rows, not
+    * |ops| — the whole point of compaction at scale. */
+  def replaySnapshotted(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    snapshotThenReplay(opsFromEvents(graft.Tables.events(spark, sfDir)))
+  }
+
+  /** The compaction composition over an arbitrary op log — the seam
+    * KvReplaySpec drives with hand logs. */
+  private[graft] def snapshotThenReplay(ops: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val mid = ops.agg(expr("(min(seq) + max(seq)) div 2").as("mid"))
+    val withMid = ops.crossJoin(broadcast(mid))
+    val snapshot = replay(withMid.filter(col("seq") <= col("mid"))
+        .select("seq", "key", "op", "value"))
+      .crossJoin(broadcast(mid))
+      .select(col("mid").as("seq"), col("key"), lit("put").as("op"),
+        col("value"))
+    val suffix = withMid.filter(col("seq") > col("mid"))
+      .select("seq", "key", "op", "value")
+    replay(snapshot.unionByName(suffix))
+  }
+
   /** Config-free replay + the shard→group maps as inline constants: the
     * oracle never simulates the migration, so a hash match IS the
     * reconfiguration-transparency proof. */

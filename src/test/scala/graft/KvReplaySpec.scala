@@ -35,6 +35,33 @@ class KvReplaySpec extends SparkSpec {
     assert(run(ops) == Map("k" -> "Xyz", "j" -> "1"))
   }
 
+  test("snapshot compaction: prefix fold + suffix replay == full replay") {
+    // Hand log around the midpoint boundary (mid = (1+10) div 2 = 5):
+    // append chained across the boundary, a post-boundary put that must
+    // overwrite the snapshot, a prefix-only key, a suffix-only key.
+    val ops = Seq(
+      KvOp(1, "a", "put", "x"), KvOp(2, "a", "append", "y"),
+      KvOp(3, "b", "append", "1"), KvOp(4, "c", "put", "z"),
+      KvOp(6, "a", "append", "z"), KvOp(7, "b", "put", "Q"),
+      KvOp(8, "d", "append", "n"), KvOp(10, "b", "append", "R"))
+    val snap = KvReplay.snapshotThenReplay(ops.toDF())
+      .as[(String, String)].collect().toMap
+    assert(snap == run(ops))
+    assert(snap == sequential(ops))
+    assert(snap == Map("a" -> "xyz", "b" -> "QR", "c" -> "z", "d" -> "n"))
+  }
+
+  test("snapshot compaction: randomized logs agree with the full replay") {
+    val rnd = new Random(7)
+    val ops = (1 to 500).map { i =>
+      KvOp(i.toLong, s"k${rnd.nextInt(9)}",
+        Seq("put", "append", "get")(rnd.nextInt(3)), i.toString)
+    }
+    val snap = KvReplay.snapshotThenReplay(ops.toDF())
+      .as[(String, String)].collect().toMap
+    assert(snap == sequential(ops))
+  }
+
   test("randomized fold matches sequential state machine") {
     val rnd = new Random(42)
     val ops = (1 to 2000).map { i =>
