@@ -92,9 +92,74 @@ object Basket {
        |  AND a.l_partkey < b.l_partkey
        |GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport""".stripMargin
 
+  // ------------------------------------------- item-item similar parts
+
+  private val TopSimilar = 5
+
+  /** Item-item collaborative filtering ("customers also bought"): for
+    * each part, the [[TopSimilar]] most similar parts by exact Jaccard
+    * over order sets — |orders with both| / |orders with either| — in
+    * floored permille, ranked with a (similarity DESC, part id) total
+    * order. The Amazon-style item-item recommender (Linden/Smith/York
+    * 2003), which at catalog scale beats user-user CF precisely because
+    * the co-occurrence matrix is ITEM-keyed: its row count is the
+    * catalog, not the user base.
+    *
+    * Scale shape: rides the session-memoized [[copurchase]] pair graph
+    * (support-filtered, per-order fan-out capped — the mega-basket
+    * guard is inherited, so a crawler "basket" cannot detonate the
+    * similarity matrix either); per-part order counts are one keyed
+    * distinct + count; the two degree joins are keyed on part; the
+    * top-k window's fan-out is each part's co-purchase degree, bounded
+    * by the support filter. Numerators/denominators are exact Longs —
+    * no float cosine to diverge across engines. */
+  def similarItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = copurchase(spark, sfDir)
+    val deg = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val sym = pairs
+      .select(col("part_a").as("part"), col("part_b").as("rec"),
+        col("n_orders").as("n_both"))
+      .unionAll(pairs.select(col("part_b"), col("part_a"),
+        col("n_orders")))
+    sym
+      .join(deg.select(col("l_partkey").as("part"),
+        col("n_part").as("n_p")), "part")
+      .join(deg.select(col("l_partkey").as("rec"),
+        col("n_part").as("n_r")), "rec")
+      .select(col("part"), col("rec"), col("n_both"),
+        expr("(1000 * n_both) div (n_p + n_r - n_both)").as("j_permille"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("part"))
+          .orderBy(col("j_permille").desc, col("rec"))).cast("long"))
+      .filter(col("rnk") <= TopSimilar)
+  }
+
+  val similarItemsSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS ($copurchaseSql),
+       |deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+       |        FROM li GROUP BY 1),
+       |sym AS (SELECT part_a AS part, part_b AS rec, n_orders AS n_both
+       |        FROM pairs
+       |        UNION ALL
+       |        SELECT part_b, part_a, n_orders FROM pairs),
+       |j AS (SELECT s.part, s.rec, s.n_both,
+       |    (1000 * s.n_both) // (da.n_part + db.n_part - s.n_both)
+       |      AS j_permille
+       |  FROM sym s JOIN deg da ON s.part = da.l_partkey
+       |  JOIN deg db ON s.rec = db.l_partkey)
+       |SELECT part, rec, n_both, j_permille, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY part
+       |        ORDER BY j_permille DESC, rec) AS rnk FROM j)
+       |WHERE rnk <= $TopSimilar""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "parts_copurchase" -> (copurchase _))
+    "parts_copurchase" -> (copurchase _),
+    "parts_similar_items" -> (similarItems _))
 
   val oracles: Map[String, String] = Map(
-    "parts_copurchase" -> copurchaseSql)
+    "parts_copurchase" -> copurchaseSql,
+    "parts_similar_items" -> similarItemsSql)
 }

@@ -43,6 +43,32 @@ class BasketSpec extends SparkSpec {
     assert(capped.length == 780 + 3)
   }
 
+  test("similar items: corpus top-k matches an independent Jaccard fold") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().distinct
+    val orders = li.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val pairs = Basket.copurchase(spark, sf)
+      .select(col("part_a"), col("part_b"), col("n_orders"))
+      .as[(Long, Long, Long)].collect()
+    val want = (pairs ++ pairs.map { case (a, b, n) => (b, a, n) })
+      .groupBy(_._1).toSeq.flatMap { case (p, recs) =>
+        recs.map { case (_, r, nBoth) =>
+          val j = 1000L * nBoth /
+            (orders(p).size + orders(r).size - nBoth)
+          (p, r, nBoth, j)
+        }.sortBy { case (_, r, _, j) => (-j, r) }.take(5).zipWithIndex
+          .map { case ((pp, r, nBoth, j), i) => (pp, r, nBoth, j, i + 1L) }
+      }.toSet
+    val got = Basket.similarItems(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // Jaccard sanity: a pair's similarity never exceeds 1000 permille.
+    assert(got.forall { case (_, _, _, j, _) => j >= 0 && j <= 1000 })
+  }
+
   test("gated corpus result identical with and without the guard") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
