@@ -161,6 +161,83 @@ object Dedup {
        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingRadius""".stripMargin
 
+  /** Sorted-neighborhood window: pairs within rank distance < W. */
+  val SnmWindow = 4
+
+  /** Sorted-neighborhood dedup (Hernández/Stolfo 1995 — the classic
+    * record-linkage alternative to LSH banding): sort the corpus by a
+    * similarity-clustering key (the [[simhash62]] signature — near-dup
+    * docs sort adjacently because their signatures share high bits),
+    * then compare only records within a sliding window of [[SnmWindow]]
+    * positions, verifying with the exact hamming distance. LSH banding
+    * is recall-1 at its radius but needs one join per band table; SNM
+    * is the single-sort heuristic a pipeline runs when it wants ONE
+    * linear pass with a hard candidate bound of W−1 pairs per record —
+    * the recall trade is measured in DedupSpec against the banded
+    * truth, not claimed.
+    *
+    * Scale shape — no global window anywhere: the global sort rank is
+    * the chunked packer's distributed prefix sum (repartitionByRange on
+    * the sort key, per-partition row_number + a broadcast #partitions-row
+    * offset table — partition-count-invariant by construction). Window
+    * pairs then materialize through a BUCKET equi-join: each row lands
+    * in buckets floor(rnk/W) and floor(rnk/W)+1, so any pair with rank
+    * gap < W shares ≥ 1 bucket (adjacent-bucket pigeonhole), the join
+    * stays keyed, and per-bucket fan-out is ≤ 2W rows. The DuckDB
+    * oracle takes the opposite plan — one flat row_number + a rank
+    * BETWEEN self-join — so the gate proves the distributed rank and
+    * the bucket pigeonhole against the naive formulation. */
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
+    snmPairsOf(simhash62(spark, sfDir))
+
+  /** The SNM pipeline over an arbitrary (doc_id, simhash) frame — the
+    * seam DedupSpec drives with hand signatures. */
+  private[graft] def snmPairsOf(sig: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SnmWindow
+    val sorted = sig.repartitionByRange(col("simhash"), col("doc_id"))
+      .sortWithinPartitions(col("simhash"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // #partitions-row offset table (broadcast); the only ordered window
+    // in the plan runs over it, never over data.
+    val partOffsets = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .select(col("pid"),
+        coalesce(sum(col("pn")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("poff"))
+    val localWin = Window.partitionBy(col("pid"))
+      .orderBy(col("simhash"), col("doc_id"))
+    val ranked = sorted.join(broadcast(partOffsets), "pid")
+      .withColumn("rnk",
+        (col("poff") + row_number().over(localWin) - 1).cast("long"))
+      .select(col("doc_id"), col("simhash"), col("rnk"))
+    val buckets = ranked.select(col("doc_id"), col("simhash"), col("rnk"),
+      explode(array(expr(s"rnk div ${w}L"),
+        expr(s"rnk div ${w}L + 1"))).as("bk"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.bk") === col("y.bk") &&
+          col("y.rnk").between(col("x.rnk") + 1, col("x.rnk") + (w - 1)))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("dist"),
+        (col("y.rnk") - col("x.rnk")).as("gap"))
+      .filter(col("dist") <= HammingRadius)
+      .distinct()
+  }
+
+  /** Naive plan: one flat rank, one BETWEEN self-join. */
+  val sortedNeighborhoodSql: String =
+    s"""WITH sig AS ($simhash62Sql),
+       |r AS (SELECT doc_id, simhash,
+       |    CAST(row_number() OVER (ORDER BY simhash, doc_id) - 1 AS BIGINT)
+       |      AS rnk
+       |  FROM sig)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist,
+       |  b.rnk - a.rnk AS gap
+       |FROM r a JOIN r b
+       |  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + ${SnmWindow - 1}
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingRadius""".stripMargin
+
   // ---------------------------------------------------------------- MinHash
 
   /** (doc_id, sh: array<long>) — distinct 3-word-shingle hashes. Shared
@@ -690,6 +767,7 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_simhash62" -> (simhash62 _),
     "dedup_simhash_hamming" -> (simhashHamming _),
+    "dedup_sorted_neighborhood" -> (sortedNeighborhood _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_edit_distance" -> (editDistanceDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccardSample _),
@@ -705,6 +783,7 @@ object Dedup {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash62" -> simhash62Sql,
     "dedup_simhash_hamming" -> simhashHammingSql,
+    "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_edit_distance" -> editDistanceDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSampleSql,

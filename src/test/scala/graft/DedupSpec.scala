@@ -94,6 +94,50 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hammingPairsOf(sig).count() == got.size)
   }
 
+  test("sorted neighborhood: window pairs match an independent fold") {
+    // Hand signatures whose sort order is obvious; window W=4 → pairs
+    // within rank gap ≤ 3, verified at hamming ≤ 3. Signatures 10/11/12
+    // sort adjacently and are 1-2 bits apart (found); 900 is far in
+    // both rank and bits; 13 is rank-adjacent but 5 bits from 12
+    // (candidate, killed by verify).
+    val sig = Seq(
+      1L -> 0x10L, 2L -> 0x11L, 3L -> 0x13L,
+      4L -> 0x1F42L, 5L -> 0x900000L).toDF("doc_id", "simhash")
+    val rows = sig.as[(Long, Long)].collect().sortBy(s => (s._2, s._1))
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until math.min(i + 4, rows.length)
+      d = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2) if d <= 3
+    } yield (rows(i)._1, rows(j)._1, d.toLong, (j - i).toLong)).toSet
+    val got = Dedup.snmPairsOf(sig)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1L, 1L)) && got.contains((1L, 3L, 2L, 2L)))
+    assert(!got.exists { case (_, b, _, _) => b == 4L },
+      "0x1F42 is rank-adjacent but 5+ bits away — verify must kill it")
+  }
+
+  test("sorted neighborhood: partition invariance and recall vs banded truth") {
+    val a = Dedup.sortedNeighborhood(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = Dedup.sortedNeighborhood(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      assert(a == b, "distributed rank must not depend on parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // SNM pairs are a SUBSET of the banded recall-1 truth at the same
+    // radius (same verify, heuristic candidates) — measured, not
+    // claimed. SNM orders pairs by rank (sort-key order), banded by
+    // doc_id: normalize both to unordered pairs first.
+    def unordered(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+        .map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+    val truth = unordered(Dedup.simhashHamming(spark, sf))
+    val snmPairs = unordered(Dedup.sortedNeighborhood(spark, sf))
+    assert(snmPairs.subsetOf(truth))
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Tables.documents(spark, sf)
     val doubled = docs.unionAll(docs.withColumn("doc_id", $"doc_id" + 1000000))

@@ -365,6 +365,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(h") || p.contains("h#"), p)
   }
 
+  test("snm: bucket equi-join keyed; ordered window only over partition ids") {
+    val p = plan(ext.Dedup.sortedNeighborhood(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // The distributed rank: a range-partitioned sort on the signature
+    // key (never a global sort into one partition), per-partition
+    // row_numbers, and SinglePartition exchanges ONLY for the
+    // #partitions-row offset tables (one per self-join side). The
+    // self-join duplicates the rank subtree, so 2 windows per side.
+    assert(p.contains("rangepartitioning(simhash"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+    assert("Window \\[".r.findAllIn(p).size <= 4, p)
+  }
+
   test("simhash hamming: band self-join keyed on (band, key), no cartesian") {
     val p = plan(ext.Dedup.simhashHamming(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
