@@ -677,6 +677,126 @@ object TextAnalysis {
        |      FROM hits)
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** Held-out bigram-LM scoring — the CCNet/Gopher perplexity-filter
+    * shape done honestly: the LM trains on HALF the corpus (idHash-even
+    * docs — the deterministic split both engines share) and scores the
+    * OTHER half, so the score measures generalization, not
+    * memorization (the full-corpus [[lmBigramSurprisal]] gives every
+    * seen bigram its own training mass; a held-out eval is what a real
+    * quality filter runs). Unseen mass gets Stupid Backoff (Brants
+    * 2007 — THE web-scale LM smoothing: no discounting, a fixed
+    * backoff penalty, because at corpus scale proper Kneser-Ney
+    * renormalization isn't worth the extra passes), floor-log2
+    * integer-rendered so both engines agree bit-for-bit:
+    *
+    *  - seen bigram:      bits = len(bin(pcnt)) − len(bin(cnt))
+    *  - unseen, seen w2:  bits = 2 + len(bin(T)) − len(bin(ucnt(w2)))
+    *    (backoff to the unigram, α = 1/4 ⇒ +2 bits)
+    *  - unseen w2 (OOV):  bits = 2 + len(bin(T))
+    *
+    * Output per eval doc: bigram count, OOV-bigram count (its own
+    * quality signal — boilerplate has few, gibberish many), total and
+    * mean surprisal.
+    *
+    * Scale shape: train counts are map-side-combinable aggs over the
+    * even half; the eval join is keyed on the bigram string (then w2);
+    * T is a 1-row broadcast. Filters on idHash parity are row-local
+    * and ride the scan. */
+  def lmHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def half(parity: Int) = docs
+      .filter(Hashing.idHash(col("doc_id")) % 2 === parity)
+      .select(col("doc_id"),
+        graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern)
+          .as("ws"))
+    def bigramsOf(ws: DataFrame): DataFrame = ws
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) >= 2,
+          |  transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),
+          |  cast(array() as array<string>))""".stripMargin)).as("bg"))
+    val trainBg = bigramsOf(half(0)).localCheckpoint() // 3 consumers
+    val bc = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val pc = bc.groupBy(expr("split(bg, ' ')[0]").as("w1"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    val uc = trainBg // unigram continuation counts from the same pass
+      .groupBy(expr("split(bg, ' ')[1]").as("w2u"))
+      .agg(count(lit(1)).as("ucnt"))
+    val tot = trainBg.agg(count(lit(1)).as("t"))
+    val seenBits = bc.join(pc, expr("split(bg, ' ')[0]") === col("w1"))
+      .select(col("bg").as("sbg"),
+        (length(bin(col("pcnt"))) - length(bin(col("cnt"))))
+          .cast("long").as("sbits"))
+    val evalBg = bigramsOf(half(1))
+    val scored = evalBg
+      .join(seenBits, col("bg") === col("sbg"), "left")
+      .join(uc, expr("split(bg, ' ')[1]") === col("w2u"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("sbits"),
+          lit(2L) + length(bin(col("t"))).cast("long") -
+            coalesce(length(bin(col("ucnt"))).cast("long"), lit(0L)))
+          .as("bits"),
+        col("sbits").isNull.cast("long").as("is_oov"))
+    docs.filter(Hashing.idHash(col("doc_id")) % 2 === 1)
+      .select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("is_oov")).as("n_oov"),
+          sum(col("bits")).as("surprisal_bits")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, 0L)
+          .otherwise(expr("surprisal_bits * 1000L div n_bigrams"))
+          .as("mean_millibits"))
+  }
+
+  val lmHeldoutSql: String = {
+    val ih = Hashing.idHashSql("doc_id")
+    s"""WITH wsx AS (
+       |  SELECT doc_id, ($ih) % 2 AS par, list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+       |  FROM documents),
+       |bgx AS (SELECT doc_id, par, unnest(CASE WHEN length(ws) >= 2
+       |    THEN list_transform(range(1, length(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])
+       |    ELSE [] END) AS bg
+       |  FROM wsx),
+       |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bgx WHERE par = 0 GROUP BY 1),
+       |pc AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |    CAST(SUM(cnt) AS BIGINT) AS pcnt FROM bc GROUP BY 1),
+       |uc AS (SELECT split_part(bg, ' ', 2) AS w2u,
+       |    CAST(COUNT(*) AS BIGINT) AS ucnt
+       |  FROM bgx WHERE par = 0 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bgx WHERE par = 0),
+       |sbits AS (SELECT bg AS sbg,
+       |    CAST(length(bin(pcnt)) - length(bin(cnt)) AS BIGINT) AS sbits
+       |  FROM bc JOIN pc ON split_part(bc.bg, ' ', 1) = pc.w1),
+       |scored AS (SELECT doc_id,
+       |    COALESCE(sbits, 2 + length(bin(t))
+       |      - COALESCE(length(bin(ucnt)), 0)) AS bits,
+       |    CASE WHEN sbits IS NULL THEN 1 ELSE 0 END AS is_oov
+       |  FROM bgx
+       |  LEFT JOIN sbits ON bgx.bg = sbits.sbg
+       |  LEFT JOIN uc ON split_part(bgx.bg, ' ', 2) = uc.w2u
+       |  CROSS JOIN tot
+       |  WHERE par = 1),
+       |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+       |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+       |  FROM scored GROUP BY 1)
+       |SELECT w.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(n_oov, 0) AS n_oov,
+       |  COALESCE(surprisal_bits, 0) AS surprisal_bits,
+       |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+       |       ELSE (surprisal_bits * 1000) // n_bigrams END AS mean_millibits
+       |FROM (SELECT DISTINCT doc_id FROM wsx WHERE par = 1) w
+       |LEFT JOIN perdoc USING (doc_id)""".stripMargin
+  }
+
   /** Reciprocal-rank-fusion constant — Cormack/Clarke/Buettcher 2009's
     * k = 60, the hybrid-retrieval standard. */
   private val RrfK = 60
@@ -845,6 +965,7 @@ object TextAnalysis {
     "doc_fingerprint" -> (fingerprint _),
     "quality_lm_surprisal" -> (lmSurprisal _),
     "quality_lm_bigram" -> (lmBigramSurprisal _),
+    "quality_lm_heldout" -> (lmHeldout _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "search_bm25" -> (bm25TopK _),
     "search_rrf" -> (searchRrf _),
@@ -862,6 +983,7 @@ object TextAnalysis {
     "doc_fingerprint" -> fingerprintSql,
     "quality_lm_surprisal" -> lmSurprisalSql,
     "quality_lm_bigram" -> lmBigramSurprisalSql,
+    "quality_lm_heldout" -> lmHeldoutSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "search_bm25" -> bm25TopKSql,
     "search_rrf" -> searchRrfSql,

@@ -87,6 +87,42 @@ class TextParitySpec extends SparkSpec {
     assert(got.exists(_._9 > 0), "all scores zero — idf collapsed")
   }
 
+  test("lm heldout: split, backoff branches, and totals match a recompute") {
+    import spark.implicits._
+    val got = TextAnalysis.lmHeldout(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.nonEmpty)
+    val toks = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), TextAnalysis.LowerWordPattern),
+        t => length(t) > lit(0)).as("ws"))
+      .as[(Long, Seq[String])].collect()
+    def ih(id: Long) = ((id % 2147483647L) * 40503L + 12345L) % 2147483647L
+    def bgs(ws: Seq[String]) = ws.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val train = toks.filter(t => ih(t._1) % 2 == 0).flatMap(t => bgs(t._2))
+    val bc = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pc = train.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val uc = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = train.size.toLong
+    def lb(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x) // len(bin)
+    val want = toks.filter(x => ih(x._1) % 2 == 1).map { case (id, ws) =>
+      val bs = bgs(ws).map { bg =>
+        bc.get(bg) match {
+          case Some(c) => (lb(pc(bg._1)) - lb(c)).toLong -> 0L
+          case None => (2L + lb(t) - uc.get(bg._2).map(lb).getOrElse(0)) -> 1L
+        }
+      }
+      val (sb, oov) = (bs.map(_._1).sum, bs.map(_._2).sum)
+      val n = bs.size.toLong
+      id -> ((n, oov, sb, if (n == 0) 0L else sb * 1000 / n))
+    }.toMap
+    assert(got == want)
+    // Non-vacuous: both backoff branches fire somewhere on the corpus.
+    assert(got.values.exists(_._2 > 0), "no OOV bigrams — backoff untested")
+    assert(got.values.exists(v => v._2 < v._1), "all OOV — seen path untested")
+  }
+
   test("rrf: fused order matches a driver-side recompute of all 3 rankers") {
     import spark.implicits._
     val got = TextAnalysis.searchRrf(spark, sf)
