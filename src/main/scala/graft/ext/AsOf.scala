@@ -27,7 +27,26 @@ object AsOf {
     * (null when no match ⇒ filtered, inner semantics). */
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, forward = false)
+
+  /** Forward (look-ahead) as-of join: for each `left` row, the EARLIEST
+    * right row with the same key and rightTime >= leftTime — the
+    * "time-to-next-X" direction (pandas merge_asof
+    * direction='forward'). Same union+window shape mirrored: right
+    * rows sort AFTER left rows at equal timestamps (inclusive match)
+    * and the carry is `first(ignoreNulls)` over the FOLLOWING frame.
+    * Still one keyed shuffle, no range join. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // A rightVals name that already exists on the left would silently
     // feed left rows' own values into the ignoreNulls carry (every row
@@ -48,16 +67,20 @@ object AsOf {
     // carries could stitch values from different rows when a column is
     // null — and (b) a matched row with null values is still a match
     // (the struct itself is non-null), exactly like a real ASOF join.
+    // Side ordering encodes the inclusive boundary: backward wants
+    // right rows BEFORE left rows at equal time (right.t <= left.t),
+    // forward wants them AFTER (right.t >= left.t).
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__row", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           rightVals.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType)))))
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .withColumn("__row", struct(rightVals.map(col): _*))
     val sel = (leftCols ++ Seq("__k", "__t", "__side", "__row")).map(colName =>
       col(colName))
@@ -65,12 +88,18 @@ object AsOf {
     val rSel = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select(sel: _*)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = {
+      val base = Window.partitionBy(col("__k"))
+        .orderBy(col("__t"), col("__side"))
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val carry =
+      if (forward) first(col("__row"), ignoreNulls = true)
+      else last(col("__row"), ignoreNulls = true)
     lSel.unionByName(rSel)
-      .withColumn("__asof", last(col("__row"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__asof").isNotNull)
+      .withColumn("__asof", carry.over(w))
+      .filter(col("__side") === lit(leftSide) && col("__asof").isNotNull)
       .select(leftCols.map(col) ++
         rightVals.map(c => col(s"__asof.$c").as(c)): _*)
   }
@@ -97,9 +126,36 @@ object AsOf {
       |  FROM orders GROUP BY o_custkey, o_orderdate) o
       |ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin
 
+  /** Forward gate: each view event joined to the SAME user's next
+    * purchase at-or-after it — time-to-next-purchase attribution, with
+    * genuine interleaving inside one table (purchases deduped to one
+    * per (user, ts), max event_id, for deterministic ties). */
+  def eventsAsofNextPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event"))
+    asofJoinForward(views, purchases, leftKey = "user_id",
+      rightKey = "p_user", leftTime = "ts", rightTime = "p_ts",
+      rightVals = Seq("p_event", "p_ts"))
+  }
+
+  val eventsAsofNextPurchaseSql: String =
+    """SELECT event_id, user_id, ts, p_event, p_ts
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'view') v
+      |ASOF JOIN (
+      |  SELECT user_id AS p_user, ts AS p_ts, MAX(event_id) AS p_event
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+      |ON v.user_id = p.p_user AND p.p_ts >= v.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_asof_orders" -> (eventsAsofOrders _))
+    "events_asof_orders" -> (eventsAsofOrders _),
+    "events_asof_next_purchase" -> (eventsAsofNextPurchase _))
 
   val oracles: Map[String, String] = Map(
-    "events_asof_orders" -> eventsAsofOrdersSql)
+    "events_asof_orders" -> eventsAsofOrdersSql,
+    "events_asof_next_purchase" -> eventsAsofNextPurchaseSql)
 }
