@@ -44,6 +44,7 @@ object SparkEntry {
         "events_json_stats" -> (ext.Events.jsonStats _),
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
         "events_hourly_anomaly" -> (ext.Events.hourlyAnomaly _),
+        "events_mad_hourly" -> (ext.Events.madHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
@@ -84,6 +85,7 @@ object SparkEntry {
       "events_json_stats" -> ext.Events.jsonStatsSql,
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
       "events_hourly_anomaly" -> ext.Events.hourlyAnomalySql,
+      "events_mad_hourly" -> ext.Events.madHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,

@@ -187,6 +187,82 @@ object Events {
         col("is_anomaly"))
   }
 
+  /** Robust (median/MAD) anomaly flags over the gap-filled hourly
+    * series — the resistant twin of [[hourlyAnomaly]]'s rolling
+    * z-score: mean/σ are themselves dragged by the outliers they are
+    * supposed to find (one 100× spike inflates σ and masks the next
+    * spike), while the median and the Median Absolute Deviation have a
+    * 50% breakdown point — the monitoring-industry default for dirty
+    * series (Leys 2013's |x − med| > 3·MAD rule).
+    *
+    * Everything stays EXACT integers via the doubled-median trick:
+    * med2 = x_((n+1) div 2) + x_((n+2) div 2) over the sorted counts
+    * (= 2·median — the two center elements, or the middle one twice at
+    * odd n), D = |2·cnt − med2| (= 2·|x − med|), mad4 = the same
+    * doubled median over D (= 4·MAD), and the flag |x − med| > 3·MAD
+    * clears denominators to 2·D > 3·mad4 — no float sqrt/mean anywhere,
+    * so both engines agree bit-for-bit including AT the threshold.
+    *
+    * Scale shape: two per-type rank windows (each rides one
+    * event_type-keyed exchange over the dashboard-sized gap-filled
+    * series) + two #types-row median joins (broadcast). The series is
+    * hours × types at any SF. */
+  def madHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gapfillHourly(spark, sfDir).localCheckpoint() // 3 consumers
+    def med2Of(df: DataFrame, valCol: String, tie: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valCol), col(tie))
+      df.withColumn("rn", row_number().over(w))
+        .join(df.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+          "event_type")
+        .withColumn("hits",
+          (col("rn") === expr("(n + 1) div 2")).cast("long") +
+            (col("rn") === expr("(n + 2) div 2")).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col(valCol) * col("hits")).as("med2"))
+    }
+    val med = med2Of(g, "cnt", "hour")
+    val dev = g.join(med, "event_type")
+      .withColumn("dev2", abs(lit(2L) * col("cnt") - col("med2")))
+    val mad = med2Of(dev.select(col("event_type"), col("dev2"), col("hour")),
+      "dev2", "hour")
+      .withColumnRenamed("med2", "mad4")
+    dev.join(mad, "event_type")
+      .select(col("hour"), col("event_type"), col("cnt"), col("med2"),
+        col("dev2"), col("mad4"),
+        (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_outlier"))
+  }
+
+  val madHourlySql: String =
+    s"""WITH g AS ($gapfillHourlySql),
+       |r1 AS (SELECT hour, event_type, cnt,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY cnt, hour) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM g),
+       |med AS (SELECT event_type,
+       |    CAST(SUM(cnt * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+       |      + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS med2
+       |  FROM r1 GROUP BY 1),
+       |dev AS (SELECT g.hour, g.event_type, g.cnt, med.med2,
+       |    abs(2 * g.cnt - med.med2) AS dev2
+       |  FROM g JOIN med USING (event_type)),
+       |r2 AS (SELECT event_type, dev2,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY dev2, hour) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM dev),
+       |mad AS (SELECT event_type,
+       |    CAST(SUM(dev2 * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+       |      + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS mad4
+       |  FROM r2 GROUP BY 1)
+       |SELECT d.hour, d.event_type, CAST(d.cnt AS BIGINT) AS cnt, d.med2,
+       |  CAST(d.dev2 AS BIGINT) AS dev2, mad.mad4,
+       |  2 * d.dev2 > 3 * mad.mad4 AS is_outlier
+       |FROM dev d JOIN mad USING (event_type)""".stripMargin
+
   val hourlyAnomalySql: String =
     s"""WITH g AS ($gapfillHourlySql),
        |w AS (SELECT hour, event_type, cnt,

@@ -131,4 +131,30 @@ class AnomalySpec extends SparkSpec {
       assert(rows.map(_._3).sum == rows.head._4, s"total($p)")
     }
   }
+
+  test("MAD flags match an independent doubled-median fold") {
+    val series = Events.gapfillHourly(spark, sf)
+      .collect().map(r => (r.getString(1), r.getTimestamp(0), r.getLong(2)))
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1) // 1-indexed center pair
+    }
+    val want = series.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val m2 = med2(rows.map(_._3).toSeq)
+      val devs = rows.toSeq.map(r => (r._2, r._3, math.abs(2 * r._3 - m2)))
+      val m4 = med2(devs.map(_._3))
+      devs.map { case (h, c, d) =>
+        (tpe, h) -> ((c, m2, d, m4, 2 * d > 3 * m4)) }
+    }.toMap
+    val got = Events.madHourly(spark, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got == want)
+    // Robustness is the point: flags exist, and they are a minority
+    // (a robust detector must not flag half the series).
+    val flagged = got.values.count(_._5)
+    assert(flagged > 0, "no outliers flagged — threshold vacuous")
+    assert(flagged * 4 < got.size, s"$flagged/${got.size} flagged")
+  }
 }
