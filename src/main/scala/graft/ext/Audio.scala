@@ -191,6 +191,79 @@ object Audio {
     }.toDF()
   }
 
+  /** Fingerprint window, in frames. */
+  private val FpWindow = 8
+
+  /** Energy-delta sign fingerprint of a decoded clip (channel 0):
+    * window the signal into [[FpWindow]]-frame blocks, bit w = 1 iff
+    * E(w+1) > E(w). Returns (n_windows, fingerprint). */
+  private[graft] def fingerprintOf(wav: WavCodec.WavAudio): (Long, Long) = {
+    val ch = wav.channels
+    val frames = wav.samples.length / ch
+    val nw = frames / FpWindow
+    val e = Array.tabulate(nw) { w =>
+      var s = 0L
+      var f = w * FpWindow
+      while (f < (w + 1) * FpWindow) {
+        val v = wav.samples(f * ch).toLong
+        s += v * v
+        f += 1
+      }
+      s
+    }
+    var fp = 0L
+    var w = 0
+    while (w < nw - 1) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    (nw.toLong, fp)
+  }
+
+  /** Audio fingerprinting for dedup — the energy-delta sign bits of
+    * Haitsma/Kalker 2002 ("A Highly Robust Audio Fingerprinting
+    * System") collapsed to one band: window the decoded channel-0
+    * signal into [[FpWindow]]-frame blocks and emit one bit per window
+    * boundary — 1 iff the next window's exact energy exceeds this
+    * one's. No FFT in either engine (the filterbank is out of scope);
+    * what the operator keeps is the paper's BIT DERIVATION and its
+    * robustness property — sign-of-delta bits are invariant under
+    * amplitude scaling (energies scale by g², deltas keep their sign),
+    * which the spec PROVES by re-encoding a clip at double gain and
+    * getting the identical fingerprint. The fingerprint table is what
+    * an audio-dedup join keys on (same banding machinery as
+    * [[graft.ext.Dedup.simhashHamming]] applies downstream).
+    *
+    * Spark side runs through the REAL RIFF codec (encode→decode→
+    * window); the oracle recomputes windows straight from the text
+    * formula — so a codec offset/interleave bug breaks the gate.
+    * Partition-local map work, zero shuffles. */
+  def audioFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedClips(spark, sfDir).map { case (id, wav) =>
+      val (nw, fp) = fingerprintOf(wav)
+      (id, nw, fp)
+    }.toDF("doc_id", "n_windows", "fingerprint")
+  }
+
+  lazy val audioFingerprintSql: String = { // lazy: composes CTEs declared below
+    val v = vExpr("f * ch")
+    s"""WITH $clipCte,
+       |en AS (SELECT doc_id, frames // $FpWindow AS nw,
+       |    list_transform(range(0, CAST(frames // $FpWindow AS INTEGER)), w ->
+       |      list_sum(list_prepend(0::BIGINT,
+       |        list_transform(range(w * $FpWindow, (w + 1) * $FpWindow),
+       |          f -> CAST($v AS BIGINT) * CAST($v AS BIGINT))))) AS e
+       |  FROM wavd)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(list_sum(list_prepend(0::BIGINT,
+       |    list_transform(range(0, CAST(nw - 1 AS INTEGER)), w ->
+       |      CASE WHEN e[w + 2] > e[w + 1]
+       |           THEN (1::BIGINT << CAST(w AS INTEGER)) ELSE 0::BIGINT END)))
+       |    AS BIGINT) AS fingerprint
+       |FROM en""".stripMargin
+  }
+
   /** Oracle CTE shared by both gates: per-doc params + the sample
     * formula over overall index i. */
   private val clipCte: String =
@@ -232,9 +305,11 @@ object Audio {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_wav" -> (decodeWav _),
-    "multimodal_audio_decimate" -> (decimateWav _))
+    "multimodal_audio_decimate" -> (decimateWav _),
+    "multimodal_audio_fingerprint" -> (audioFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_decode_wav" -> decodeWavSql,
-    "multimodal_audio_decimate" -> decimateWavSql)
+    "multimodal_audio_decimate" -> decimateWavSql,
+    "multimodal_audio_fingerprint" -> audioFingerprintSql)
 }

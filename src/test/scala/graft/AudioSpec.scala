@@ -83,4 +83,27 @@ class AudioSpec extends SparkSpec {
     bad(52) = 6 // 6 bytes = 3 samples: not divisible by 2*ch
     assert(WavCodec.decode(bad).isEmpty, "misaligned frames accepted")
   }
+
+  test("fingerprint: gain-invariant, content-sensitive, fold-exact") {
+    import graft.ext.Audio
+    def clip(samples: Seq[Int], ch: Int = 1) =
+      WavCodec.decode(WavCodec.encode(8000, ch,
+        samples.map(_.toShort).toArray)).get
+    // 32 frames -> 4 windows of 8; energies shaped low/high/low/high.
+    val base = Seq.fill(8)(10) ++ Seq.fill(8)(100) ++
+      Seq.fill(8)(20) ++ Seq.fill(8)(200)
+    val (nw, fp) = Audio.fingerprintOf(clip(base.map(_ * 1)))
+    assert(nw == 4)
+    // e1>e0 (bit0), e2<e1 (no bit1), e3>e2 (bit2) -> 0b101.
+    assert(fp == 5L, s"fp=$fp")
+    // Amplitude scaling preserves every delta sign — the Haitsma/Kalker
+    // robustness property, proven not claimed.
+    assert(Audio.fingerprintOf(clip(base.map(_ * 2))) == ((4L, 5L)))
+    assert(Audio.fingerprintOf(clip(base.map(_ * -3))) == ((4L, 5L)))
+    // Content actually matters: reversing the shape flips the bits.
+    assert(Audio.fingerprintOf(clip(base.reverse))._2 != 5L)
+    // Stereo: channel 0 drives the fingerprint; channel 1 is ignored.
+    val stereoSamples = base.flatMap(v => Seq(v, 9999))
+    assert(Audio.fingerprintOf(clip(stereoSamples, ch = 2)) == ((4L, 5L)))
+  }
 }
