@@ -102,21 +102,27 @@ object Communities {
       .unionAll(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))
       .localCheckpoint()
-    var nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    var nodes: DataFrame = null // null ⇒ round 1: survivors = all nodes
     var deg: DataFrame = null
     var prevDeg: DataFrame = null
     for (_ <- 1 to PeelRounds) {
-      val sub = edges
-        .join(nodes.select(col("node").as("sa")), col("src") === col("sa"))
-        .join(nodes.select(col("node").as("sb")), col("dst") === col("sb"))
+      // Round 1's survivor set is every node, so filtering the edge
+      // list against it is the identity — skip the two joins and
+      // compute plain degree (the oracle's s1-over-n0 round is the
+      // same identity, so results are unchanged; at scale this drops
+      // 2 of the 8 edge-list joins).
+      val sub =
+        if (nodes == null) edges
+        else edges
+          .join(nodes.select(col("node").as("sa")), col("src") === col("sa"))
+          .join(nodes.select(col("node").as("sb")), col("dst") === col("sb"))
       val d = sub.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
       prevDeg = deg
       deg = d
       val grown = deg.filter(col("c") >= CoreK)
         .select(col("src").as("node")).localCheckpoint()
-      Frames.freeCheckpoint(nodes) // superseded by `grown`
+      if (nodes != null) Frames.freeCheckpoint(nodes) // superseded by `grown`
       if (prevDeg != null) Frames.freeCheckpoint(prevDeg)
       nodes = grown
     }

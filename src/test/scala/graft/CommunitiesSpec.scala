@@ -85,6 +85,21 @@ class CommunitiesSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L, 4L) && got.values.forall(_ == 3L))
   }
 
+  test("degenerate graphs: empty edge frame, single edge") {
+    val empty = Seq.empty[(Long, Long)].toDF("part_a", "part_b")
+    assert(Communities.communitiesOf(empty).collect().isEmpty)
+    assert(Communities.kcoreOf(empty).collect().isEmpty)
+    // One edge IS the bipartite oscillator from the scaladoc: each
+    // endpoint adopts the other's label every round, so after an even
+    // round count both are back at their own id — the fixed-round
+    // semantics make that the defined answer, and the independent fold
+    // agrees. The 2-core is empty (each endpoint has degree 1 < 2).
+    val one = Seq((7L, 3L)).toDF("part_a", "part_b")
+    assert(lpaRows(Seq((7L, 3L))) == lpaRef(Seq((7L, 3L))))
+    assert(lpaRows(Seq((7L, 3L))) == Map(7L -> 7L, 3L -> 3L))
+    assert(Communities.kcoreOf(one).collect().isEmpty)
+  }
+
   test("corpus gates are shuffle-partition invariant") {
     val a = Communities.partsCommunities(spark, sf).orderBy("part")
       .collect().map(_.toString).toSeq

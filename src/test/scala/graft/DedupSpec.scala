@@ -116,6 +116,15 @@ class DedupSpec extends SparkSpec {
       "0x1F42 is rank-adjacent but 5+ bits away — verify must kill it")
   }
 
+  test("hamming + snm: empty and singleton signature frames yield no pairs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+    assert(Dedup.hammingPairsOf(empty).collect().isEmpty)
+    assert(Dedup.snmPairsOf(empty).collect().isEmpty)
+    val one = Seq(1L -> 42L).toDF("doc_id", "simhash")
+    assert(Dedup.hammingPairsOf(one).collect().isEmpty)
+    assert(Dedup.snmPairsOf(one).collect().isEmpty)
+  }
+
   test("sorted neighborhood: partition invariance and recall vs banded truth") {
     val a = Dedup.sortedNeighborhood(spark, sf).collect()
       .map(_.toString).sorted.toSeq
