@@ -45,6 +45,7 @@ object SparkEntry {
         "events_gapfill_hourly" -> (ext.Events.gapfillHourly _),
         "events_hourly_anomaly" -> (ext.Events.hourlyAnomaly _),
         "events_mad_hourly" -> (ext.Events.madHourly _),
+        "events_throttle_hourly" -> (ext.Events.throttleHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
@@ -86,6 +87,7 @@ object SparkEntry {
       "events_gapfill_hourly" -> ext.Events.gapfillHourlySql,
       "events_hourly_anomaly" -> ext.Events.hourlyAnomalySql,
       "events_mad_hourly" -> ext.Events.madHourlySql,
+      "events_throttle_hourly" -> ext.Events.throttleHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,

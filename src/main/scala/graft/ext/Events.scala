@@ -187,6 +187,61 @@ object Events {
         col("is_anomaly"))
   }
 
+  /** Per-user hourly admission quota. */
+  val ThrottleMax = 3L
+
+  /** Planted runaway producer (the pii/phash/audit non-vacuity
+    * pattern): the corpus's organic traffic never exceeds the quota at
+    * gate SF, and a throttle whose drop branch never fires is only
+    * proven to COMPILE — so both engines deterministically clone each
+    * idHash-selected event three times at +1..3 µs (a burst from the
+    * same producer), and must EARN matching drop counts through their
+    * admission machinery. Events outside the selected slice prove the
+    * quota also stays silent on sane traffic. */
+  private[graft] def eventsWithBursts(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("user_id"), col("ts"), col("event_id"))
+    val clones = base
+      .filter(Hashing.idHash(col("event_id")) % 7 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        explode(expr("sequence(1, 3)")).as("k"))
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(unix_micros(cast(ts as timestamp)) + k)" +
+          " as timestamp_ntz)").as("ts"),
+        (col("event_id") + col("k") * 1000000000L).as("event_id"))
+    base.unionByName(clones)
+  }
+
+  /** Ingestion rate-limit accounting: per (user, hour), how many events
+    * the first-[[ThrottleMax]]-per-hour admission rule admits and
+    * drops — the abuse/runaway-producer guard an ingest edge applies
+    * before anything downstream pays for the traffic (input includes
+    * the planted bursts of [[eventsWithBursts]]). Batch counts need no
+    * ordering (admitted = min(n, max) regardless of WHICH events are
+    * first), so the plan is one map-side-combinable keyed count — the
+    * interesting ordered, per-event admission state machine lives in
+    * the streaming twin ([[graft.streaming.Streaming]]
+    * `events_stream_throttle`), which must reproduce these exact
+    * counts through per-key quota state. */
+  def throttleHourly(spark: SparkSession, sfDir: String): DataFrame =
+    eventsWithBursts(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("hour"),
+        least(col("n"), lit(ThrottleMax)).as("n_admitted"),
+        (col("n") - least(col("n"), lit(ThrottleMax))).as("n_dropped"))
+
+  val throttleHourlySql: String =
+    s"""WITH base AS (SELECT user_id, ts, event_id FROM events),
+       |clones AS (SELECT user_id, ts + k * INTERVAL 1 MICROSECOND AS ts,
+       |    event_id + k * 1000000000 AS event_id
+       |  FROM base, UNNEST([1, 2, 3]) t(k)
+       |  WHERE (${Hashing.idHashSql("event_id")}) % 7 = 0),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
+       |SELECT user_id, date_trunc('hour', ts) AS hour,
+       |  CAST(LEAST(COUNT(*), $ThrottleMax) AS BIGINT) AS n_admitted,
+       |  CAST(COUNT(*) - LEAST(COUNT(*), $ThrottleMax) AS BIGINT) AS n_dropped
+       |FROM allv GROUP BY 1, 2""".stripMargin
+
   /** Robust (median/MAD) anomaly flags over the gap-filled hourly
     * series — the resistant twin of [[hourlyAnomaly]]'s rolling
     * z-score: mean/σ are themselves dragged by the outliers they are

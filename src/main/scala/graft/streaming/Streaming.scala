@@ -585,6 +585,80 @@ object Streaming {
         max(col("n_events")).as("n_events"))
   }
 
+  /** Per-user quota state for [[ThrottleProcessor]]: the CURRENT hour's
+    * admission counters plus the in-order tripwire cursor. */
+  case class ThrottleState(hourStart: Long, nAdm: Long, nDrop: Long,
+      lastTs: Long)
+
+  /** The per-event admission state machine behind
+    * [[throttleStream]]: events arrive in order per user (§7.7.5), the
+    * state is ONE hour's counters (a closed hour can never reopen under
+    * in-order delivery, so state per key is O(1) — the property that
+    * makes a quota enforcer cheap at any rate), and each batch emits
+    * the running counters for every hour it touched; `nAdm + nDrop` is
+    * strictly increasing within an hour, so max_by finalizes. */
+  private class ThrottleProcessor(maxPerHour: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long),
+        (Long, Long, Long, Long)] {
+    private val HourMicros = 3600000000L
+    @transient private var st: ValueState[ThrottleState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ThrottleState]("quota",
+        Encoders.product[ThrottleState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(e => (e._2, e._3))
+      var s = if (st.exists()) st.get()
+        else ThrottleState(Long.MinValue, 0L, 0L, Long.MinValue)
+      if (sorted.nonEmpty && sorted.head._2 < s.lastTs)
+        throw new IllegalStateException(
+          s"ThrottleProcessor: out-of-order event for user $uid: " +
+            s"incoming ts ${sorted.head._2} < last applied ${s.lastTs}")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      sorted.foreach { case (_, tsu, _) =>
+        val hour = tsu - tsu % HourMicros
+        if (hour != s.hourStart) {
+          if (s.hourStart != Long.MinValue)
+            out += ((uid, s.hourStart, s.nAdm, s.nDrop)) // hour closed
+          s = ThrottleState(hour, 0L, 0L, tsu)
+        }
+        if (s.nAdm < maxPerHour) s = s.copy(nAdm = s.nAdm + 1, lastTs = tsu)
+        else s = s.copy(nDrop = s.nDrop + 1, lastTs = tsu)
+      }
+      st.update(s)
+      if (s.hourStart != Long.MinValue)
+        out += ((uid, s.hourStart, s.nAdm, s.nDrop)) // running partial
+      out.iterator
+    }
+  }
+
+  /** Streaming rate-limiter twin of the batch
+    * `events_throttle_hourly`: per-event first-N-per-hour admission
+    * through O(1) keyed quota state; the drained counters must equal
+    * the batch count arithmetic — the oracle is the batch SQL. */
+  def throttleStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val typed = graft.ext.Events.eventsWithBursts(eventStream(spark, sfDir))
+      .select(
+        col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id").cast("long")).as[(Long, Long, Long)]
+    val updates = typed.groupByKey(_._1)
+      .transformWithState(
+        new ThrottleProcessor(graft.ext.Events.ThrottleMax),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "hour_us", "n_admitted", "n_dropped")
+    runToParquet(updates, OutputMode.Update(), "throttle")
+      .groupBy(col("user_id"), col("hour_us"))
+      .agg(max_by(struct(col("n_admitted"), col("n_dropped")),
+        col("n_admitted") + col("n_dropped")).as("s"))
+      .select(col("user_id"),
+        expr("cast(timestamp_micros(hour_us) as timestamp_ntz)").as("hour"),
+        col("s.n_admitted").as("n_admitted"),
+        col("s.n_dropped").as("n_dropped"))
+  }
+
   /** Streaming exact dedup — first-seen-wins per content hash with
     * keyed state, the shape of a streaming ingestion dedup stage. State
     * per hash is (keeper = min doc_id, cnt); each update is stamped with
@@ -772,6 +846,7 @@ object Streaming {
     "events_stream_sessionize_tws" -> (sessionizeTwsStream _),
     "events_stream_click_attrib" -> (clickAttributionStream _),
     "events_stream_dedup_ids" -> (dedupIdsStream _),
+    "events_stream_throttle" -> (throttleStream _),
     "events_stream_enrich" -> (enrichStream _),
     "events_stream_windowed_append" -> (windowedAppendStream _),
     "corpus_tokenize_stream" -> (tokenizeStream _))
@@ -786,6 +861,7 @@ object Streaming {
     "events_stream_sessionize_tws" -> graft.ext.Events.sessionizeSql,
     "events_stream_click_attrib" -> graft.ext.Events.clickAttributionSql,
     "events_stream_dedup_ids" -> dedupIdsSql,
+    "events_stream_throttle" -> graft.ext.Events.throttleHourlySql,
     "events_stream_enrich" -> enrichSql,
     "events_stream_windowed_append" -> windowedAppendSql,
     "corpus_tokenize_stream" -> graft.ext.Tokenize.corpusTokenizeSql)

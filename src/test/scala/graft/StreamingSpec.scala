@@ -618,4 +618,24 @@ class StreamingSpec extends SparkSpec {
     assert(tws == mgws, "the two arbitrary-state APIs must fold identically")
     assert(tws.nonEmpty)
   }
+
+  test("streaming throttle quota state equals the batch count arithmetic") {
+    // hour renders as LocalDateTime (ntz) on one side and Timestamp on
+    // the other — same instant, different JVM classes; compare as the
+    // session-UTC string both engines agree on (the driver's canon
+    // likewise compares values, not JVM classes).
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("hour").cast("string").as("hour"),
+        col("n_admitted"), col("n_dropped"))
+      .collect().map(_.toString).toSet
+    val stream = canon(Streaming.throttleStream(spark, sf))
+    val batch = canon(graft.ext.Events.throttleHourly(spark, sf))
+    assert(stream == batch,
+      "per-event quota admission must reproduce the batch counts")
+    assert(stream.nonEmpty)
+    // The quota actually bites somewhere: at least one hour drops.
+    val dropped = graft.ext.Events.throttleHourly(spark, sf)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(dropped > 0, "no hour exceeds the quota — gate vacuous")
+  }
 }
