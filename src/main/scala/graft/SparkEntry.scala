@@ -47,6 +47,7 @@ object SparkEntry {
         "events_mad_hourly" -> (ext.Events.madHourly _),
         "events_throttle_hourly" -> (ext.Events.throttleHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
+        "events_trend_ols" -> (ext.Events.trendOls _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
@@ -89,6 +90,7 @@ object SparkEntry {
       "events_mad_hourly" -> ext.Events.madHourlySql,
       "events_throttle_hourly" -> ext.Events.throttleHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
+      "events_trend_ols" -> ext.Events.trendOlsSql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,

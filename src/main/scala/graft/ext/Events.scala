@@ -318,6 +318,89 @@ object Events {
        |  2 * d.dev2 > 3 * mad.mad4 AS is_outlier
        |FROM dev d JOIN mad USING (event_type)""".stripMargin
 
+  /** Integer least-squares trend per event_type over the gap-filled
+    * hourly series — "is this event family growing or dying?", the
+    * capacity-planning twin of the anomaly scans. All five OLS moments
+    * (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT Longs over the dense
+    * spine (x = per-type hour rank, deterministic because the spine is
+    * dense and hours unique), and the closed forms keep cleared
+    * denominators:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *
+    * — numerator and denominator emitted as exact Longs (the
+    * cross-engine-comparable part), the ratio and r² as IEEE doubles on
+    * those exact inputs (the [[Similarity]] cosine convention; a
+    * truncating `div` would diverge from the oracle's flooring `//` on
+    * negative slopes, so the division is NEVER done in integers).
+    * Long-safety at sf0.1 magnitudes: Σxy ≤ T²·ŷ ≈ 2·10¹⁰, n·Σxy ≈
+    * 4·10¹³, Σx·Σxy ≈ 8·10¹⁶ — all inside Long; r²'s num² would
+    * overflow, so it is composed in doubles from the exact Longs.
+    *
+    * Scale: rides the same dashboard-sized spine as the MAD/EWMA family
+    * (hours × types at any SF) — one rank window + one #types-row agg. */
+  def trendOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val xw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val s = gapfillHourly(spark, sfDir)
+      .withColumn("x", row_number().over(xw).cast("long") - 1L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("cnt")).as("sy"), sum(col("x") * col("cnt")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("cnt") * col("cnt")).as("syy"))
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("icpt_num", col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .withColumn("vy_num", col("n") * col("syy") - col("sy") * col("sy"))
+    s.select(col("event_type"), col("n").as("n_hours"), col("sy").as("sum_y"),
+      col("slope_num"), col("slope_den"),
+      when(col("slope_den") === 0, lit(null))
+        .otherwise(col("slope_num").cast("double") /
+          col("slope_den").cast("double")).as("slope"),
+      when(col("slope_den") === 0, lit(null))
+        .otherwise(col("icpt_num").cast("double") /
+          col("slope_den").cast("double")).as("intercept"),
+      when(col("slope_den") === 0 || col("vy_num") === 0, lit(null))
+        .otherwise(col("slope_num").cast("double") *
+          col("slope_num").cast("double") /
+          (col("slope_den").cast("double") * col("vy_num").cast("double")))
+        .as("r2"))
+  }
+
+  val trendOlsSql: String =
+    s"""WITH g AS ($gapfillHourlySql),
+       |xg AS (SELECT event_type, cnt,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour)
+       |      AS BIGINT) - 1 AS x
+       |  FROM g),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(cnt) AS BIGINT) AS sy,
+       |    CAST(SUM(x * cnt) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(cnt * cnt) AS BIGINT) AS syy
+       |  FROM xg GROUP BY 1),
+       |d AS (SELECT event_type, n, sy,
+       |    n * sxy - sx * sy AS slope_num,
+       |    n * sxx - sx * sx AS slope_den,
+       |    sy * sxx - sx * sxy AS icpt_num,
+       |    n * syy - sy * sy AS vy_num
+       |  FROM m)
+       |SELECT event_type, n AS n_hours, sy AS sum_y,
+       |  CAST(slope_num AS BIGINT) AS slope_num,
+       |  CAST(slope_den AS BIGINT) AS slope_den,
+       |  CASE WHEN slope_den = 0 THEN NULL
+       |       ELSE CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+       |  END AS slope,
+       |  CASE WHEN slope_den = 0 THEN NULL
+       |       ELSE CAST(icpt_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+       |  END AS intercept,
+       |  CASE WHEN slope_den = 0 OR vy_num = 0 THEN NULL
+       |       ELSE CAST(slope_num AS DOUBLE) * CAST(slope_num AS DOUBLE)
+       |            / (CAST(slope_den AS DOUBLE) * CAST(vy_num AS DOUBLE))
+       |  END AS r2
+       |FROM d""".stripMargin
+
   val hourlyAnomalySql: String =
     s"""WITH g AS ($gapfillHourlySql),
        |w AS (SELECT hour, event_type, cnt,
