@@ -48,6 +48,7 @@ object SparkEntry {
         "events_throttle_hourly" -> (ext.Events.throttleHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
         "events_trend_ols" -> (ext.Events.trendOls _),
+        "events_scd2_user_type" -> (ext.Events.scd2UserType _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
@@ -91,6 +92,7 @@ object SparkEntry {
       "events_throttle_hourly" -> ext.Events.throttleHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
       "events_trend_ols" -> ext.Events.trendOlsSql,
+      "events_scd2_user_type" -> ext.Events.scd2UserTypeSql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,

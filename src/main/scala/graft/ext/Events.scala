@@ -368,6 +368,66 @@ object Events {
         .as("r2"))
   }
 
+  /** SCD-2 interval build — run-length encode each user's event-type
+    * stream into validity intervals (valid_from / valid_to / is_current),
+    * the slowly-changing-dimension shape every warehouse keeps for
+    * "what was this entity's state at time T?" queries. Classic
+    * gaps-and-islands: island id = rn_overall − rn_within_type (both
+    * over the SAME total order (ts, event_id) — ties broken by id, so
+    * the islands are engine- and partition-invariant), then valid_to =
+    * next island's valid_from via lead() (NULL ⇒ current). Segment
+    * order for the lead is (valid_from, first event_id) — two islands
+    * of one user CAN share valid_from when a timestamp tie spans a type
+    * flip, and the id tiebreak keeps the chain total.
+    *
+    * Scale shape: every window and the final agg ride ONE user_id
+    * clustering (the sessionize/funnel discipline); per-row state is
+    * two ranks. Output is #islands rows — bounded by #events, typically
+    * far fewer. */
+  def scd2UserType(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Of(Tables.events(spark, sfDir))
+
+  /** The interval build over any (user_id, event_type, ts, event_id)
+    * frame — the testable seam. */
+  private[graft] def scd2Of(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val seg = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp", row_number().over(w) - row_number().over(wt))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min(col("ts")).as("valid_from"),
+        min(col("event_id")).as("first_eid"),
+        count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("first_eid"))
+    seg
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+  }
+
+  val scd2UserTypeSql: String =
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type
+      |          ORDER BY ts, event_id) AS grp
+      |  FROM events),
+      |seg AS (SELECT user_id, event_type, grp,
+      |    MIN(ts) AS valid_from, MIN(event_id) AS first_eid,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM o GROUP BY user_id, event_type, grp)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_eid) AS valid_to,
+      |  n_events,
+      |  lead(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_eid) IS NULL AS is_current
+      |FROM seg""".stripMargin
+
   val trendOlsSql: String =
     s"""WITH g AS ($gapfillHourlySql),
        |xg AS (SELECT event_type, cnt,

@@ -530,6 +530,80 @@ object Sketches {
        |FROM e""".stripMargin
   }
 
+  /** Per-SOURCE HyperLogLog — the grouped form every monitoring stack
+    * actually runs ("distinct shingles per domain, daily"): the same 64
+    * integer registers as [[hllDistinctShingles]], keyed by source, so
+    * the state is #sources × m register rows — mergeable by MAX across
+    * any partitioning/time-slicing, which is the whole point of HLL as
+    * an operational sketch (yesterday's registers ⊎ today's = the union
+    * estimate, no re-scan). Same zero-float rho CASE and embedded
+    * linear-counting table; exact per-source distinct audited alongside
+    * at gate scale (dropped at 100 TB — it is the global distinct the
+    * sketch replaces). */
+  def hllGroupedBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = HllWBits + 1
+    val wh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(GraftFunctions.shingleHashes(
+        GraftFunctions.wordHashes(col("text")), 3)).as("h"))
+      .localCheckpoint() // 2 consumers: registers + exact audit
+    val regs = wh
+      .selectExpr("source", s"h % $HllM AS bucket", s"h div $HllM AS w")
+      .select(col("source"), col("bucket"), expr(hllRhoCase).as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val numer = (HllAlphaNum * HllM * HllM) << S
+    val est = regs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nb"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $S - reg)")), lit(0L))
+          .as("spp"))
+      .select(col("source"), (lit(HllM.toLong) - col("nb")).as("zero_regs"),
+        (col("spp") + (lit(HllM.toLong) - col("nb")) * (1L << S)).as("sum_pow"))
+      .withColumn("est_raw", expr(s"${numer}L div ($HllAlphaDen * sum_pow)"))
+      .select(col("source"), col("zero_regs"), col("sum_pow"),
+        when(col("zero_regs") > 0 && col("est_raw") * 2 <= 5L * HllM,
+          element_at(array(hllLcTable.map(lit): _*),
+            col("zero_regs").cast("int")))
+          .otherwise(col("est_raw")).as("est_distinct"))
+    val exact = wh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("h")).as("exact_distinct"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n_items"), col("zero_regs"),
+        col("sum_pow"), col("est_distinct"), col("exact_distinct"))
+  }
+
+  val hllGroupedBySourceSql: String = {
+    import graft.ext.Hashing.{shingleHashesSql, wordHashesSql}
+    val S = HllWBits + 1
+    val numer = (HllAlphaNum * HllM * HllM) << S
+    s"""WITH wh AS (
+       |  SELECT source, unnest(sh) AS h FROM (
+       |    SELECT source, ${shingleHashesSql("whs", 3)} AS sh FROM (
+       |      SELECT source, ${wordHashesSql("text")} AS whs FROM documents))),
+       |b AS (SELECT source, h % $HllM AS bucket, h // $HllM AS w FROM wh),
+       |regs AS (SELECT source, bucket, MAX($hllRhoCase) AS reg
+       |  FROM b GROUP BY source, bucket),
+       |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nb,
+       |    CAST(COALESCE(SUM(1::BIGINT << ($S - reg)), 0) AS BIGINT) AS spp
+       |  FROM regs GROUP BY source),
+       |s AS (SELECT source, $HllM - nb AS zero_regs,
+       |    spp + ($HllM - nb) * ${1L << S} AS sum_pow FROM a),
+       |e AS (SELECT source, zero_regs, sum_pow,
+       |    $numer // ($HllAlphaDen * sum_pow) AS est_raw FROM s),
+       |x AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct
+       |  FROM wh GROUP BY source)
+       |SELECT e.source, x.n_items,
+       |  CAST(zero_regs AS BIGINT) AS zero_regs,
+       |  CAST(sum_pow AS BIGINT) AS sum_pow,
+       |  CAST(CASE WHEN zero_regs > 0 AND est_raw * 2 <= ${5 * HllM}
+       |       THEN list_extract([${hllLcTable.mkString(", ")}],
+       |         CAST(zero_regs AS INT))
+       |       ELSE est_raw END AS BIGINT) AS est_distinct,
+       |  x.exact_distinct
+       |FROM e JOIN x ON e.source = x.source""".stripMargin
+  }
+
   // ------------------------------------------------- histogram quantiles
 
   /** Bin width in cents (power of two so `div` is exact): the estimate's
@@ -723,6 +797,7 @@ object Sketches {
     "join_bloom_filtered" -> (bloomFilteredJoin _),
     "sketch_kmv_grouped" -> (kmvGroupedShingles _),
     "sketch_hll_distinct" -> (hllDistinctShingles _),
+    "sketch_hll_grouped_source" -> (hllGroupedBySource _),
     "sketch_quantile_prices" -> (quantilePrices _))
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +808,6 @@ object Sketches {
     "join_bloom_filtered" -> bloomFilteredJoinSql,
     "sketch_kmv_grouped" -> kmvGroupedShinglesSql,
     "sketch_hll_distinct" -> hllDistinctShinglesSql,
+    "sketch_hll_grouped_source" -> hllGroupedBySourceSql,
     "sketch_quantile_prices" -> quantilePricesSql)
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -954,6 +955,71 @@ object TextAnalysis {
       |SELECT b.doc_id, b.bg AS phrase, CAST(COUNT(*) AS BIGINT) AS n_hits
       |FROM bg b JOIN top USING (bg) GROUP BY 1, 2""".stripMargin
 
+  /** Positional window in words for [[proximitySearch]]. */
+  private val ProxWindow = 8
+
+  /** Proximity search — the retrieval predicate BETWEEN bag-of-words AND
+    * exact phrase: both query terms within [[ProxWindow]] words of each
+    * other, any order (NEAR/k in classical IR engines; phrase is the
+    * k=1, ordered special case). Query = the same 2 rarest corpus terms
+    * the conjunctive gate probes (df asc, word asc — data-derived,
+    * deterministic), so the three search gates form a strictness ladder
+    * over one query: AND ⊇ NEAR/8 ⊇ phrase.
+    *
+    * Scale shape: positional postings (doc, word, pos) filtered by the
+    * 2-term broadcast BEFORE any exchange (cost scales with matching
+    * postings, not corpus — the BM25 discipline); the per-doc position
+    * pairing is keyed on doc_id and bounded by tf₁·tf₂ of the RAREST
+    * terms (rare by construction; a frequent-term NEAR would ride the
+    * phrase gate's adjacency encoding instead). Per doc: pair count
+    * within the window and the exact minimum distance. */
+  def proximitySearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.engine.Tokenizer.tokens(lower(col("text")),
+          LowerWordPattern)))
+      .toDF("doc_id", "pos", "word")
+      .localCheckpoint() // consumers: df ranking, both term probes
+    val terms = pos.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df"), col("word")).limit(2)
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("df"), col("word"))))
+    val hits = pos.join(broadcast(terms), Seq("word"))
+    val a = hits.filter(col("tid") === 1)
+      .select(col("doc_id"), col("word").as("term_a"), col("pos").as("pa"))
+    val b = hits.filter(col("tid") === 2)
+      .select(col("doc_id"), col("word").as("term_b"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") <= ProxWindow)
+      .groupBy(col("doc_id"), col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dist")).cast("long").as("min_dist"))
+  }
+
+  val proximitySearchSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS word,
+       |    unnest(range(0, len(list_filter(
+       |      regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')))) AS pos
+       |  FROM documents),
+       |dfx AS (SELECT word, COUNT(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY 1),
+       |terms AS (SELECT word, row_number() OVER (ORDER BY df, word) AS tid
+       |  FROM dfx ORDER BY df, word LIMIT 2),
+       |a AS (SELECT doc_id, t.word AS term_a, pos AS pa
+       |  FROM tok JOIN terms t ON tok.word = t.word WHERE t.tid = 1),
+       |b AS (SELECT doc_id, t.word AS term_b, pos AS pb
+       |  FROM tok JOIN terms t ON tok.word = t.word WHERE t.tid = 2)
+       |SELECT a.doc_id, term_a, term_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(MIN(abs(pa - pb)) AS BIGINT) AS min_dist
+       |FROM a JOIN b ON a.doc_id = b.doc_id
+       |WHERE abs(pa - pb) <= $ProxWindow
+       |GROUP BY a.doc_id, term_a, term_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -970,7 +1036,8 @@ object TextAnalysis {
     "search_bm25" -> (bm25TopK _),
     "search_rrf" -> (searchRrf _),
     "search_postings_and" -> (postingsAnd _),
-    "search_phrase" -> (phraseSearch _))
+    "search_phrase" -> (phraseSearch _),
+    "search_proximity" -> (proximitySearch _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -988,5 +1055,6 @@ object TextAnalysis {
     "search_bm25" -> bm25TopKSql,
     "search_rrf" -> searchRrfSql,
     "search_postings_and" -> postingsAndSql,
-    "search_phrase" -> phraseSearchSql)
+    "search_phrase" -> phraseSearchSql,
+    "search_proximity" -> proximitySearchSql)
 }

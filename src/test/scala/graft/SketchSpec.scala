@@ -118,6 +118,33 @@ class SketchSpec extends SparkSpec {
     assert(twice.getLong(3) == once.getLong(3), "estimate unchanged")
   }
 
+  test("grouped HLL: per-source estimates track exact, state is m rows max") {
+    val rows = Sketches.hllGroupedBySource(spark, sf)
+      .select("source", "zero_regs", "est_distinct", "exact_distinct")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zeroRegs, est, exact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(zeroRegs >= 0 && zeroRegs <= 64)
+      // m=64 ⇒ σ ≈ 13%; individual fixed-corpus groups can land 3σ+ out
+      // (observed 44% on one sf0.001 source), so the per-group band is
+      // wide and the sharp assertion is on the MEAN error below.
+      assert(math.abs(est - exact).toDouble / exact.max(1L) <= 0.6,
+        s"source ${r.getString(0)}: est $est vs exact $exact")
+    }
+    val meanRelErr = rows.map(r =>
+      math.abs(r.getLong(2) - r.getLong(3)).toDouble / r.getLong(3).max(1L))
+      .sum / rows.length
+    assert(meanRelErr <= 0.2, s"mean relative error $meanRelErr")
+    // Grouped sketch must reconcile with the global one: the union of
+    // per-source universes IS the corpus universe, so Σ exact_per_source
+    // >= global exact (shingles shared across sources double-count).
+    val globalExact = Sketches.hllDistinctShingles(spark, sf)
+      .collect().head.getLong(4)
+    assert(rows.map(_.getLong(3)).sum >= globalExact)
+  }
+
   test("histogram quantiles: est <= exact < est + binW, bins bounded") {
     val rows = Sketches.quantilePrices(spark, sf).collect()
     assert(rows.length == 3, "one row per return flag")
