@@ -28,6 +28,7 @@ object SparkEntry {
       ext.Substring.queries ++ ext.Clustering.queries ++
       ext.Formats.queries ++ ext.Chunking.queries ++ ext.Redaction.queries ++
       ext.Funnel.queries ++ ext.AggState.queries ++ ext.Retention.queries ++ ext.Skew.queries ++ ext.Basket.queries ++ ext.Audit.queries ++ ext.PageRank.queries ++ ext.Tokenize.queries ++ ext.Bpe.queries ++ ext.Pipeline.queries ++ ext.ProductQuant.queries ++ ext.Audio.queries ++ ext.Bfs.queries ++ ext.Winnow.queries ++ ext.Communities.queries ++ ext.Paragraph.queries ++ ext.ScalarQuant.queries ++ ext.SparseSim.queries ++ ext.CharEntropy.queries ++
+      ext.Rfm.queries ++ ext.Moments.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "kv_replay_resharded" -> (kv.KvReplay.replayResharded _),
@@ -47,6 +48,7 @@ object SparkEntry {
         "events_mad_hourly" -> (ext.Events.madHourly _),
         "events_throttle_hourly" -> (ext.Events.throttleHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
+        "events_cusum_hourly" -> (ext.Events.cusumHourly _),
         "events_trend_ols" -> (ext.Events.trendOls _),
         "events_scd2_user_type" -> (ext.Events.scd2UserType _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
@@ -72,7 +74,8 @@ object SparkEntry {
       ext.Redaction.oracles ++ ext.Funnel.oracles ++
       ext.AggState.oracles ++ ext.Retention.oracles ++ ext.Skew.oracles ++
       ext.Basket.oracles ++ ext.Audit.oracles ++
-      ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ ext.Communities.oracles ++ ext.Paragraph.oracles ++ ext.ScalarQuant.oracles ++ ext.SparseSim.oracles ++ ext.CharEntropy.oracles ++ Map(
+      ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ ext.Communities.oracles ++ ext.Paragraph.oracles ++ ext.ScalarQuant.oracles ++ ext.SparseSim.oracles ++ ext.CharEntropy.oracles ++
+      ext.Rfm.oracles ++ ext.Moments.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
       "kv_replay_snapshot" -> kv.KvReplay.oracleSql,
@@ -91,6 +94,7 @@ object SparkEntry {
       "events_mad_hourly" -> ext.Events.madHourlySql,
       "events_throttle_hourly" -> ext.Events.throttleHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
+      "events_cusum_hourly" -> ext.Events.cusumHourlySql,
       "events_trend_ols" -> ext.Events.trendOlsSql,
       "events_scd2_user_type" -> ext.Events.scd2UserTypeSql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,

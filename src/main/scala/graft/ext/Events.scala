@@ -461,6 +461,82 @@ object Events {
        |  END AS r2
        |FROM d""".stripMargin
 
+  /** CUSUM mean-shift detection per event_type over the gap-filled
+    * hourly series — the changepoint question ("did this event family
+    * step to a new level, and when?") that the point-anomaly scans
+    * ([[madHourly]], [[hourlyAnomaly]]) structurally cannot answer: a
+    * level shift is many small deviations in the same direction, none
+    * individually outlying.
+    *
+    * The classic recursion S_t = max(0, S_{t−1} + d_t) is not a window
+    * aggregate, but its closed form is: S_t = P_t − min_{j≤t} P_j with
+    * P the running prefix sum of deviations — a cumulative sum plus a
+    * running min, both plain window frames. Deviations are cleared of
+    * the mean's denominator by scaling the series by n (d_t = n·x_t −
+    * Σx, exact Longs), so P, the running extrema, and both CUSUM arms
+    * (s_pos upward, s_neg downward) are EXACT integers in n·x units.
+    * The alarm compares against 3σ in the same units: n²σ² = n·Σx² −
+    * (Σx)² =: vy exactly, so `alarm ⇔ S² > 9·vy`, evaluated in
+    * decimal(38,0) (S ≈ 5e9 at sf0.1 ⇒ S² ≈ 2.5e19 overflows a Long;
+    * HUGEINT on the oracle side — identical two's-complement-free
+    * exact compare on both engines).
+    *
+    * Scale shape: one (event_type)-keyed exchange carries the prefix
+    * sum, both running extrema, and (via a #types-row broadcast join)
+    * the per-type moments; the spine is hours × types at any SF. */
+  def cusumHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gapfillHourly(spark, sfDir).localCheckpoint() // spine + moments
+    val m = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .withColumn("vy", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n"), col("sx"), col("vy"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(broadcast(m), "event_type")
+      .withColumn("d", col("n") * col("cnt") - col("sx"))
+      .withColumn("p", sum(col("d")).over(run))
+      // the running extrema must include the virtual empty prefix P_0 = 0
+      // (S_1 = max(0, d_1), not 0), hence the least/greatest clamp
+      .withColumn("s_pos", col("p") - least(lit(0L), min(col("p")).over(run)))
+      .withColumn("s_neg", greatest(lit(0L), max(col("p")).over(run)) - col("p"))
+      .select(col("hour"), col("event_type"), col("cnt"),
+        col("s_pos"), col("s_neg"),
+        (col("s_pos").cast("decimal(38,0)") * col("s_pos").cast("decimal(38,0)") >
+          lit(9L).cast("decimal(38,0)") * col("vy").cast("decimal(38,0)"))
+          .as("alarm_up"),
+        (col("s_neg").cast("decimal(38,0)") * col("s_neg").cast("decimal(38,0)") >
+          lit(9L).cast("decimal(38,0)") * col("vy").cast("decimal(38,0)"))
+          .as("alarm_down"))
+  }
+
+  val cusumHourlySql: String =
+    s"""WITH g AS ($gapfillHourlySql),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cnt) AS BIGINT) AS sx,
+       |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(cnt*cnt) AS BIGINT)
+       |      - CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT) AS vy
+       |  FROM g GROUP BY 1),
+       |pp AS (SELECT g.hour, g.event_type, g.cnt, m.vy,
+       |    CAST(SUM(m.n * g.cnt - m.sx) OVER (PARTITION BY g.event_type
+       |      ORDER BY g.hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS p
+       |  FROM g JOIN m USING (event_type)),
+       |d AS (SELECT hour, event_type, cnt, vy, p,
+       |    CAST(least(0, MIN(p) OVER rw) AS BIGINT) AS pmin,
+       |    CAST(greatest(0, MAX(p) OVER rw) AS BIGINT) AS pmax
+       |  FROM pp
+       |  WINDOW rw AS (PARTITION BY event_type ORDER BY hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT hour, event_type, CAST(cnt AS BIGINT) AS cnt,
+       |  p - pmin AS s_pos, pmax - p AS s_neg,
+       |  CAST(p - pmin AS HUGEINT) * CAST(p - pmin AS HUGEINT)
+       |    > 9 * CAST(vy AS HUGEINT) AS alarm_up,
+       |  CAST(pmax - p AS HUGEINT) * CAST(pmax - p AS HUGEINT)
+       |    > 9 * CAST(vy AS HUGEINT) AS alarm_down
+       |FROM d""".stripMargin
+
   val hourlyAnomalySql: String =
     s"""WITH g AS ($gapfillHourlySql),
        |w AS (SELECT hour, event_type, cnt,
