@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HITS hubs-and-authorities over the DIRECTED bipartite purchase
+  * graph customer → part — the eigenvector pair PageRank cannot give:
+  * on a bipartite graph the hub score ranks breadth buyers (customers
+  * whose baskets span the authoritative catalog) and the authority
+  * score ranks parts endorsed by high-hub customers, the
+  * Kleinberg mutual-reinforcement recursion h = A·a, a = Aᵀ·h.
+  * (Running HITS on the symmetrized co-purchase graph would be
+  * vacuous — on a symmetric adjacency both vectors collapse onto the
+  * same principal eigenvector; the bipartite orientation is what
+  * makes the two scores carry different information.)
+  *
+  * Exactness: the [[PageRank]] scaled-Long discipline plus a per-round
+  * integer renormalization — raw sums are exact Longs, and each round
+  * rescales by the round MAX (score' = score·S div max, S = 10⁶), the
+  * integer stand-in for the usual L∞ normalization. max is an exact
+  * aggregate and `div` truncation matches DuckDB `//` on the
+  * all-positive domain, so the K-round trajectory is bit-identical
+  * across engines and partitionings. Headroom: score ≤ S after each
+  * rescale, so a raw sum ≤ S·deg ≈ 10⁶·deg and the rescale product
+  * ≤ S²·deg — Long-safe to deg ≈ 9·10⁶; beyond that the rescale
+  * product recasts to decimal(38,0), same plan.
+  *
+  * Scale shape: per round one src-keyed join + map-side-combinable
+  * sum per direction (the Pregel-on-DataFrames shape), plus a 1-row
+  * max broadcast-attached — the [[Similarity]] scalar-attachment
+  * pattern, NOT a data cross join. Edges (distinct customer→part
+  * pairs) collapse the fact scan once and are localCheckpointed for
+  * the 4·K join consumers. K stays unrolled in one plan at fixed
+  * small K ([[PageRank]]'s measured call). */
+object Hits {
+
+  val Iters = 3
+  val Scale = 1000000L
+
+  /** K HITS rounds over an arbitrary directed (src, dst) edge frame;
+    * returns one frame tagging each side: (node_type hub|authority,
+    * node, deg, score). */
+  private[graft] def hitsOf(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val hubDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val authDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    def rescale(raw: DataFrame, c: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col(c)).as("mx"))))
+        .select(raw.columns.filter(_ != c).map(col) :+
+          expr(s"($c * $Scale) div mx").as(c): _*)
+    var auth = authDeg.select(col("dst").as("node"), lit(Scale).as("a"))
+    var hub: DataFrame = null
+    for (_ <- 1 to Iters) {
+      val hraw = edges.join(auth, edges("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      hub = rescale(hraw, "h")
+      val araw = edges.join(hub, edges("src") === hub("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      auth = rescale(araw, "a").select(col("dst").as("node"), col("a"))
+    }
+    hub.join(hubDeg, "src")
+      .select(lit("hub").as("node_type"), col("src").as("node"),
+        col("deg"), col("h").as("score"))
+      .unionAll(auth.join(authDeg, auth("node") === authDeg("dst"))
+        .select(lit("authority").as("node_type"), col("node"),
+          col("deg"), col("a").as("score")))
+  }
+
+  /** The gate: distinct customer→part purchase edges via orders ⋈
+    * lineitem (both sides collapsed before the join). */
+  def partsHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    hitsOf(edges)
+  }
+
+  val partsHitsSql: String = {
+    val base =
+      """edges AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |hdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |adeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1),
+        |a0 AS (SELECT dst AS node, CAST(1000000 AS BIGINT) AS a FROM adeg)"""
+        .stripMargin
+    val steps = (1 to Iters).map { k =>
+      s"""hr$k AS (SELECT e.src, CAST(SUM(p.a) AS BIGINT) AS h
+         |  FROM edges e JOIN a${k - 1} p ON p.node = e.dst GROUP BY 1),
+         |h$k AS (SELECT src, CAST((h * $Scale)
+         |    // (SELECT MAX(h) FROM hr$k) AS BIGINT) AS h FROM hr$k),
+         |ar$k AS (SELECT e.dst, CAST(SUM(p.h) AS BIGINT) AS a
+         |  FROM edges e JOIN h$k p ON p.src = e.src GROUP BY 1),
+         |a$k AS (SELECT dst AS node, CAST((a * $Scale)
+         |    // (SELECT MAX(a) FROM ar$k) AS BIGINT) AS a FROM ar$k)"""
+        .stripMargin
+    }
+    s"""WITH $base,
+       |${steps.mkString(",\n")}
+       |SELECT 'hub' AS node_type, h.src AS node, d.deg, h.h AS score
+       |FROM h$Iters h JOIN hdeg d ON d.src = h.src
+       |UNION ALL
+       |SELECT 'authority', a.node, d.deg, a.a
+       |FROM a$Iters a JOIN adeg d ON d.dst = a.node""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_hits_bipartite" -> (partsHits _))
+
+  val oracles: Map[String, String] = Map(
+    "parts_hits_bipartite" -> partsHitsSql)
+}
