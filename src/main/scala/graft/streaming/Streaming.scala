@@ -811,6 +811,88 @@ object Streaming {
       .groupBy("user_id")
       .agg(max(col("stage")).as("stage"))
 
+  /** One SCD-2 interval emission: ver orders re-emissions of the same
+    * island (closure always outranks any open emission — see
+    * [[scd2Updates]]). */
+  case class Scd2Out(user_id: Long, event_type: String, valid_from_us: Long,
+      valid_to_us: Option[Long], first_eid: Long, n_events: Long,
+      is_current: Boolean, ver: Long)
+
+  /** Per-user open-island state for the streaming SCD-2 build. */
+  case class Scd2St(lastTs: Long, lastEid: Long, openType: String,
+      openFrom: Long, openEid: Long, openN: Long)
+
+  /** Streaming twin of [[graft.ext.Events.scd2UserType]] — the SCD-2
+    * interval build maintained INCREMENTALLY: each user's open island
+    * lives in state; an event of a new type closes it (emitting the
+    * closed interval with its valid_to) and opens the next. Closed
+    * islands are immutable — the streaming shape SCD-2 is built for:
+    * the warehouse merge only ever touches each user's current row.
+    *
+    * Emission versioning: an island (keyed user_id × first event id) is
+    * re-emitted as its n_events grows (ver = 2n) and exactly once on
+    * closure (ver = 2n+1, which outranks every open emission since the
+    * closing event starts the NEXT island and never increments n) — so
+    * the read side's max_by(ver) per island reconstructs the batch
+    * frame exactly. In-order contract + tripwire as [[funnelUpdates]];
+    * ties inside a batch re-sort by (ts, event_id), the batch build's
+    * total order. */
+  def scd2Updates(events: DataFrame): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"),
+      unix_micros(col("ts").cast("timestamp")).as("tsu"),
+      col("event_id").cast("long"),
+      col("event_type")).as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2St, Scd2Out](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Scd2St]) =>
+          val sorted = it.toArray.sortBy(e => (e._2, e._3))
+          var st = state.getOption.getOrElse(
+            Scd2St(Long.MinValue, Long.MinValue, null, 0L, 0L, 0L))
+          if (sorted.nonEmpty && (sorted.head._2 < st.lastTs ||
+              (sorted.head._2 == st.lastTs && sorted.head._3 < st.lastEid)))
+            throw new IllegalStateException(
+              s"scd2Updates: out-of-order event for user $uid: incoming " +
+                s"(${sorted.head._2}, ${sorted.head._3}) < last applied " +
+                s"(${st.lastTs}, ${st.lastEid}); use an event-time variant")
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          sorted.foreach { case (_, tsu, eid, typ) =>
+            if (st.openType == null)
+              st = Scd2St(tsu, eid, typ, tsu, eid, 1L)
+            else if (typ != st.openType) {
+              out += Scd2Out(uid, st.openType, st.openFrom, Some(tsu),
+                st.openEid, st.openN, is_current = false, st.openN * 2 + 1)
+              st = Scd2St(tsu, eid, typ, tsu, eid, 1L)
+            } else st = st.copy(lastTs = tsu, lastEid = eid,
+              openN = st.openN + 1)
+          }
+          if (st.openType != null)
+            out += Scd2Out(uid, st.openType, st.openFrom, None, st.openEid,
+              st.openN, is_current = true, st.openN * 2)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Driver-gated entry; oracle = the batch SCD-2 oracle. */
+  def scd2Stream(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(scd2Updates(eventStream(spark, sfDir)).toDF(),
+      OutputMode.Update(), "scd2")
+      .groupBy(col("user_id"), col("first_eid"))
+      .agg(max_by(struct(col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current")),
+        col("ver")).as("r"))
+      .select(col("user_id"), col("r.event_type").as("event_type"),
+        expr("cast(timestamp_micros(r.valid_from_us) as timestamp_ntz)")
+          .as("valid_from"),
+        expr("cast(timestamp_micros(r.valid_to_us) as timestamp_ntz)")
+          .as("valid_to"),
+        col("r.n_events").as("n_events"),
+        col("r.is_current").as("is_current"))
+
   /** Streaming curation admission — the ship gate's quality+dedup
     * filter in the INGEST path: documents stream in, the quality score
     * is pure map-side kernel work per row, and the duplicate-keeper
@@ -849,7 +931,8 @@ object Streaming {
     "events_stream_throttle" -> (throttleStream _),
     "events_stream_enrich" -> (enrichStream _),
     "events_stream_windowed_append" -> (windowedAppendStream _),
-    "corpus_tokenize_stream" -> (tokenizeStream _))
+    "corpus_tokenize_stream" -> (tokenizeStream _),
+    "events_stream_scd2" -> (scd2Stream _))
 
   val oracles: Map[String, String] = Map(
     "corpus_curate_stream" -> graft.ext.Curation.curateSql,
@@ -864,5 +947,6 @@ object Streaming {
     "events_stream_throttle" -> graft.ext.Events.throttleHourlySql,
     "events_stream_enrich" -> enrichSql,
     "events_stream_windowed_append" -> windowedAppendSql,
-    "corpus_tokenize_stream" -> graft.ext.Tokenize.corpusTokenizeSql)
+    "corpus_tokenize_stream" -> graft.ext.Tokenize.corpusTokenizeSql,
+    "events_stream_scd2" -> graft.ext.Events.scd2UserTypeSql)
 }
