@@ -155,11 +155,80 @@ object Basket {
        |        ORDER BY j_permille DESC, rec) AS rnk FROM j)
        |WHERE rnk <= $TopSimilar""".stripMargin
 
+  // ------------------------------------------------- association rules
+
+  /** Level-1 association rules from the supported pair frame — every
+    * directed rule a → b with exact support / confidence (floored ppm,
+    * no percent floats at a threshold boundary) and exact lift
+    * (lift = n_ab·N / (n_a·n_b), numerator and denominator emitted as
+    * Longs beside the IEEE ratio — the [[Readability.bigramLift]]
+    * convention; the same statistic, transactions instead of
+    * adjacency).
+    *
+    * Scale shape: rides the session-memoized [[copurchase]] pair frame
+    * (its cap bounds fan-out); antecedent/consequent frequencies are a
+    * map-side-combinable count over the membership frame joined twice
+    * by part key; the transaction total is a 1-row broadcast
+    * attachment. Output is 2·|supported pairs| rules. Long headroom:
+    * n_ab·N ≤ N² ≈ 2.25e12 at sf0.1 — decimal(38,0) past N ≈ 3e9. */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = copurchase(spark, sfDir)
+    val dir = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("n_orders").as("n_ab"))
+      .unionAll(pairs.select(col("part_b"), col("part_a"), col("n_orders")))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // feeds item counts (joined twice) + the total
+    val ic = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_tx"))
+    dir
+      .join(ic.select(col("l_partkey").as("antecedent"), col("c").as("n_a")),
+        "antecedent")
+      .join(ic.select(col("l_partkey").as("consequent"), col("c").as("n_b")),
+        "consequent")
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("n_ab * 1000000 div n_tx").as("support_ppm"),
+        expr("n_ab * 1000000 div n_a").as("confidence_ppm"),
+        (col("n_ab") * col("n_tx")).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"))
+      .withColumn("lift",
+        col("lift_num").cast("double") / col("lift_den").cast("double"))
+  }
+
+  val basketRulesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS ($copurchaseSql),
+       |dir AS (SELECT part_a AS antecedent, part_b AS consequent,
+       |    n_orders AS n_ab FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, n_orders FROM pairs),
+       |ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM li GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_tx
+       |  FROM li)
+       |SELECT d.antecedent, d.consequent, d.n_ab, x.c AS n_a, y.c AS n_b,
+       |  d.n_ab * 1000000 // t.n_tx AS support_ppm,
+       |  d.n_ab * 1000000 // x.c AS confidence_ppm,
+       |  d.n_ab * t.n_tx AS lift_num,
+       |  x.c * y.c AS lift_den,
+       |  CAST(d.n_ab * t.n_tx AS DOUBLE) / CAST(x.c * y.c AS DOUBLE)
+       |    AS lift
+       |FROM dir d
+       |JOIN ic x ON d.antecedent = x.l_partkey
+       |JOIN ic y ON d.consequent = y.l_partkey, tot t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_copurchase" -> (copurchase _),
-    "parts_similar_items" -> (similarItems _))
+    "parts_similar_items" -> (similarItems _),
+    "basket_rules" -> (basketRules _))
 
   val oracles: Map[String, String] = Map(
     "parts_copurchase" -> copurchaseSql,
-    "parts_similar_items" -> similarItemsSql)
+    "parts_similar_items" -> similarItemsSql,
+    "basket_rules" -> basketRulesSql)
 }

@@ -78,4 +78,26 @@ class BasketSpec extends SparkSpec {
     assert(guarded.sameElements(plain),
       "cap altered results on basket-bounded data — corpus has a mega-basket?")
   }
+
+  test("association rules reconcile with the pair and margin counts") {
+    val rules = Basket.basketRules(spark, sf)
+      .select("antecedent", "consequent", "n_ab", "n_a", "n_b",
+        "support_ppm", "confidence_ppm", "lift_num", "lift_den")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(rules.nonEmpty)
+    rules.foreach { case (_, _, nAb, nA, nB, sup, conf, num, den) =>
+      assert(nAb <= nA && nAb <= nB, "pair count exceeds a margin")
+      assert(sup >= 0 && sup <= 1000000 && conf > 0 && conf <= 1000000)
+      assert(num % nAb == 0 && den % nA == 0)
+    }
+    // Every supported pair yields exactly two directed rules, and the
+    // reverse rule shares n_ab and the lift fraction.
+    val byPair = rules.groupBy(r => (math.min(r._1, r._2),
+      math.max(r._1, r._2)))
+    assert(byPair.values.forall(_.length == 2))
+    byPair.values.foreach { case Array(r1, r2) =>
+      assert(r1._3 == r2._3 && r1._8 == r2._8 && r1._9 == r2._9)
+    }
+  }
 }
