@@ -214,6 +214,54 @@ object KvReplay {
   /** DuckDB oracle: last put per key, then appends after it, in seq order.
     * Aggregates skip NULLs, so the CASE projections align exactly with the
     * fold above. */
+  // ------------------------------------------ TTL expiry at snapshot ---
+
+  /** Write TTL in micros: a key whose last write is older than this at
+    * snapshot time is expired (24 h — the fixture's key ages run
+    * ~0–36 h at sf0.001 and ~0–140 h at sf0.1 with a ~12 h median, so
+    * both arms of the flag are populated at every gate SF). */
+  val TtlMicros: Long = 24L * 3600 * 1000000L
+
+  /** [[fromEvents]] with cache-style expiry semantics: every write
+    * (put or append) refreshes its key's clock, and at snapshot time
+    * T_end = max write timestamp in the log, a key is `expired` iff
+    * T_end − last_write > TTL — the Redis-shaped lease layered over
+    * the reference's Get/Put/Append state machine. The expiry is a
+    * FLAG, not a drop: a compaction pass deletes flagged keys, but the
+    * replay report keeps them visible (the audit posture — silent
+    * deletion is how replay bugs hide).
+    *
+    * Scale shape: the replay fold unchanged; last-write clocks are one
+    * map-side-combinable max per key joined on the replay's own key
+    * partitioning; the snapshot clock is a 1-row broadcast. */
+  def replayTtl(spark: SparkSession, sfDir: String): DataFrame = {
+    val writes = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+    val lastW = writes.groupBy(col("key"))
+      .agg(max(col("tsu")).as("last_write_us"))
+    val tEnd = writes.agg(max(col("tsu")).as("t_end_us"))
+    fromEvents(spark, sfDir)
+      .join(lastW, "key")
+      .crossJoin(broadcast(tEnd))
+      .select(col("key"), col("value"), col("last_write_us"),
+        ((col("t_end_us") - col("last_write_us")) > TtlMicros)
+          .as("expired"))
+  }
+
+  lazy val ttlOracleSql: String =
+    s"""WITH plain AS ($oracleSql),
+       |mw AS (SELECT CAST(user_id AS VARCHAR) AS key,
+       |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_write_us
+       |  FROM events
+       |  WHERE event_type IN ('signup', 'click', 'purchase')
+       |  GROUP BY 1),
+       |te AS (SELECT MAX(last_write_us) AS t_end_us FROM mw)
+       |SELECT p.key, p.value, m.last_write_us,
+       |  (t.t_end_us - m.last_write_us) > $TtlMicros AS expired
+       |FROM plain p JOIN mw m ON p.key = m.key, te t""".stripMargin
+
   val oracleSql: String =
     """WITH ops AS (
       |  SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS key,

@@ -102,4 +102,26 @@ class KvReplaySpec extends SparkSpec {
       assert(positions == positions.sorted)
     }
   }
+
+  test("ttl replay: any write refreshes the lease; both arms populated") {
+    import org.apache.spark.sql.functions._
+    val ttl = graft.kv.KvReplay.replayTtl(spark, sf).localCheckpoint()
+    val rows = ttl.select("key", "last_write_us", "expired")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val tEnd = rows.map(_._2).max
+    rows.foreach { case (k, lw, exp) =>
+      assert(exp == (tEnd - lw > graft.kv.KvReplay.TtlMicros),
+        s"key $k flag disagrees with its own clock")
+    }
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "fixture must populate both expiry arms")
+    // Values are untouched by the expiry layer: same per-key state as
+    // the plain replay.
+    val plain = graft.kv.KvReplay.fromEvents(spark, sf)
+    val joined = ttl.select(col("key"), col("value").as("v1"))
+      .join(plain.select(col("key"), col("value").as("v2")), "key")
+    assert(joined.filter(col("v1") =!= col("v2")).count() == 0)
+    assert(joined.count() == rows.length.toLong)
+  }
 }
