@@ -29,7 +29,7 @@ object SparkEntry {
       ext.Formats.queries ++ ext.Chunking.queries ++ ext.Redaction.queries ++
       ext.Funnel.queries ++ ext.AggState.queries ++ ext.Retention.queries ++ ext.Skew.queries ++ ext.Basket.queries ++ ext.Audit.queries ++ ext.PageRank.queries ++ ext.Tokenize.queries ++ ext.Bpe.queries ++ ext.Pipeline.queries ++ ext.ProductQuant.queries ++ ext.Audio.queries ++ ext.Bfs.queries ++ ext.Winnow.queries ++ ext.Communities.queries ++ ext.Paragraph.queries ++ ext.ScalarQuant.queries ++ ext.SparseSim.queries ++ ext.CharEntropy.queries ++
       ext.Rfm.queries ++ ext.Moments.queries ++
-      ext.Hits.queries ++ ext.Readability.queries ++ ext.Gif.queries ++
+      ext.Hits.queries ++ ext.Readability.queries ++ ext.Gif.queries ++ ext.Pca.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
         "kv_replay_resharded" -> (kv.KvReplay.replayResharded _),
@@ -58,6 +58,7 @@ object SparkEntry {
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _),
+        "events_session_durations" -> (ext.Events.sessionDurations _),
         "events_markov_transitions" -> (ext.Events.markovTransitions _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,7 +79,7 @@ object SparkEntry {
       ext.Basket.oracles ++ ext.Audit.oracles ++
       ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ ext.Communities.oracles ++ ext.Paragraph.oracles ++ ext.ScalarQuant.oracles ++ ext.SparseSim.oracles ++ ext.CharEntropy.oracles ++
       ext.Rfm.oracles ++ ext.Moments.oracles ++
-      ext.Hits.oracles ++ ext.Readability.oracles ++ ext.Gif.oracles ++ Map(
+      ext.Hits.oracles ++ ext.Readability.oracles ++ ext.Gif.oracles ++ ext.Pca.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
       "kv_replay_snapshot" -> kv.KvReplay.oracleSql,
@@ -106,5 +107,6 @@ object SparkEntry {
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql,
+      "events_session_durations" -> ext.Events.sessionDurationsSql,
       "events_markov_transitions" -> ext.Events.markovTransitionsSql)
 }

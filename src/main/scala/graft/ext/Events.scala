@@ -81,6 +81,61 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Session-duration distribution — the histogram behind "how long do
+    * people stay": [[sessionize]]'s 30-minute-gap islands, materialized
+    * per session (island id = running new-session sum — the same ONE
+    * user_id window exchange) and bucketed by duration in 10-minute
+    * bins. Emits per bucket the session count, total events, and the
+    * exact Long duration sum (micros), so mean-duration is derivable
+    * without a float anywhere in the gate.
+    *
+    * Scale shape: the window exchange is the sessionize one; the
+    * per-session agg rides the SAME user_id clustering (no second
+    * exchange — (user_id, sess) is a refinement of the window
+    * partitioning); the histogram agg is map-side combinable onto a
+    * dashboard-sized bucket set. */
+  def sessionDurations(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_ts", lag(col("tsu"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("tsu") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("tsu")).as("t0"), max(col("tsu")).as("t1"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("bucket_10min", expr("(t1 - t0) div 600000000"))
+      .groupBy(col("bucket_10min"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("t1") - col("t0")).as("sum_duration_us"))
+  }
+
+  val sessionDurationsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id
+      |  FROM events),
+      |m AS (SELECT user_id, tsu, event_id,
+      |    CASE WHEN lag(tsu, 1) OVER w IS NULL
+      |         OR tsu - lag(tsu, 1) OVER w > 1800000000 THEN 1 ELSE 0
+      |    END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |s AS (SELECT user_id, tsu,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM m),
+      |per AS (SELECT user_id, sess, MIN(tsu) AS t0, MAX(tsu) AS t1,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ev
+      |  FROM s GROUP BY 1, 2)
+      |SELECT (t1 - t0) // 600000000 AS bucket_10min,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(SUM(t1 - t0) AS BIGINT) AS sum_duration_us
+      |FROM per GROUP BY 1""".stripMargin
+
   /** First-order Markov transition matrix over each user's event
     * stream — the user-journey model behind "what happens after a
     * view": count (prev_type → next_type) transitions in (ts, event_id)
