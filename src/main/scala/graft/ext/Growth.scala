@@ -12,12 +12,17 @@ import graft.Tables
   *    6 h / 24 h / 72 h windows, plus the floored-permille stickiness
   *    ratio (short/long — "of this window's actives, how many were
   *    here today"). Sliding DISTINCT has no prefix-sum identity (users
-  *    leave the window), so the exact form is a bounded range join of
-  *    the deduplicated (user, hour) frame against the hour spine —
-  *    fan-out ≤ |user-hours|·W. That is the exact-tier plan; at
-  *    100 TB the same spine rides [[Sketches]]' mergeable HLL registers
-  *    (`sketch_hll_grouped`) with union-by-window instead — the
-  *    documented trade (±2% for O(spine) state), both tiers gated.
+  *    leave the window), so the exact form EXPLODES each deduplicated
+  *    (user, hour) row into its ≤W future spine hours (integer micros
+  *    arithmetic) and EQUI-joins the spine — fan-out exactly
+  *    |user-hours|·W and an ordinary shuffle-hash join, deliberately
+  *    NOT a range join: the range form plans as a broadcast
+  *    nested-loop whose per-row probe cost is O(|spine|), which loses
+  *    to the bounded explode once the spine is a year of hours. At
+  *    100 TB the same spine rides [[Sketches]]' mergeable HLL
+  *    registers (`sketch_hll_grouped`) with union-by-window instead —
+  *    the documented trade (±2% for O(spine) state), both tiers
+  *    gated.
   *  - Cohort LTV: customers cohorted by first-order quarter, revenue
   *    accumulated by cohort age in quarters — the retention-revenue
   *    triangle. Quarter index is the integer year·4 + (quarter−1)
@@ -34,21 +39,25 @@ object Growth {
 
   def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
     val uh = Tables.events(spark, sfDir)
-      .select(col("user_id"), date_trunc("hour", col("ts")).as("uhour"))
+      .select(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts")).cast("timestamp"))
+          .as("uh_us"))
       .distinct()
-      .localCheckpoint() // three window joins + the spine derive from it
-    val spine = uh.select(col("uhour").as("hour")).distinct()
-    val joined = uh.join(broadcast(spine),
-      col("uhour") <= col("hour") &&
-        col("uhour") > col("hour") - expr(s"INTERVAL ${Windows.max} HOURS"))
+      .localCheckpoint() // the fan-out AND the spine derive from it
+    val spine = uh.select(col("uh_us").as("hour_us")).distinct()
+    val fan = uh
+      .select(col("user_id"), col("uh_us"),
+        explode(expr(s"sequence(0L, ${Windows.max - 1}L)")).as("off"))
+      .select(col("user_id"), col("off"),
+        (col("uh_us") + col("off") * lit(3600000000L)).as("hour_us"))
     val aggs = Windows.map { w =>
-      countDistinct(when(
-        col("uhour") > col("hour") - expr(s"INTERVAL $w HOURS"),
-        col("user_id"))).as(s"rau_${w}h")
+      countDistinct(when(col("off") < w, col("user_id"))).as(s"rau_${w}h")
     }
-    joined.groupBy(col("hour"))
+    fan.join(spine, "hour_us")
+      .groupBy(col("hour_us"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("hour") +:
+      .select(
+        expr("cast(timestamp_micros(hour_us) as timestamp_ntz)").as("hour") +:
         Windows.map(w => col(s"rau_${w}h").cast("long").as(s"rau_${w}h")) :+
         expr(s"(rau_${Windows.head}h * 1000) div rau_${Windows.max}h")
           .cast("long").as("stickiness_pm"): _*)
@@ -58,21 +67,25 @@ object Growth {
     val w0 = Windows.head
     val wMax = Windows.max
     val cols = Windows.map(w =>
-      s"""CAST(COUNT(DISTINCT CASE WHEN uhour > hour - INTERVAL $w HOURS
+      s"""CAST(COUNT(DISTINCT CASE WHEN off < $w
          |    THEN user_id END) AS BIGINT) AS rau_${w}h""".stripMargin)
       .mkString(",\n")
-    s"""WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS uhour
+    s"""WITH uh AS (SELECT DISTINCT user_id,
+       |    epoch_us(date_trunc('hour', ts)) AS uh_us
        |  FROM events),
-       |spine AS (SELECT DISTINCT uhour AS hour FROM uh),
-       |j AS (SELECT s.hour, u.user_id, u.uhour
-       |  FROM uh u JOIN spine s
-       |    ON u.uhour <= s.hour AND u.uhour > s.hour - INTERVAL $wMax HOURS),
-       |a AS (SELECT hour,
+       |spine AS (SELECT DISTINCT uh_us AS hour_us FROM uh),
+       |fan AS (SELECT user_id, CAST(t.off AS BIGINT) AS off,
+       |    uh_us + CAST(t.off AS BIGINT) * 3600000000 AS hour_us
+       |  FROM uh, unnest(range(0, $wMax)) AS t(off)),
+       |a AS (SELECT hour_us,
        |$cols
-       |  FROM j GROUP BY 1)
-       |SELECT hour, rau_${w0}h, rau_24h, rau_${wMax}h,
-       |  CAST((rau_${w0}h * 1000) // rau_${wMax}h AS BIGINT) AS stickiness_pm
-       |FROM a""".stripMargin
+       |  FROM fan JOIN spine USING (hour_us) GROUP BY 1),
+       |f AS (SELECT make_timestamp(hour_us) AS hour,
+       |    rau_${w0}h, rau_24h, rau_${wMax}h,
+       |    CAST((rau_${w0}h * 1000) // rau_${wMax}h AS BIGINT)
+       |      AS stickiness_pm
+       |  FROM a)
+       |SELECT * FROM f""".stripMargin
   }
 
   def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
