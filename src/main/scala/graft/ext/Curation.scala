@@ -322,6 +322,81 @@ object Curation {
   def decontamOverlap(spark: SparkSession, sfDir: String): DataFrame =
     decontamParts(spark, sfDir)._2
 
+  /** Probe count for semantic decontamination — a CONSTANT-size
+    * idHash sample (the [[Similarity]] discipline), so the broadcast
+    * stays bounded at any corpus scale. */
+  val SemEvalN = 16
+
+  /** Semantic decontamination — the embedding-space sibling of
+    * [[decontamOverlap]]: the lexical pass catches verbatim/near-
+    * verbatim leakage, but an eval item paraphrased into the training
+    * set shares no 8-gram; cosine against a held-out probe set is the
+    * standard second line (the Phi/Llama eval-decontam recipe). A
+    * corpus vector is contaminated iff cos ≥ τ against ANY probe —
+    * evaluated EXACTLY as 25·dot² ≥ 4·‖a‖²‖b‖² ∧ dot > 0 (τ = 0.4;
+    * production embedding models sit near 0.8, but this fixture's
+    * synthetic cloud tops out at cos ≈ 0.49 against any probe, so 0.4
+    * is the value that makes BOTH flag arms land at every SF — the
+    * threshold is a dial, the compare shape is the contract) on the
+    * shared integer quantization (squares leave Long range, so the
+    * compare runs in decimal(38,0)/HUGEINT — no float at the
+    * threshold).
+    *
+    * Scale shape: one broadcast of the [[SemEvalN]]-row probe sample
+    * against the corpus scan (the constant-size-sample crossJoin
+    * pattern, not a data cross join), one map-side-combinable per-vec
+    * count, one left join back for the zero-hit rows. */
+  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Similarity.quantized(spark, sfDir).localCheckpoint()
+    val probes = q
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(SemEvalN)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+        col("nrm").as("pnrm"))
+    val probeIds = probes.select(col("probe_id"))
+    val dot = graft.functions.GraftFunctions.dotLong(col("qv"), col("pqv"))
+    val hits = q
+      .join(broadcast(probeIds), col("vec_id") === col("probe_id"),
+        "left_anti")
+      .crossJoin(broadcast(probes))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        lit(25).cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
+          col("dot").cast("decimal(38,0)") >=
+          lit(4).cast("decimal(38,0)") * col("nrm").cast("decimal(38,0)") *
+            col("pnrm").cast("decimal(38,0)"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hit"))
+    q.join(broadcast(probeIds), col("vec_id") === col("probe_id"),
+        "left_anti")
+      .select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_probes_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  val decontamSemanticSql: String =
+    s"""WITH ${Similarity.quantizedSqlCte},
+       |probes AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm
+       |  FROM n ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id
+       |  LIMIT $SemEvalN),
+       |corpus AS (SELECT * FROM n
+       |  WHERE vec_id NOT IN (SELECT probe_id FROM probes)),
+       |pairs AS (SELECT c.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(c.qv)+1),
+       |      i -> c.qv[i] * p.pqv[i])) AS BIGINT) AS dot,
+       |    c.nrm, p.pnrm
+       |  FROM corpus c, probes p),
+       |h AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM pairs
+       |  WHERE dot > 0 AND 25 * CAST(dot AS HUGEINT) * dot
+       |    >= 4 * CAST(nrm AS HUGEINT) * pnrm
+       |  GROUP BY 1)
+       |SELECT c.vec_id,
+       |  COALESCE(h.n_hit, 0) AS n_probes_hit,
+       |  COALESCE(h.n_hit, 0) > 0 AS contaminated
+       |FROM corpus c LEFT JOIN h ON c.vec_id = h.vec_id""".stripMargin
+
   /** The decontam CTE chain (sh0 → sh → shf → ev → evh → ex) as a
     * splice-able WITH body — shared by [[decontamOverlapSql]] and the
     * ship-gate oracle in [[Pipeline]]. */
@@ -471,9 +546,11 @@ object Curation {
     "sample_mixture_temperature" -> (sampleMixtureTemperature _),
     "source_mixture" -> (sourceMixture _),
     "corpus_profile" -> (corpusProfile _),
-    "decontam_overlap" -> (decontamOverlap _))
+    "decontam_overlap" -> (decontamOverlap _),
+    "decontam_semantic" -> (decontamSemantic _))
 
   val oracles: Map[String, String] = Map(
+    "decontam_semantic" -> decontamSemanticSql,
     "corpus_source_entropy" -> sourceEntropySql,
     "corpus_source_report" -> sourceReportSql,
     "corpus_curate" -> curateSql,
