@@ -59,7 +59,8 @@ object SparkEntry {
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _),
         "events_session_durations" -> (ext.Events.sessionDurations _),
-        "events_markov_transitions" -> (ext.Events.markovTransitions _))
+        "events_markov_transitions" -> (ext.Events.markovTransitions _),
+        "events_markov_stationary" -> (ext.Events.markovStationary _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -108,5 +109,6 @@ object SparkEntry {
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql,
       "events_session_durations" -> ext.Events.sessionDurationsSql,
-      "events_markov_transitions" -> ext.Events.markovTransitionsSql)
+      "events_markov_transitions" -> ext.Events.markovTransitionsSql,
+      "events_markov_stationary" -> ext.Events.markovStationarySql)
 }

@@ -81,6 +81,81 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Power-iteration rounds for the stationary distribution. */
+  val StationaryIters = 5
+  private val StatScale = 1000000L
+
+  /** Stationary distribution of the event-type Markov chain — "where
+    * does a user's attention settle": π = πP solved by
+    * [[StationaryIters]] integer power-iteration rounds over the
+    * [[markovTransitions]] count matrix (π'_j = Σ_i π_i·n_ij, exact
+    * Longs; each round L1-renormalized by `(π·S) div Σπ` — the
+    * [[Pca]]/[[Hits]] scaled-Long discipline, truncation identical
+    * across engines). Emitted beside the EMPIRICAL state share, which
+    * for a well-mixed chain the stationary vector should approximate —
+    * the comparison is the model-diagnostic this report exists for
+    * (divergence ⇒ the first-order chain misses structure, e.g.
+    * absorbing funnels).
+    *
+    * Scale shape: the transition matrix is #types² rows at any SF;
+    * rounds are joins over that constant-size frame with 1-row sum
+    * attachments, unrolled in one plan. Headroom: π ≤ S and
+    * n_ij ≤ #events ⇒ π·n ≤ S·N ≈ 3.6e11 at sf0.1, ×S for the rescale
+    * product ≈ 3.6e17 < 2^63; a 10¹²-event corpus recasts to
+    * decimal(38,0). */
+  def markovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val trans = markovTransitions(spark, sfDir)
+      .select(col("prev_type"), col("next_type"), col("n"))
+      .localCheckpoint() // K join consumers
+    var pi = trans.select(col("prev_type").as("t")).distinct()
+      .withColumn("pi", lit(StatScale))
+    for (_ <- 1 to StationaryIters) {
+      val raw = trans.join(pi, trans("prev_type") === pi("t"))
+        .groupBy(col("next_type"))
+        .agg(sum(col("pi") * col("n")).as("raw"))
+      pi = raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+        .select(col("next_type").as("t"),
+          expr(s"(raw * ${StatScale}L) div tot").as("pi"))
+    }
+    val emp = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val empTot = emp.agg(sum(col("n_events")).as("n_total"))
+    pi.join(emp, pi("t") === emp("event_type"))
+      .crossJoin(broadcast(empTot))
+      .select(col("t").as("event_type"),
+        expr("(pi * 1000) div " + StatScale + "L").as("stationary_pm"),
+        expr("(n_events * 1000) div n_total").as("empirical_pm"),
+        col("pi").as("pi_scaled"), col("n_events"))
+  }
+
+  val markovStationarySql: String = {
+    val steps = (1 to StationaryIters).map { k =>
+      s"""r$k AS (SELECT t.next_type, CAST(SUM(p.pi * t.n) AS BIGINT) AS raw
+         |  FROM tr t JOIN p${k - 1} p ON t.prev_type = p.t GROUP BY 1),
+         |p$k AS (SELECT next_type AS t, CAST((raw * $StatScale)
+         |    // (SELECT SUM(raw) FROM r$k) AS BIGINT) AS pi FROM r$k)"""
+        .stripMargin
+    }
+    s"""WITH tr AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT user_id, event_type AS next_type,
+       |          lag(event_type, 1) OVER (PARTITION BY user_id
+       |            ORDER BY ts, event_id) AS prev_type
+       |        FROM events)
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |p0 AS (SELECT DISTINCT prev_type AS t, CAST($StatScale AS BIGINT)
+       |    AS pi FROM tr),
+       |${steps.mkString(",\n")},
+       |emp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |et AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM emp)
+       |SELECT p.t AS event_type,
+       |  (p.pi * 1000) // $StatScale AS stationary_pm,
+       |  (e.n_events * 1000) // t.n_total AS empirical_pm,
+       |  p.pi AS pi_scaled, e.n_events
+       |FROM p$StationaryIters p JOIN emp e ON p.t = e.event_type, et t"""
+      .stripMargin
+  }
+
   /** Session-duration distribution — the histogram behind "how long do
     * people stay": [[sessionize]]'s 30-minute-gap islands, materialized
     * per session (island id = running new-session sum — the same ONE

@@ -45,6 +45,27 @@ class PathsSpec extends SparkSpec {
     })
   }
 
+  test("markov stationary replays the scaled-integer iteration locally") {
+    val trans = Events.markovTransitions(spark, sf)
+      .select("prev_type", "next_type", "n")
+      .as[(String, String, Long)].collect()
+    val types = trans.map(_._1).distinct.sorted
+    val S = 1000000L
+    var pi = types.map(_ -> S).toMap
+    for (_ <- 1 to Events.StationaryIters) {
+      val raw = trans.groupBy(_._2).view.mapValues(ts =>
+        ts.map { case (p, _, n) => pi.getOrElse(p, 0L) * n }.sum).toMap
+      val tot = raw.values.sum
+      pi = raw.view.mapValues(v => v * S / tot).toMap
+    }
+    val got = Events.markovStationary(spark, sf)
+      .select("event_type", "pi_scaled").as[(String, Long)].collect().toMap
+    assert(got == pi)
+    // Total stationary mass within truncation slack of the scale.
+    val mass = got.values.sum
+    assert(mass <= S && mass >= S - got.size)
+  }
+
   test("repurchase rate reconciles against distinct customer counts") {
     val rows = Paths.repurchaseRate(spark, sf)
       .select("l_partkey", "n_customers", "n_repeat_customers", "repeat_pm")
