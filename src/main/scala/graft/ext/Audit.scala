@@ -256,15 +256,75 @@ object Audit {
        |FROM dtk d JOIN vocab v ON d.k = v.k""".stripMargin
   }
 
+  // ------------------------------------------------- Benford screening
+
+  /** Benford permille expectations for leading digits 1..9:
+    * ⌊1000·log10(1 + 1/d)⌋ — CONSTANTS of the law, precomputed once
+    * here (no runtime libm anywhere near the gate). */
+  val BenfordPm: Seq[Long] =
+    Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+
+  /** Benford's-law first-digit screening of order totals — the classic
+    * forensic-accounting scan ([[integrityAudit]]'s statistical
+    * sibling: planted-violation checks catch rule breaks, Benford
+    * catches fabricated-looking DISTRIBUTIONS). Observed leading-digit
+    * counts vs the law's expectation, with the per-digit deviation in
+    * permille points. On this fixture prices are uniform-ish, NOT
+    * Benford — which is exactly what the report should say (the gate
+    * proves the measurement, not conformance; the spec pins a
+    * synthetic exponential sample CLOSE to Benford and the uniform
+    * fixture FAR, so both directions of the diagnostic are
+    * evidenced).
+    *
+    * Scale shape: leading digit is row-local string math on the cents
+    * integer; one map-side-combinable 9-row agg + a 1-row total. */
+  def benfordOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Tables.orders(spark, sfDir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val exp = BenfordPm.zipWithIndex
+      .map { case (pm, i) => (i + 1L, pm) }.toDF("digit", "benford_pm")
+    d.crossJoin(broadcast(d.agg(sum(col("n")).as("n_total"))))
+      .join(broadcast(exp), "digit")
+      .select(col("digit"), col("n"),
+        expr("(n * 1000) div n_total").as("observed_pm"),
+        col("benford_pm"),
+        (expr("(n * 1000) div n_total") - col("benford_pm"))
+          .as("deviation_pm"))
+  }
+
+  val benfordOrdersSql: String = {
+    val pairs = BenfordPm.zipWithIndex
+      .map { case (pm, i) => s"(${i + 1}, $pm)" }.mkString(", ")
+    s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM d WHERE digit >= 1 GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+       |e AS (SELECT * FROM (VALUES $pairs) AS v(digit, benford_pm))
+       |SELECT c.digit, c.n,
+       |  (c.n * 1000) // t.n_total AS observed_pm,
+       |  CAST(e.benford_pm AS BIGINT) AS benford_pm,
+       |  (c.n * 1000) // t.n_total - e.benford_pm AS deviation_pm
+       |FROM c JOIN e ON c.digit = e.digit, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_length_histogram" -> (lengthHistogram _),
     "corpus_heaps_law" -> (heapsLaw _),
     "integrity_audit" -> (integrityAudit _),
+    "orders_benford_digits" -> (benfordOrders _),
     "corpus_snapshot_diff" -> (snapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "corpus_length_histogram" -> lengthHistogramSql,
     "corpus_heaps_law" -> heapsLawSql,
     "integrity_audit" -> integrityAuditSql,
+    "orders_benford_digits" -> benfordOrdersSql,
     "corpus_snapshot_diff" -> snapshotDiffSql)
 }

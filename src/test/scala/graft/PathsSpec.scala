@@ -66,6 +66,36 @@ class PathsSpec extends SparkSpec {
     assert(mass <= S && mass >= S - got.size)
   }
 
+  test("benford screening: exponential sample near the law, uniform far") {
+    val pm = graft.ext.Audit.BenfordPm
+    assert(pm.sum <= 1000 && pm.sum >= 990) // the law's mass, floored
+    def digits(xs: Seq[Long]): Map[Int, Long] =
+      xs.map(_.toString.head.asDigit).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+    // Deterministic geometric growth spans many decades -> Benford.
+    val exp = (1 to 4000).map(i => math.round(math.pow(1.003, i) * 100))
+    val eD = digits(exp); val eN = exp.size
+    val eDev = (1 to 9).map(d =>
+      math.abs(eD.getOrElse(d, 0L) * 1000 / eN - pm(d - 1))).max
+    assert(eDev <= 30, s"exponential sample deviates $eDev pm from Benford")
+    // Uniform sample concentrates mass per decade -> far from the law.
+    val uni = (100000L to 104000L)
+    val uD = digits(uni)
+    val uDev = (1 to 9).map(d =>
+      math.abs(uD.getOrElse(d, 0L) * 1000 / uni.size - pm(d - 1))).max
+    assert(uDev >= 200, s"uniform sample unexpectedly Benford ($uDev)")
+    // The gated frame reconciles: counts cover all orders, deviations
+    // are observed minus expected.
+    val rows = graft.ext.Audit.benfordOrders(spark, sf)
+      .select("digit", "n", "observed_pm", "benford_pm", "deviation_pm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.orders(spark, sf).count())
+    rows.foreach { case (d, _, o, b, dev) =>
+      assert(d >= 1 && d <= 9 && dev == o - b && b == pm(d.toInt - 1))
+    }
+  }
+
   test("repurchase rate reconciles against distinct customer counts") {
     val rows = Paths.repurchaseRate(spark, sf)
       .select("l_partkey", "n_customers", "n_repeat_customers", "repeat_pm")
