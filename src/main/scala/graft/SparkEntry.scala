@@ -51,6 +51,8 @@ object SparkEntry {
         "events_throttle_hourly" -> (ext.Events.throttleHourly _),
         "events_ewma_hourly" -> (ext.Events.ewmaHourly _),
         "events_cusum_hourly" -> (ext.Events.cusumHourly _),
+        "events_cusum_changepoints" -> (ext.Events.cusumChangepoints _),
+        "events_dow_hour_heatmap" -> (ext.Events.dowHourHeatmap _),
         "events_trend_ols" -> (ext.Events.trendOls _),
         "events_scd2_user_type" -> (ext.Events.scd2UserType _),
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
@@ -101,6 +103,8 @@ object SparkEntry {
       "events_throttle_hourly" -> ext.Events.throttleHourlySql,
       "events_ewma_hourly" -> ext.Events.ewmaHourlySql,
       "events_cusum_hourly" -> ext.Events.cusumHourlySql,
+      "events_cusum_changepoints" -> ext.Events.cusumChangepointsSql,
+      "events_dow_hour_heatmap" -> ext.Events.dowHourHeatmapSql,
       "events_trend_ols" -> ext.Events.trendOlsSql,
       "events_scd2_user_type" -> ext.Events.scd2UserTypeSql,
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,

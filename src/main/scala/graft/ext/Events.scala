@@ -81,6 +81,85 @@ object Events {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Changepoint summary — the "WHEN did it change" answer
+    * [[cusumHourly]]'s per-hour frame leaves to the reader: per event
+    * type, the hour where each CUSUM arm peaks, the peak magnitude
+    * (exact n-scaled units), and whether the peak crosses the 3σ
+    * alarm. Peak hour is a (value DESC, hour) total-order top-1 — the
+    * earliest hour wins ties, so the report is engine- and
+    * partition-invariant.
+    *
+    * Scale shape: one rank window per arm over the per-type spine
+    * frame (rides the same event_type clustering the CUSUM build
+    * used); output is 2·#types rows. */
+  def cusumChangepoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = cusumHourly(spark, sfDir).localCheckpoint() // two arm windows
+    def arm(vCol: String, name: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(vCol).desc, col("hour"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), lit(name).as("arm"),
+          col("hour").as("peak_hour"), col(vCol).as("peak_s"),
+          col(if (name == "up") "alarm_up" else "alarm_down")
+            .as("alarmed"))
+    }
+    arm("s_pos", "up").unionAll(arm("s_neg", "down"))
+  }
+
+  // lazy: composes cusumHourlySql, which is declared later in the file —
+  // an eager val here would interpolate null at object-init order.
+  lazy val cusumChangepointsSql: String =
+    s"""WITH c AS ($cusumHourlySql),
+       |up AS (SELECT event_type, 'up' AS arm, hour AS peak_hour,
+       |    s_pos AS peak_s, alarm_up AS alarmed,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY s_pos DESC, hour) AS rn
+       |  FROM c),
+       |dn AS (SELECT event_type, 'down' AS arm, hour AS peak_hour,
+       |    s_neg AS peak_s, alarm_down AS alarmed,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY s_neg DESC, hour) AS rn
+       |  FROM c)
+       |SELECT event_type, arm, peak_hour, peak_s, alarmed
+       |FROM up WHERE rn = 1
+       |UNION ALL
+       |SELECT event_type, arm, peak_hour, peak_s, alarmed
+       |FROM dn WHERE rn = 1""".stripMargin
+
+  /** Seasonality profile — the (day-of-week × hour-of-day) heatmap a
+    * traffic dashboard opens with: counts and permille share of the
+    * week cell-by-cell per event type. Calendar extraction
+    * (dayofweek/hour) is identical integer math in both engines under
+    * the UTC session.
+    *
+    * Scale shape: one map-side-combinable agg onto the #types×7×24
+    * grid + a #types-row totals broadcast. */
+  def dowHourHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.groupBy(col("event_type")).agg(sum(col("n")).as("n_type"))
+    g.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        expr("(n * 1000) div n_type").as("share_pm"))
+  }
+
+  val dowHourHeatmapSql: String =
+    """WITH g AS (SELECT event_type,
+      |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |    CAST(hour(ts) AS BIGINT) AS hod,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+      |  FROM g GROUP BY 1)
+      |SELECT g.event_type, g.dow, g.hod, g.n,
+      |  (g.n * 1000) // t.n_type AS share_pm
+      |FROM g JOIN t USING (event_type)""".stripMargin
+
   /** Power-iteration rounds for the stationary distribution. */
   val StationaryIters = 5
   private val StatScale = 1000000L

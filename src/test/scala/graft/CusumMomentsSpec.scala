@@ -88,6 +88,38 @@ class CusumMomentsSpec extends SparkSpec {
     assert(m4n.toDouble / (m2n.toDouble * m2n.toDouble) - 3.0 < 0)
   }
 
+  test("changepoint summary picks each arm's true peak") {
+    val c = Events.cusumHourly(spark, sf)
+      .select("event_type", "hour", "s_pos", "s_neg")
+      .as[(String, java.sql.Timestamp, Long, Long)].collect()
+    val got = Events.cusumChangepoints(spark, sf)
+      .select("event_type", "arm", "peak_hour", "peak_s")
+      .as[(String, String, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.nonEmpty)
+    c.groupBy(_._1).foreach { case (t, rows) =>
+      val up = rows.map(r => (r._3, r._2)).max // (value, -) then earliest?
+      val upBest = rows.filter(_._3 == rows.map(_._3).max)
+        .minBy(_._2.getTime)
+      assert(got((t, "up")) == ((upBest._2, upBest._3)), s"type $t up peak")
+      val dnBest = rows.filter(_._4 == rows.map(_._4).max)
+        .minBy(_._2.getTime)
+      assert(got((t, "down")) == ((dnBest._2, dnBest._4)), s"type $t down")
+      assert(up._1 >= 0)
+    }
+  }
+
+  test("dow-hour heatmap covers every event exactly once") {
+    val rows = Events.dowHourHeatmap(spark, sf)
+      .select("dow", "hod", "n", "share_pm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == Tables.events(spark, sf).count())
+    rows.foreach { case (d, h, _, s) =>
+      assert(d >= 1 && d <= 7 && h >= 0 && h <= 23 && s >= 0 && s <= 1000)
+    }
+  }
+
   test("cusum frame is partition-invariant") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val a = Events.cusumHourly(spark, sf).localCheckpoint()
