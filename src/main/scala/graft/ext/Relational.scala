@@ -770,6 +770,45 @@ object Relational {
       |WINDOW byDate AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
       |  bySpend AS (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey)""".stripMargin
 
+  /** Distribution window functions — the remaining quarter of the SQL
+    * window surface ([[ordersOrderIntervals]] covers navigation +
+    * ntile; quantiles cover row_number): percent_rank and cume_dist
+    * over each customer's spend order, plus nth_value (2nd-cheapest
+    * order) and last_value over the full frame. The (price, orderkey)
+    * TOTAL order makes both rank fractions exact rationals of row
+    * numbers, and both engines render them with one IEEE division of
+    * the same integers — bit-identical doubles, no tie ambiguity.
+    * One o_custkey exchange serves all four functions. */
+  def ordersWindowDistrib(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_c"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        quant(col("o_totalprice"), 100).as("price_c"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .withColumn("second_cheapest_c",
+        nth_value(col("price_c"), 2).over(full))
+      .withColumn("max_price_c", last(col("price_c")).over(full))
+  }
+
+  val ordersWindowDistribSql: String =
+    """SELECT o_custkey, o_orderkey, price_c,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume_dist,
+      |  nth_value(price_c, 2) OVER wf AS second_cheapest_c,
+      |  last_value(price_c) OVER wf AS max_price_c
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+      .stripMargin
+
   /** TPC-H Q21-shaped: suppliers who kept waiting multi-supplier
     * orders — the fact SELF semi+anti join shape. A line is "blamed"
     * when some OTHER supplier participated in the order (left-semi)
@@ -863,6 +902,7 @@ object Relational {
     "q22_idle_customers" -> (q22IdleCustomers _),
     "orders_running_total" -> (ordersRunningTotal _),
     "orders_order_intervals" -> (ordersOrderIntervals _),
+    "orders_window_distrib" -> (ordersWindowDistrib _),
     "orders_cube" -> (ordersCube _),
     "orders_grouping_sets" -> (ordersGroupingSets _),
     "set_ops_customers" -> (setOpsCustomers _),
@@ -887,6 +927,7 @@ object Relational {
     "q22_idle_customers" -> q22Sql,
     "orders_running_total" -> ordersRunningTotalSql,
     "orders_order_intervals" -> ordersOrderIntervalsSql,
+    "orders_window_distrib" -> ordersWindowDistribSql,
     "orders_cube" -> ordersCubeSql,
     "orders_grouping_sets" -> ordersGroupingSetsSql,
     "set_ops_customers" -> setOpsCustomersSql,

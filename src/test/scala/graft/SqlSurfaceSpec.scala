@@ -63,4 +63,27 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(concatSql == concatApp)
   }
+
+  test("distribution windows: exact rational ranks under the total order") {
+    import spark.implicits._
+    val rows = ext.Relational.ordersWindowDistrib(spark, sf)
+      .select("o_custkey", "pct_rank", "cume_dist", "price_c",
+        "max_price_c")
+      .as[(Long, Double, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_._1)
+    byCust.foreach { case (_, rs) =>
+      val n = rs.length
+      // Under a total order: pct_rank hits exactly (i-1)/(n-1) and
+      // cume_dist i/n for i = 1..n.
+      val prs = rs.map(_._2).sorted.toSeq
+      val want = if (n == 1) Seq(0.0)
+        else (0 until n).map(i => i.toDouble / (n - 1))
+      assert(prs == want)
+      val cds = rs.map(_._3).sorted.toSeq
+      assert(cds == (1 to n).map(i => i.toDouble / n))
+      // last_value over the full frame is the customer's max price.
+      assert(rs.forall(_._5 == rs.map(_._4).max))
+    }
+  }
 }
