@@ -35,6 +35,7 @@ object SparkEntry {
         "kv_replay_resharded" -> (kv.KvReplay.replayResharded _),
         "kv_replay_snapshot" -> (kv.KvReplay.replaySnapshotted _),
         "kv_replay_ttl" -> (kv.KvReplay.replayTtl _),
+        "kv_replay_asof" -> (kv.KvReplay.replayAsOf _),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
         "q3_top_orders" -> (ext.Relational.q3TopOrders _),
         "q5_region_volume" -> (ext.Relational.q5RegionVolume _),
@@ -87,6 +88,7 @@ object SparkEntry {
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
       "kv_replay_snapshot" -> kv.KvReplay.oracleSql,
       "kv_replay_ttl" -> kv.KvReplay.ttlOracleSql,
+      "kv_replay_asof" -> kv.KvReplay.asOfOracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,
       "q5_region_volume" -> ext.Relational.q5Sql,

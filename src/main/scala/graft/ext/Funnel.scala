@@ -105,11 +105,56 @@ object Funnel {
        |    AS n_reached
        |FROM ($stagedSql) GROUP BY stage""".stripMargin
 
+  /** Funnel conversion by arrival cohort — "are newer users converting
+    * better": each user cohorted by the DAY of their first event, the
+    * per-user funnel stage crossed with the cohort, emitted as stage
+    * counts + floored-permille conversion (stage ≥ 3) per cohort day.
+    * The product question behind every activation dashboard, and the
+    * composition seam the stage and cohort frames were built for.
+    *
+    * Scale shape: first-event day is a map-side-combinable min per
+    * user riding the SAME user clustering the stage build uses; the
+    * cross tab is cohorts × 4 rows at any SF. */
+  def funnelCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstDay = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    val st = staged(spark, sfDir)
+    val cells = st.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = cells.groupBy(col("cohort_day"))
+      .agg(sum(col("n_users")).as("n_cohort"),
+        sum(when(col("stage") >= 3, col("n_users")).otherwise(0L))
+          .as("n_converted"))
+    cells.join(broadcast(tot), "cohort_day")
+      .select(col("cohort_day"), col("stage"), col("n_users"),
+        col("n_cohort"),
+        expr("(n_converted * 1000) div n_cohort").as("conversion_pm"))
+  }
+
+  lazy val funnelCohortsSql: String =
+    s"""WITH st AS ($stagedSql),
+       |fd AS (SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+       |  FROM events GROUP BY 1),
+       |cells AS (SELECT fd.cohort_day, CAST(st.stage AS BIGINT) AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_users
+       |  FROM st JOIN fd USING (user_id) GROUP BY 1, 2),
+       |tot AS (SELECT cohort_day, CAST(SUM(n_users) AS BIGINT) AS n_cohort,
+       |    CAST(SUM(CASE WHEN stage >= 3 THEN n_users ELSE 0 END) AS BIGINT)
+       |      AS n_converted
+       |  FROM cells GROUP BY 1)
+       |SELECT c.cohort_day, c.stage, c.n_users, t.n_cohort,
+       |  (t.n_converted * 1000) // t.n_cohort AS conversion_pm
+       |FROM cells c JOIN tot t USING (cohort_day)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel_users" -> (funnelUsers _),
-    "events_funnel" -> (funnel _))
+    "events_funnel" -> (funnel _),
+    "events_funnel_cohorts" -> (funnelCohorts _))
 
   val oracles: Map[String, String] = Map(
     "events_funnel_users" -> funnelUsersSql,
-    "events_funnel" -> funnelSql)
+    "events_funnel" -> funnelSql,
+    "events_funnel_cohorts" -> funnelCohortsSql)
 }

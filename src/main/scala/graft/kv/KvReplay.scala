@@ -214,6 +214,56 @@ object KvReplay {
   /** DuckDB oracle: last put per key, then appends after it, in seq order.
     * Aggregates skip NULLs, so the CASE projections align exactly with the
     * fold above. */
+  // ---------------------------------------- point-in-time (MVCC) read ---
+
+  /** Time-travel replay — "what did this key hold at time T": the
+    * replay fold restricted to ops at or before the snapshot instant,
+    * the read side of MVCC rendered on the op log (the warehouse
+    * AS OF semantics; SCD-2 answers it for dimensions, this answers
+    * it for the KV state machine). T is the midpoint of the write-op
+    * time range — pure integer micros arithmetic on two exact
+    * aggregates, deterministic at any SF, chosen so the snapshot
+    * differs from the final state (half the history is excluded).
+    *
+    * Scale shape: identical to [[fromEvents]] (the time filter rides
+    * the scan); the bound is a 1-row broadcast attach, and the
+    * snapshot instant is emitted so the report is self-describing. */
+  def replayAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+    val bounds = ev
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .agg(expr("(min(tsu) + max(tsu)) div 2").as("t_snap"))
+    val opsAt = opsFromEvents(
+      ev.crossJoin(broadcast(bounds)).filter(col("tsu") <= col("t_snap")))
+    implicit val s: SparkSession = spark
+    replay(opsAt)
+      .crossJoin(broadcast(bounds))
+      .select(col("key"), col("value"), col("t_snap").as("snapshot_us"))
+  }
+
+  lazy val asOfOracleSql: String =
+    """WITH b AS (SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT)
+      |    + CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS t_snap
+      |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+      |ops AS (
+      |  SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS key,
+      |    CASE WHEN event_type = 'signup' THEN 'put'
+      |         WHEN event_type IN ('click','purchase') THEN 'append'
+      |         ELSE 'get' END AS op,
+      |    CAST(event_id AS VARCHAR) AS val
+      |  FROM events, b WHERE epoch_us(ts) <= b.t_snap),
+      |w AS (
+      |  SELECT key, seq, op, val,
+      |    max(CASE WHEN op = 'put' THEN seq END) OVER (PARTITION BY key) AS last_put
+      |  FROM ops WHERE op <> 'get')
+      |SELECT key,
+      |  coalesce(max(CASE WHEN op = 'put' AND seq = last_put THEN val END), '') ||
+      |  coalesce(string_agg(CASE WHEN op = 'append' AND (last_put IS NULL OR seq > last_put) THEN val END, '' ORDER BY seq), '')
+      |    AS value,
+      |  (SELECT t_snap FROM b) AS snapshot_us
+      |FROM w GROUP BY key""".stripMargin
+
   // ------------------------------------------ TTL expiry at snapshot ---
 
   /** Write TTL in micros: a key whose last write is older than this at

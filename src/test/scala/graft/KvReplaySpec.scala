@@ -124,4 +124,25 @@ class KvReplaySpec extends SparkSpec {
     assert(joined.filter(col("v1") =!= col("v2")).count() == 0)
     assert(joined.count() == rows.length.toLong)
   }
+
+  test("as-of replay: every snapshot value is a prefix-consistent state") {
+    import org.apache.spark.sql.functions._
+    val asOf = graft.kv.KvReplay.replayAsOf(spark, sf).localCheckpoint()
+    val snap = asOf.select("snapshot_us").as[Long].head()
+    // Replaying the filtered log by hand must give identical state.
+    val ev = Tables.events(spark, sf)
+      .withColumn("tsu", unix_micros(col("ts").cast("timestamp")))
+    val want = graft.kv.KvReplay.replay(
+      graft.kv.KvReplay.opsFromEvents(ev.filter(col("tsu") <= snap)))(spark)
+      .as[(String, String)].collect().toMap
+    val got = asOf.select("key", "value").as[(String, String)]
+      .collect().toMap
+    assert(got == want && got.nonEmpty)
+    // The snapshot genuinely excludes history: some key's value is a
+    // strict prefix of (or shorter than) its final value.
+    val fin = graft.kv.KvReplay.fromEvents(spark, sf)
+      .as[(String, String)].collect().toMap
+    assert(got.exists { case (k, v) => fin.get(k).exists(_ != v) },
+      "midpoint snapshot should differ from the final state")
+  }
 }
