@@ -294,7 +294,75 @@ object Clustering {
        |WHERE rnk <= $DiverseCap""".stripMargin
   }
 
+  /** Split-half centroid drift per label — the embedding-space
+    * monitoring twin of `corpus_vocab_drift`: halve the corpus by
+    * idHash parity (a deterministic A/B that stands in for
+    * yesterday-vs-today snapshots), and measure how far each label's
+    * centroid moves between halves. The per-dim difference keeps a
+    * CLEARED denominator — d_num = n_a·S_b − n_b·S_a = n_a·n_b·(μ_b −
+    * μ_a) — so the squared-shift numerator Σ d_num² accumulates
+    * exactly in decimal(38,0) (d_num ≈ 3e10 at sf0.1 squares past
+    * Long), and the RMS drift per dim is one IEEE sqrt/division over
+    * exact inputs. On an i.i.d. split drift ≈ 0 — which is the
+    * baseline a production monitor alarms against.
+    *
+    * Scale shape: one posexplode → (label, half, dim) map-side-
+    * combinable sum (the dim-stats shape), then label-keyed joins on
+    * #labels×64-row frames. */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Similarity.quantized(spark, sfDir)
+      .join(graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label")), "vec_id")
+      .withColumn("half", Hashing.idHash(col("vec_id")) % 2)
+    val dims = q.select(col("label"), col("half"),
+      posexplode(col("qv")).as(Seq("dim", "qx")))
+    val sums = dims.groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("nd"))
+      .localCheckpoint() // both halves join below
+    val a = sums.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("s").as("sa"),
+        col("nd").as("na"))
+    val b = sums.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("s").as("sb"),
+        col("nd").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .withColumn("dnum", col("na") * col("sb") - col("nb") * col("sa"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("dnum").cast("decimal(38,0)") *
+          col("dnum").cast("decimal(38,0)")).cast("double")
+          .as("shift_sq_num"))
+      .select(col("label"), col("n_a"), col("n_b"), col("shift_sq_num"),
+        (sqrt(col("shift_sq_num")) /
+          (col("n_a") * col("n_b")).cast("double")).as("drift"))
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH ${Similarity.quantizedSqlCte},
+       |lab AS (SELECT n.vec_id, n.qv, e2.label,
+       |    (${Hashing.idHashSql("n.vec_id")}) % 2 AS half
+       |  FROM n JOIN embeddings e2 ON n.vec_id = e2.vec_id),
+       |d AS (SELECT label, half,
+       |    CAST(unnest(generate_series(1, len(qv))) - 1 AS BIGINT) AS dim,
+       |    unnest(qv) AS qx
+       |  FROM lab),
+       |s AS (SELECT label, half, dim, CAST(SUM(qx) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM d GROUP BY 1, 2, 3),
+       |ab AS (SELECT a.label, a.dim,
+       |    a.nd AS na, b.nd AS nb,
+       |    a.nd * b.s - b.nd * a.s AS dnum
+       |  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+       |  WHERE a.half = 0 AND b.half = 1)
+       |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a,
+       |  CAST(MAX(nb) AS BIGINT) AS n_b,
+       |  CAST(SUM(CAST(dnum AS HUGEINT) * dnum) AS DOUBLE) AS shift_sq_num,
+       |  sqrt(CAST(SUM(CAST(dnum AS HUGEINT) * dnum) AS DOUBLE))
+       |    / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS drift
+       |FROM ab GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_centroid_drift" -> (centroidDrift _),
     "embedding_kmeans" -> (kmeans _),
     "dedup_semantic" -> (semanticDedup _),
     "embedding_outliers" -> (outliers _),
@@ -302,6 +370,7 @@ object Clustering {
     "sample_diverse_cells" -> (diverseSample _))
 
   val oracles: Map[String, String] = Map(
+    "embedding_centroid_drift" -> centroidDriftSql,
     "embedding_kmeans" -> kmeansSql,
     "dedup_semantic" -> semanticDedupSql,
     "embedding_outliers" -> outliersSql,

@@ -197,11 +197,68 @@ object Quality {
        |    AS keep
        |FROM stats""".stripMargin
 
+  /** IQR length-outlier flags per language — the Tukey-fence robust
+    * filter (the box-plot rule) beside [[Events.madHourly]]'s MAD:
+    * quartiles picked at EXACT ranks under a (n_chars, doc_id) total
+    * order (type-1 quantiles: ⌈n/4⌉ and ⌈3n/4⌉ as integer `div`
+    * forms), and the 1.5·IQR fences cleared of their /2 denominator —
+    * 2·x < 2·q1 − 3·(q3−q1) — so flag decisions are all-integer and
+    * bit-identical at the fence. Per-language calibration for the
+    * same reason as [[TextAnalysis.qualityPercentile]].
+    *
+    * Scale shape: ONE lang-keyed exchange carries the rank window and
+    * the #langs-row quartile frame (broadcast back); flags are
+    * row-local integer compares. */
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val quarts = ranked
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))
+          .otherwise(0L)).as("q1"),
+        sum(when(col("rn") === expr("(3 * n + 3) div 4"), col("n_chars"))
+          .otherwise(0L)).as("q3"))
+    ranked.join(broadcast(quarts), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("q1"),
+        col("q3"),
+        (lit(2L) * col("n_chars") <
+          lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1")))
+          .as("outlier_low"),
+        (lit(2L) * col("n_chars") >
+          lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1")))
+          .as("outlier_high"))
+  }
+
+  val iqrOutliersSql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM documents),
+      |q AS (SELECT lang,
+      |    CAST(SUM(CASE WHEN rn = (n + 3) // 4 THEN n_chars ELSE 0 END)
+      |      AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars ELSE 0 END)
+      |      AS BIGINT) AS q3
+      |  FROM r GROUP BY 1)
+      |SELECT r.doc_id, r.lang, r.n_chars, q.q1, q.q3,
+      |  2 * r.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1) AS outlier_low,
+      |  2 * r.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1) AS outlier_high
+      |FROM r JOIN q USING (lang)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_repetition" -> (repetition _),
-    "quality_gopher_rules" -> (gopherRules _))
+    "quality_gopher_rules" -> (gopherRules _),
+    "quality_iqr_outliers" -> (iqrOutliers _))
 
   val oracles: Map[String, String] = Map(
     "quality_repetition" -> repetitionSql,
-    "quality_gopher_rules" -> gopherRulesSql)
+    "quality_gopher_rules" -> gopherRulesSql,
+    "quality_iqr_outliers" -> iqrOutliersSql)
 }
