@@ -36,6 +36,7 @@ object SparkEntry {
         "kv_replay_snapshot" -> (kv.KvReplay.replaySnapshotted _),
         "kv_replay_ttl" -> (kv.KvReplay.replayTtl _),
         "kv_replay_asof" -> (kv.KvReplay.replayAsOf _),
+        "kv_replay_idempotent" -> (kv.KvReplay.replayIdempotent _),
         "q1_pricing_summary" -> (ext.Relational.q1PricingSummary _),
         "q3_top_orders" -> (ext.Relational.q3TopOrders _),
         "q5_region_volume" -> (ext.Relational.q5RegionVolume _),
@@ -89,6 +90,7 @@ object SparkEntry {
       "kv_replay_snapshot" -> kv.KvReplay.oracleSql,
       "kv_replay_ttl" -> kv.KvReplay.ttlOracleSql,
       "kv_replay_asof" -> kv.KvReplay.asOfOracleSql,
+      "kv_replay_idempotent" -> kv.KvReplay.idempotentOracleSql,
       "q1_pricing_summary" -> ext.Relational.q1Sql,
       "q3_top_orders" -> ext.Relational.q3Sql,
       "q5_region_volume" -> ext.Relational.q5Sql,

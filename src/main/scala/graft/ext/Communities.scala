@@ -68,13 +68,26 @@ object Communities {
     lab.select(col("node").as("part"), col("lab").as("community"))
   }
 
-  def partsCommunities(spark: SparkSession, sfDir: String): DataFrame =
-    communitiesOf(Basket.copurchase(spark, sfDir)
-      .select(col("part_a"), col("part_b")))
+  /** Session-memoized LPA label frame — shared by the gate itself and
+    * [[partsModularity]] (which would otherwise re-run the 4-round
+    * unroll). Bounded: one (part, community) row per node. The
+    * un-memoized [[communitiesOf]] seam is what CommunitiesSpec /
+    * PlanSpec pin (the memoized gate's executed plan is a checkpoint
+    * scan — same discipline as [[Basket.copurchase]]). */
+  private[graft] def communityLabels(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Frames.sessionMemo("lpa_labels", spark, sfDir) {
+      communitiesOf(Basket.copurchase(spark, sfDir)
+        .select(col("part_a"), col("part_b"))).localCheckpoint()
+    }
 
-  /** The same K rounds as chained CTEs; ROW_NUMBER carries the
-    * identical (c DESC, lab ASC) total order. */
-  val partsCommunitiesSql: String = {
+  def partsCommunities(spark: SparkSession, sfDir: String): DataFrame =
+    communityLabels(spark, sfDir)
+
+  /** The LPA rounds as chained CTEs (pairs → edges → l0 → … → l_K);
+    * ROW_NUMBER carries the identical (c DESC, lab ASC) total order.
+    * Shared by the communities gate and the modularity oracle. */
+  private[ext] val lpaCtes: String = {
     val rounds = (1 to LpaRounds).map { k =>
       s"""c$k AS (SELECT e.src AS n, l.lab, COUNT(*) AS c
          |  FROM edges e JOIN l${k - 1} l ON l.node = e.dst GROUP BY 1, 2),
@@ -83,14 +96,97 @@ object Communities {
          |      PARTITION BY n ORDER BY c DESC, lab ASC) AS rk FROM c$k)
          |  WHERE rk = 1)""".stripMargin
     }
-    s"""WITH pairs AS (${Basket.copurchaseSql}),
+    s"""pairs AS (${Basket.copurchaseSql}),
        |edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
        |          UNION ALL
        |          SELECT part_b, part_a FROM pairs),
        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
-       |${rounds.mkString(",\n")}
-       |SELECT node AS part, lab AS community FROM l$LpaRounds""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  val partsCommunitiesSql: String =
+    s"""WITH $lpaCtes
+       |SELECT node AS part, lab AS community FROM l$LpaRounds""".stripMargin
+
+  /** Newman modularity of the LPA partition, exactly: per community c,
+    * q_num = 4·m·e_c − deg_c² (all exact Longs; m = undirected edge
+    * count, e_c = intra-community edges, deg_c = summed degree), so
+    * Q = Σ_c q_num / (4m²) — the exact-rational rendering of
+    * Q = Σ_c [e_c/m − (deg_c/2m)²]. Per-row q_contrib is ONE IEEE
+    * division of exact integers (bit-identical across engines); the
+    * global Q aggregates the exact NUMERATORS first (Long sum), never
+    * doubles, so no fold-order hazard exists anywhere.
+    *
+    * This is the standard partition-quality gate run after community
+    * detection at scale (Newman 2006): a near-zero Q says the label
+    * frame is noise, not structure. Magnitudes: m ≤ ~2e4 at sf0.1 ⇒
+    * |q_num| ≤ max(4·m·e_c, deg_c²) ≤ (2m)² = 1.6e9, far inside Long;
+    * doubles see integers < 2^53, so the one division is exact-input.
+    *
+    * Scale shape: rides the session-memoized pair graph + label frame;
+    * two keyed equi-joins of pairs against labels (never all-pairs),
+    * map-side-combinable community aggregates, and the 1-row m attached
+    * by broadcast. */
+  private[graft] def modularityOf(pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val deg = pairs.select(col("part_a").as("part"))
+      .unionAll(pairs.select(col("part_b").as("part")))
+      .groupBy(col("part")).agg(count(lit(1)).as("deg"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val nodeAgg = labels.join(deg, "part")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val la = labels.select(col("part").as("pa"), col("community").as("ca"))
+    val lb = labels.select(col("part").as("pb"), col("community").as("cb"))
+    val eIn = pairs
+      .join(la, col("part_a") === col("pa"))
+      .join(lb, col("part_b") === col("pb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    nodeAgg.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_num",
+        lit(4L) * col("m") * col("e_in") - col("deg_sum") * col("deg_sum"))
+      .withColumn("q_contrib",
+        col("q_num").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("deg_sum"), col("q_num"), col("q_contrib"))
+  }
+
+  def partsModularity(spark: SparkSession, sfDir: String): DataFrame =
+    modularityOf(
+      Basket.copurchase(spark, sfDir).select(col("part_a"), col("part_b")),
+      communityLabels(spark, sfDir))
+
+  val partsModularitySql: String =
+    s"""WITH $lpaCtes,
+       |labels AS (SELECT node AS part, lab AS community FROM l$LpaRounds),
+       |deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT part_a AS part FROM pairs
+       |    UNION ALL SELECT part_b FROM pairs) GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |na AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg) AS BIGINT) AS deg_sum
+       |  FROM labels JOIN deg USING (part) GROUP BY 1),
+       |ei AS (SELECT la.community AS community,
+       |    CAST(COUNT(*) AS BIGINT) AS e_in
+       |  FROM pairs p
+       |  JOIN labels la ON p.part_a = la.part
+       |  JOIN labels lb ON p.part_b = lb.part
+       |  WHERE la.community = lb.community GROUP BY 1)
+       |SELECT na.community, na.n_nodes,
+       |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in, na.deg_sum,
+       |  4 * mm.m * CAST(COALESCE(ei.e_in, 0) AS BIGINT)
+       |    - na.deg_sum * na.deg_sum AS q_num,
+       |  CAST(4 * mm.m * CAST(COALESCE(ei.e_in, 0) AS BIGINT)
+       |       - na.deg_sum * na.deg_sum AS DOUBLE)
+       |    / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+       |      AS q_contrib
+       |FROM na LEFT JOIN ei ON na.community = ei.community
+       |CROSS JOIN mm""".stripMargin
 
   /** Fixed-round [[CoreK]]-core peel over an arbitrary undirected
     * (part_a, part_b) pair frame: survivors after [[PeelRounds]] rounds
@@ -154,9 +250,11 @@ object Communities {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_communities" -> (partsCommunities _),
-    "parts_kcore" -> (partsKcore _))
+    "parts_kcore" -> (partsKcore _),
+    "parts_modularity" -> (partsModularity _))
 
   val oracles: Map[String, String] = Map(
     "parts_communities" -> partsCommunitiesSql,
-    "parts_kcore" -> partsKcoreSql)
+    "parts_kcore" -> partsKcoreSql,
+    "parts_modularity" -> partsModularitySql)
 }

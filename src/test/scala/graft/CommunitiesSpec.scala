@@ -101,19 +101,58 @@ class CommunitiesSpec extends SparkSpec {
   }
 
   test("corpus gates are shuffle-partition invariant") {
-    val a = Communities.partsCommunities(spark, sf).orderBy("part")
-      .collect().map(_.toString).toSeq
+    // Drive the un-memoized seams: the gates now ride a sessionMemo'd
+    // label checkpoint, whose second read would make this vacuous.
+    def lpaCorpus() = Communities.communitiesOf(
+      ext.Basket.copurchase(spark, sf).select($"part_a", $"part_b"))
+      .orderBy("part").collect().map(_.toString).toSeq
+    val a = lpaCorpus()
     val k = Communities.partsKcore(spark, sf).orderBy("part")
       .collect().map(_.toString).toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val b = Communities.partsCommunities(spark, sf).orderBy("part")
-        .collect().map(_.toString).toSeq
+      val b = lpaCorpus()
       val k2 = Communities.partsKcore(spark, sf).orderBy("part")
         .collect().map(_.toString).toSeq
       assert(a == b, "label trajectory must not depend on parallelism")
       assert(k == k2, "peel trajectory must not depend on parallelism")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("modularity: two bridged triangles, exact rational Q") {
+    // m=7; LPA splits the graph into the two triangles; each community
+    // has e_in=3 and deg_sum=7 ⇒ q_num = 4·7·3 − 49 = 35 per community,
+    // Q = (35+35)/(4·49) = 5/14.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val pairs = g.toDF("part_a", "part_b")
+    val labels = Communities.communitiesOf(pairs)
+      .withColumnRenamed("part", "part")
+    val rows = Communities.modularityOf(pairs, labels)
+      .orderBy("community").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_nodes") == 3L)
+      assert(r.getAs[Long]("e_in") == 3L)
+      assert(r.getAs[Long]("deg_sum") == 7L)
+      assert(r.getAs[Long]("q_num") == 35L)
+      assert(r.getAs[Double]("q_contrib") == 35.0 / 196.0)
+    }
+    // Global Q from exact numerators: Σ q_num / 4m² = 70/196 = 5/14.
+    assert(rows.map(_.getAs[Long]("q_num")).sum == 70L)
+  }
+
+  test("modularity: single community covering everything scores 0") {
+    // All nodes in one label ⇒ e_in = m, deg_sum = 2m ⇒
+    // q_num = 4m·m − 4m² = 0 exactly.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val pairs = g.toDF("part_a", "part_b")
+    val labels = Seq((1L, 9L), (2L, 9L), (3L, 9L))
+      .toDF("part", "community")
+    val rows = Communities.modularityOf(pairs, labels).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("q_num") == 0L)
+    assert(rows.head.getAs[Double]("q_contrib") == 0.0)
   }
 }

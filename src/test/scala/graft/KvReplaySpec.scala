@@ -145,4 +145,22 @@ class KvReplaySpec extends SparkSpec {
     assert(got.exists { case (k, v) => fin.get(k).exists(_ != v) },
       "midpoint snapshot should differ from the final state")
   }
+
+  test("idempotent replay: injected retries are applied exactly once") {
+    // Hand log where naive double-application would corrupt state: seq 7
+    // and 14 are the DupEvery multiples that get retried; both are
+    // appends, so a second application would duplicate their payloads.
+    val ops = Seq(
+      KvOp(6, "k", "put", "A"), KvOp(7, "k", "append", "b"),
+      KvOp(8, "k", "append", "c"), KvOp(14, "j", "append", "x"),
+      KvOp(15, "j", "append", "y"), KvOp(16, "m", "get", ""))
+    val got = KvReplay.idempotentOf(ops.toDF())
+      .as[(String, String, Long)].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    // Exactly-once: identical to the duplicate-free sequential fold.
+    assert(got.view.mapValues(_._1).toMap == sequential(ops))
+    assert(got("k") == (("Abc", 1L)), got.toString) // seq 7 retried once
+    assert(got("j") == (("xy", 1L)))                // seq 14 retried once
+    assert(!got.contains("m"))                      // gets never mutate
+  }
 }

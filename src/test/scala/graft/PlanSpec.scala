@@ -408,12 +408,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("communities + kcore: every round joins keyed, no cartesian") {
-    for (df <- Seq(ext.Communities.partsCommunities(spark, sf),
+    // communitiesOf is the un-memoized seam — the partsCommunities gate
+    // now reads a sessionMemo checkpoint, whose plan is a scan.
+    for (df <- Seq(
+        ext.Communities.communitiesOf(ext.Basket.copurchase(spark, sf)
+          .select(org.apache.spark.sql.functions.col("part_a"),
+            org.apache.spark.sql.functions.col("part_b"))),
         ext.Communities.partsKcore(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     }
+    // Modularity attaches the 1-row edge-count m by broadcast (the
+    // scalar-attach idiom) — that's the only nested-loop allowed.
+    val pm = plan(ext.Communities.partsModularity(spark, sf))
+    assert(!pm.contains("CartesianProduct"), pm)
+    assert(pm.contains("BroadcastExchange"), pm)
   }
 
   test("triangles: wedge + closure are equi-joins, no cartesian") {
