@@ -572,6 +572,139 @@ object Similarity {
        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.dim >= a.dim
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- MMR diversity rerank ---
+
+  private val MmrCand = 8
+  private val MmrSelect = 4
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) of
+    * the exact top-[[MmrCand]] candidates per sampled query: greedily
+    * select [[MmrSelect]] items maximizing
+    * `score = (cos(q,d) − max_{s∈S} cos(d,s)) · 0.5` (λ = ½) — the
+    * standard redundancy-killing rerank a retrieval layer runs before
+    * handing context to a model (near-duplicate passages waste the
+    * window; MMR trades a little relevance for coverage). Round 1's
+    * penalty term is 0 (empty selected set).
+    *
+    * Determinism: every cosine is the shared exact-integer dot / one
+    * IEEE sqrt+divide; the greedy argmax is total-ordered by
+    * (score DESC, vec_id ASC); `· 0.5` and the subtraction are
+    * written identically in both engines (power-of-two scaling is
+    * exact, so the round trajectory is bit-stable).
+    *
+    * Scale shape: the greedy loop runs over a per-query candidate pool
+    * of [[MmrCand]] (bounded by construction), so every round is a
+    * keyed join on the query id over ≤ 32·8 rows regardless of corpus
+    * size; the only corpus-scale work is the candidate generation
+    * (here the brute-force baseline; at 100 TB the same rerank rides
+    * the IVF/LSH candidate frame instead — identical downstream
+    * shape). */
+  def knnMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = quantized(spark, sfDir)
+    val q = all.orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+      .limit(32)
+      .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("na"))
+    val c = all.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cos").desc, col("vec_b"))
+    val cand = c.join(broadcast(q), col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosCol.as("cos"),
+        col("qb"), col("nb"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrCand)
+      .select(col("vec_a"), col("vec_b"), col("cos"), col("qb"), col("nb"))
+      .localCheckpoint() // 32·MmrCand rows; reused by every round below
+    val ci = cand.select(col("vec_a").as("ca"), col("vec_b").as("vi"),
+      col("qb").as("qi"), col("nb").as("ni"))
+    val cj = cand.select(col("vec_a").as("cb"), col("vec_b").as("vj"),
+      col("qb").as("qj"), col("nb").as("nj"))
+    val ccSim = GraftFunctions.dotLong(col("qi"), col("qj")).cast("double") /
+      sqrt(col("ni").cast("double") * col("nj").cast("double"))
+    val cc = ci.join(cj, col("ca") === col("cb") && col("vi") =!= col("vj"))
+      .select(col("ca").as("vec_a"), col("vi"), col("vj"), ccSim.as("sim"))
+      .localCheckpoint()
+    val base = cand.select(col("vec_a"), col("vec_b"), col("cos"))
+    var selected = base
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        (col("cos") * 0.5).as("score"), lit(1L).as("rank"))
+    for (r <- 2 to MmrSelect) {
+      val selSet = selected.select(col("vec_a").as("sa"),
+        col("vec_b").as("sb"))
+      val remaining = base.join(selSet,
+        base("vec_a") === col("sa") && base("vec_b") === col("sb"),
+        "left_anti")
+      val maxSim = cc.join(selSet,
+          cc("vec_a") === col("sa") && cc("vj") === col("sb"))
+        .groupBy(cc("vec_a").as("ma"), col("vi"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = remaining.join(maxSim,
+          remaining("vec_a") === col("ma") &&
+            remaining("vec_b") === col("vi"))
+        .select(remaining("vec_a"), col("vec_b"), col("cos"),
+          ((col("cos") - col("maxsim")) * 0.5).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_a"))
+            .orderBy(col("score").desc, col("vec_b"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_a"), col("vec_b"), col("cos"), col("score"),
+          lit(r.toLong).as("rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
+  val knnMmrRerankSql: String = {
+    val dotIJ = "CAST(list_sum(list_transform(range(1, len(ni.qv)+1), " +
+      "x -> ni.qv[x]*nj.qv[x])) AS BIGINT)"
+    val rounds = (2 to MmrSelect).map { r =>
+      val p = r - 1
+      s"""ms$r AS (SELECT c.vec_a, c.vi, MAX(c.sim) AS maxsim
+         |  FROM cc c JOIN sel$p s ON c.vec_a = s.vec_a AND c.vj = s.vec_b
+         |  GROUP BY 1, 2),
+         |pk$r AS (SELECT b.vec_a, b.vec_b, b.cos,
+         |    (b.cos - m.maxsim) * 0.5 AS score,
+         |    row_number() OVER (PARTITION BY b.vec_a
+         |      ORDER BY (b.cos - m.maxsim) * 0.5 DESC, b.vec_b) AS rk
+         |  FROM cand b
+         |  JOIN ms$r m ON b.vec_a = m.vec_a AND b.vec_b = m.vi
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p s
+         |    WHERE s.vec_a = b.vec_a AND s.vec_b = b.vec_b)),
+         |s$r AS (SELECT vec_a, vec_b, cos, score, ${r}::BIGINT AS rank
+         |  FROM pk$r WHERE rk = 1),
+         |sel$r AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }
+    s"""WITH $quantizedSqlCte,
+       |q AS (SELECT vec_id, qv, nrm FROM n
+       |  ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT 32),
+       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), x -> a.qv[x]*b.qv[x])) AS BIGINT) AS DOUBLE)
+       |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos
+       |  FROM q a JOIN n b ON a.vec_id <> b.vec_id),
+       |cand AS (SELECT vec_a, vec_b, cos FROM (
+       |    SELECT vec_a, vec_b, cos, row_number() OVER (
+       |      PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rk FROM pairs)
+       |  WHERE rk <= $MmrCand),
+       |cc AS (SELECT i.vec_a, i.vec_b AS vi, j.vec_b AS vj,
+       |    CAST($dotIJ AS DOUBLE)
+       |      / sqrt(CAST(ni.nrm AS DOUBLE) * CAST(nj.nrm AS DOUBLE)) AS sim
+       |  FROM cand i
+       |  JOIN cand j ON i.vec_a = j.vec_a AND i.vec_b <> j.vec_b
+       |  JOIN n ni ON ni.vec_id = i.vec_b
+       |  JOIN n nj ON nj.vec_id = j.vec_b),
+       |sel1 AS (SELECT vec_a, vec_b, cos, cos * 0.5 AS score,
+       |    1::BIGINT AS rank
+       |  FROM (SELECT vec_a, vec_b, cos, row_number() OVER (
+       |      PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rk FROM cand)
+       |  WHERE rk = 1),
+       |${rounds.mkString(",\n")}
+       |SELECT vec_a, vec_b, cos, score, rank FROM sel$MmrSelect"""
+      .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_gram_matrix" -> (gramMatrix _),
     "embedding_dim_stats" -> (dimStats _),
@@ -581,6 +714,7 @@ object Similarity {
     "knn_ivf" -> (knnIvf _),
     "knn_recall_audit" -> (knnRecallAudit _),
     "knn_hard_negatives" -> (knnHardNegatives _),
+    "knn_mmr_rerank" -> (knnMmrRerank _),
     "embedding_label_stats" -> (labelStats _))
 
   val oracles: Map[String, String] = Map(
@@ -592,5 +726,6 @@ object Similarity {
     "knn_ivf" -> knnIvfSql,
     "knn_recall_audit" -> knnRecallAuditSql,
     "knn_hard_negatives" -> knnHardNegativesSql,
+    "knn_mmr_rerank" -> knnMmrRerankSql,
     "embedding_label_stats" -> labelStatsSql)
 }
