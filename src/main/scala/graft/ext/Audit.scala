@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -256,6 +257,73 @@ object Audit {
        |FROM dtk d JOIN vocab v ON d.k = v.k""".stripMargin
   }
 
+  // ------------------------------------------------------- Zipf curve
+
+  /** Doubling-rank cap: the report covers ranks 1..2^12, fetched as a
+    * bounded TakeOrdered — never a global sort of the vocabulary. */
+  val ZipfMaxRank = 4096
+
+  /** Zipf's-law curve at doubling ranks: for rank r = 1, 2, 4, …,
+    * [[ZipfMaxRank]], the r-th most frequent word's count, the
+    * cumulative token coverage of the top r types, and the ratio
+    * freq(r)/freq(r/2) in floored permille — the LOG-FREE rendering of
+    * the Zipf slope (ideal s = 1 gives ratio 500‰ at every doubling;
+    * drift from 500 IS the local slope estimate, with no
+    * transcendental in sight, so both engines agree bit-for-bit where
+    * an ln()-based OLS fit could not be gated). Together with the
+    * Heaps curve above this is the standard corpus-health pair: a
+    * too-steep head (ratio ≪ 500) means boilerplate domination; heavy
+    * coverage in few types means the tokenizer will waste its vocab.
+    *
+    * Scale shape: word counts are one map-side-combinable groupBy on
+    * the 31-bit word hash; the top-[[ZipfMaxRank]] fetch is
+    * TakeOrdered (per-partition top-N + driver merge — no global
+    * sort); every window after that runs on ≤ 4096 rows; the token
+    * total attaches as a 1-row broadcast. */
+  def zipfRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val wcounts = Tables.documents(spark, sfDir)
+      .select(explode(Hashing.wordHashes(col("text"))).as("wh"))
+      .groupBy(col("wh")).agg(count(lit(1)).as("freq"))
+    val total = wcounts.agg(sum(col("freq")).as("total_tokens"))
+    val ord = Window.orderBy(col("freq").desc, col("wh"))
+    val top = wcounts
+      .orderBy(col("freq").desc, col("wh")).limit(ZipfMaxRank)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    top
+      .filter(expr("(rank & (rank - 1)) = 0")) // powers of two only
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_permille",
+        expr("cum_freq * 1000 div total_tokens"))
+      .withColumn("prev_freq",
+        lag(col("freq"), 1).over(Window.orderBy(col("rank"))))
+      .select(col("rank"), col("freq"), col("cum_freq"),
+        col("coverage_permille"),
+        coalesce(expr("freq * 1000 div prev_freq"), lit(1000L))
+          .as("zipf_ratio_permille"))
+  }
+
+  val zipfRanksSql: String =
+    s"""WITH wc AS (SELECT wh, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Hashing.wordHashesSql("text")}) AS wh
+       |        FROM documents) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM wc),
+       |top AS (SELECT wh, freq,
+       |    CAST(row_number() OVER (ORDER BY freq DESC, wh) AS BIGINT)
+       |      AS rank,
+       |    CAST(SUM(freq) OVER (ORDER BY freq DESC, wh
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_freq
+       |  FROM wc ORDER BY freq DESC, wh LIMIT $ZipfMaxRank),
+       |ck AS (SELECT rank, freq, cum_freq FROM top
+       |  WHERE (rank & (rank - 1)) = 0)
+       |SELECT rank, freq, cum_freq,
+       |  cum_freq * 1000 // total_tokens AS coverage_permille,
+       |  COALESCE(freq * 1000 // lag(freq, 1) OVER (ORDER BY rank),
+       |    1000) AS zipf_ratio_permille
+       |FROM ck, tot""".stripMargin
+
   // ------------------------------------------------- Benford screening
 
   /** Benford permille expectations for leading digits 1..9:
@@ -317,6 +385,7 @@ object Audit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_length_histogram" -> (lengthHistogram _),
     "corpus_heaps_law" -> (heapsLaw _),
+    "corpus_zipf_ranks" -> (zipfRanks _),
     "integrity_audit" -> (integrityAudit _),
     "orders_benford_digits" -> (benfordOrders _),
     "corpus_snapshot_diff" -> (snapshotDiff _))
@@ -324,6 +393,7 @@ object Audit {
   val oracles: Map[String, String] = Map(
     "corpus_length_histogram" -> lengthHistogramSql,
     "corpus_heaps_law" -> heapsLawSql,
+    "corpus_zipf_ranks" -> zipfRanksSql,
     "integrity_audit" -> integrityAuditSql,
     "orders_benford_digits" -> benfordOrdersSql,
     "corpus_snapshot_diff" -> snapshotDiffSql)

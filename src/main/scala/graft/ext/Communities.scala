@@ -248,13 +248,90 @@ object Communities {
        |FROM d$PeelRounds WHERE c >= $CoreK""".stripMargin
   }
 
+  /** Degree assortativity (Newman 2002) of the co-purchase graph,
+    * exactly: over the M = 2m directed renderings of the edge list with
+    * endpoint degrees (j, k),
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — the Pearson correlation
+    * of degrees across edges, with every sum an exact Long (degrees
+    * and M bound all terms ≪ 2^53) and ONE double division at the end.
+    * Positive r = hubs link hubs (social shape); negative = hubs link
+    * leaves (the catalog/star shape retail baskets produce). The
+    * planted-hub probes ([[graft.GraphHubSpec]]) and this gate are the
+    * same story: the metric says how hub-heavy the graph is, the probe
+    * proves the operators survive it.
+    *
+    * Scale shape: one map-side-combinable degree count, two keyed
+    * joins of the edge list against it (never all-pairs), one global
+    * 1-row aggregate. The regular-graph degenerate case (r_den = 0) is
+    * pinned to NULL in both engines (double 0/0 would be NaN in Spark
+    * and NULL in DuckDB — the one place the engines' division
+    * semantics diverge). */
+  private[graft] def assortativityOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("na"), col("deg").as("j")),
+        col("src") === col("na"))
+      .join(deg.select(col("node").as("nb"), col("deg").as("k")),
+        col("dst") === col("nb"))
+    withDeg.agg(
+        (count(lit(1)) / 2).cast("long").as("m_edges"),
+        count(lit(1)).as("m_directed"),
+        sum(col("j") * col("k")).as("sum_jk"),
+        sum(col("j")).as("sum_j"),
+        sum(col("j") * col("j")).as("sum_j2"))
+      .withColumn("r_num",
+        col("m_directed") * col("sum_jk") - col("sum_j") * col("sum_j"))
+      .withColumn("r_den",
+        col("m_directed") * col("sum_j2") - col("sum_j") * col("sum_j"))
+      .withColumn("assortativity",
+        when(col("r_den") === 0L, lit(null).cast("double"))
+          .otherwise(col("r_num").cast("double") /
+            col("r_den").cast("double")))
+  }
+
+  def partsAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOf(Basket.copurchase(spark, sfDir)
+      .select(col("part_a"), col("part_b")))
+
+  val partsAssortativitySql: String =
+    s"""WITH pairs AS (${Basket.copurchaseSql}),
+       |edges AS (SELECT part_a AS src, part_b AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT part_b, part_a FROM pairs),
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |s AS (SELECT
+       |    CAST(COUNT(*) / 2 AS BIGINT) AS m_edges,
+       |    CAST(COUNT(*) AS BIGINT) AS m_directed,
+       |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sum_jk,
+       |    CAST(SUM(a.deg) AS BIGINT) AS sum_j,
+       |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sum_j2
+       |  FROM edges e
+       |  JOIN deg a ON e.src = a.node
+       |  JOIN deg b ON e.dst = b.node)
+       |SELECT m_edges, m_directed, sum_jk, sum_j, sum_j2,
+       |  m_directed * sum_jk - sum_j * sum_j AS r_num,
+       |  m_directed * sum_j2 - sum_j * sum_j AS r_den,
+       |  CASE WHEN m_directed * sum_j2 - sum_j * sum_j = 0 THEN NULL
+       |       ELSE CAST(m_directed * sum_jk - sum_j * sum_j AS DOUBLE)
+       |         / CAST(m_directed * sum_j2 - sum_j * sum_j AS DOUBLE)
+       |  END AS assortativity
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_communities" -> (partsCommunities _),
     "parts_kcore" -> (partsKcore _),
-    "parts_modularity" -> (partsModularity _))
+    "parts_modularity" -> (partsModularity _),
+    "parts_assortativity" -> (partsAssortativity _))
 
   val oracles: Map[String, String] = Map(
     "parts_communities" -> partsCommunitiesSql,
     "parts_kcore" -> partsKcoreSql,
-    "parts_modularity" -> partsModularitySql)
+    "parts_modularity" -> partsModularitySql,
+    "parts_assortativity" -> partsAssortativitySql)
 }

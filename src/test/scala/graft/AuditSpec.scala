@@ -47,4 +47,36 @@ class AuditSpec extends SparkSpec {
     for (Seq(a, b) <- series.sliding(2))
       assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3)
   }
+
+  test("zipf ranks: checkpoints match a brute-force frequency sort") {
+    import spark.implicits._
+    val got = Audit.zipfRanks(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+
+    val freqs: Seq[(Long, Long)] = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        ext.Hashing.wordHashes($"text")).as("wh"))
+      .as[Long].collect().toSeq
+      .groupBy(x => x).map { case (wh, xs) => (wh, xs.size.toLong) }
+      .toSeq.sortBy { case (wh, f) => (-f, wh) }
+    val total = freqs.map(_._2).sum
+    val cum = freqs.map(_._2).scanLeft(0L)(_ + _).tail
+
+    assert(got.nonEmpty)
+    got.foreach { case (rank, f, cf, cov, ratio) =>
+      assert(java.lang.Long.bitCount(rank) == 1, s"rank $rank not 2^k")
+      assert(f == freqs((rank - 1).toInt)._2, s"freq at rank $rank")
+      assert(cf == cum((rank - 1).toInt))
+      assert(cov == cf * 1000 / total)
+      if (rank == 1L) assert(ratio == 1000L)
+      else assert(ratio == f * 1000 / freqs((rank / 2 - 1).toInt)._2)
+    }
+    // Checkpoints are consecutive doublings from 1 up to ≤ vocab size.
+    val ranks = got.map(_._1)
+    assert(ranks.head == 1L)
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => b == 2 * a })
+    assert(ranks.last <= freqs.length && ranks.last * 2 > freqs.length ||
+      ranks.last == Audit.ZipfMaxRank)
+  }
 }

@@ -143,6 +143,22 @@ class CommunitiesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("q_num")).sum == 70L)
   }
 
+  test("assortativity: star is maximally disassortative, cycle degenerate") {
+    // Star 0-{1,2,3}: every edge joins deg-3 to deg-1. M=6, Σjk=6·3=18,
+    // Σj=6·(3+1)/1=12, Σj²=6·(9+1)/...: per directed edge j∈{3,1} with
+    // the hub on one side: Σj = 3·3+3·1 = 12, Σj² = 3·9+3·1 = 30,
+    // Σjk = 6·3 = 18 ⇒ r = (6·18−144)/(6·30−144) = −36/36 = −1.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("part_a", "part_b")
+    val s = Communities.assortativityOf(star).collect().head
+    assert(s.getAs[Long]("r_num") == -36L && s.getAs[Long]("r_den") == 36L)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // A cycle is 2-regular: r_den = 0 ⇒ NULL, not NaN.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("part_a", "part_b")
+    val c = Communities.assortativityOf(cyc).collect().head
+    assert(c.getAs[Long]("r_den") == 0L)
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+  }
+
   test("modularity: single community covering everything scores 0") {
     // All nodes in one label ⇒ e_in = m, deg_sum = 2m ⇒
     // q_num = 4m·m − 4m² = 0 exactly.
