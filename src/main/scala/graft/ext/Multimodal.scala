@@ -1097,7 +1097,77 @@ object Multimodal {
        |SELECT doc_id, phash FROM ph""".stripMargin
   }
 
+  // --------------------------------------------- luma histogram (PNG) ---
+
+  case class PngHist(doc_id: Long, width: Long, height: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** Per-image 8-bin integer-luma histogram over REAL PNG-decoded
+    * pixels — the exposure/contrast profile an image-curation pass
+    * computes before training (all-dark / all-flat images are the
+    * multimodal analog of boilerplate text). Luma is the BT.601
+    * integer approximation (77r + 150g + 29b) div 256 — exact integer
+    * in both engines, no float weights — binned by div 16 (the ASCII
+    * payload bounds luma < 128, so all 8 bins cover the live range).
+    * The pipeline is encode → [[PngCodec.decode]] (zlib inflate, all 5
+    * filters, CRC) → histogram, while the oracle recomputes the bins
+    * straight from the text bytes — blind to the codec, so a wrong
+    * filter reconstruction or channel order hash-mismatches.
+    *
+    * Scale shape: one typed mapPartitions over the payload column
+    * (byte-grammar decode — the documented non-Catalyst boundary);
+    * output is one 11-column row per image, no shuffle at all. */
+  def imageHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 2 + (id % 6).toInt
+          val h = 3 + (id % 5).toInt
+          val rgb = Array.tabulate(3 * w * h)(i => tb(i % tb.length))
+          val img = PngCodec.decode(PngCodec.encode(w, h, rgb))
+            .getOrElse(sys.error(s"round-trip decode failed for doc $id"))
+          val bins = new Array[Long](8)
+          var p = 0
+          while (p < w * h) {
+            val r = img.pixels(3 * p) & 0xff
+            val g = img.pixels(3 * p + 1) & 0xff
+            val b = img.pixels(3 * p + 2) & 0xff
+            val lum = (77 * r + 150 * g + 29 * b) / 256
+            bins(math.min(lum / 16, 7)) += 1L
+            p += 1
+          }
+          PngHist(id, w.toLong, h.toLong, bins(0), bins(1), bins(2),
+            bins(3), bins(4), bins(5), bins(6), bins(7))
+        }
+      }
+      .toDF()
+  }
+
+  /** Same ASCII-corpus byte==char assumption as [[decodePngSql]]. */
+  val imageHistogramSql: String = {
+    def pix(idx: String): String =
+      s"CAST(ascii(substr(text, CAST(($idx) % len AS INTEGER) + 1, 1)) AS BIGINT)"
+    val lum = s"(77*${pix("3*p")} + 150*${pix("3*p + 1")} + 29*${pix("3*p + 2")}) // 256"
+    def bin(b: Int): String =
+      s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(range(0, w*h), " +
+        s"p -> CASE WHEN least(($lum) // 16, 7) = $b THEN 1::BIGINT ELSE 0::BIGINT END))) AS BIGINT) AS h$b"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    2 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  ${(0 to 7).map(bin).mkString(",\n  ")}
+       |FROM d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_image_histogram" -> (imageHistogram _),
     "multimodal_meta" -> (mediaMeta _),
     "multimodal_frames" -> (frameSamples _),
     "multimodal_resize" -> (resizeFeatures _),
@@ -1110,6 +1180,7 @@ object Multimodal {
     "multimodal_resize_png" -> (resizePng _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_image_histogram" -> imageHistogramSql,
     "multimodal_meta" -> mediaMetaSql,
     "multimodal_frames" -> frameSamplesSql,
     "multimodal_resize" -> resizeFeaturesSql,

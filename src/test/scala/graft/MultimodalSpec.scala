@@ -358,6 +358,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHistogram: bins partition the plane; luma recompute agrees") {
+    import spark.implicits._
+    val rows = ext.Multimodal.imageHistogram(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length($"text") > 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = r.getAs[Long]("width").toInt
+      val h = r.getAs[Long]("height").toInt
+      val bins = (0 to 7).map(b => r.getAs[Long](s"h$b"))
+      assert(bins.sum == w * h, s"doc $id: bins must partition the plane")
+      // Independent recompute straight from the text bytes (codec-blind).
+      val tb = texts(id).getBytes("UTF-8")
+      val want = new Array[Long](8)
+      for (p <- 0 until w * h) {
+        def px(i: Int) = tb(i % tb.length) & 0xff
+        val lum = (77 * px(3 * p) + 150 * px(3 * p + 1) +
+          29 * px(3 * p + 2)) / 256
+        want(math.min(lum / 16, 7)) += 1
+      }
+      assert(bins == want.toSeq, s"doc $id histogram diverged")
+    }
+    // The corpus populates more than one bin overall (contrast exists).
+    val totals = (0 to 7).map(b => rows.map(_.getAs[Long](s"h$b")).sum)
+    assert(totals.count(_ > 0) >= 2)
+  }
+
   test("metadata-only consumers prune the payload column at the scan") {
     // Leaf scans (parquet or a cached InMemoryTableScan) must read only
     // doc_id — neither text nor the derived payload column.
