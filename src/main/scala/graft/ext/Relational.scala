@@ -892,7 +892,57 @@ object Relational {
       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_nationkey""".stripMargin
 
+  /** 7-day RANGE-frame moving revenue — the one window frame family
+    * the suite didn't yet cover (ROWS frames: running total /
+    * intervals; full-frame: distrib). RANGE over an integer day key
+    * sums PEER days by VALUE distance, so calendar gaps genuinely
+    * shrink the window (a ROWS 6-preceding frame would silently span
+    * them) — days_in_window exposes exactly that difference and the
+    * fixture's gapped days populate both arms. Money stays exact cents
+    * until the final /100.0.
+    *
+    * Scale shape: one map-side-combinable daily rollup (≤ ~750 rows —
+    * CALENDAR-bounded, independent of row count), then the window runs
+    * on that bounded spine; the unpartitioned sort is over days, never
+    * over facts. */
+  def ordersRevenue7d(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(quant(col("o_totalprice"), 100)).as("rev_c"))
+      .withColumn("dn",
+        datediff(col("day").cast("date"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7_c", sum(col("rev_c")).over(w))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .select(col("day"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"),
+        (col("rev7_c").cast("double") / 100.0).as("revenue_7d"),
+        col("days_in_window"))
+  }
+
+  val ordersRevenue7dSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |d2 AS (SELECT day, rev_c,
+      |  date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS dn
+      |  FROM daily)
+      |SELECT day,
+      |  CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+      |  CAST(CAST(SUM(rev_c) OVER (ORDER BY dn
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE)/100.0 AS revenue_7d,
+      |  CAST(COUNT(*) OVER (ORDER BY dn
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS days_in_window
+      |FROM d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_revenue_7d" -> (ordersRevenue7d _),
     "q4_priority_count" -> (q4PriorityCount _),
     "q8_market_share" -> (q8MarketShare _),
     "q12_priority_lines" -> (q12PriorityLines _),
@@ -918,6 +968,7 @@ object Relational {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "orders_revenue_7d" -> ordersRevenue7dSql,
     "q4_priority_count" -> q4Sql,
     "q8_market_share" -> q8Sql,
     "q12_priority_lines" -> q12Sql,

@@ -86,4 +86,28 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(rs.forall(_._5 == rs.map(_._4).max))
     }
   }
+
+  test("7d RANGE frame: value-distance peers, gaps shrink the window") {
+    import spark.implicits._
+    val rows = ext.Relational.ordersRevenue7d(spark, sf)
+      .select(col("day").cast("date").cast("string"), col("revenue"),
+        col("revenue_7d"), col("days_in_window"))
+      .as[(String, Double, Double, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 7))
+    // Independent recompute from the daily series by date arithmetic.
+    val byDay = rows.map(r =>
+      java.time.LocalDate.parse(r._1) -> r._2).toMap
+    rows.foreach { case (d, _, r7, n) =>
+      val day = java.time.LocalDate.parse(d)
+      val win = (0 to 6).flatMap(k => byDay.get(day.minusDays(k.toLong)))
+      assert(n == win.size, s"$d days_in_window")
+      assert(math.abs(win.sum - r7) < 1e-6, s"$d revenue_7d")
+    }
+    // The fixture has calendar gaps: both full and short windows occur
+    // beyond the warm-up week.
+    val steady = rows.drop(7)
+    assert(steady.exists(_._4 == 7) || steady.isEmpty)
+  }
 }
