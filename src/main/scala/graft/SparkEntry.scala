@@ -61,6 +61,7 @@ object SparkEntry {
         "events_autocorr_hourly" -> (ext.Events.autocorrHourly _),
         "events_click_attribution" -> (ext.Events.clickAttribution _),
         "events_minute_full_outer" -> (ext.Events.minuteFullOuter _),
+        "events_out_of_order" -> (ext.Events.outOfOrder _),
         "lineitem_price_quantiles" -> (ext.Events.priceQuantiles _),
         "events_sessionize" -> (ext.Events.sessionize _),
         "events_session_durations" -> (ext.Events.sessionDurations _),
@@ -116,6 +117,7 @@ object SparkEntry {
       "events_autocorr_hourly" -> ext.Events.autocorrHourlySql,
       "events_click_attribution" -> ext.Events.clickAttributionSql,
       "events_minute_full_outer" -> ext.Events.minuteFullOuterSql,
+      "events_out_of_order" -> ext.Events.outOfOrderSql,
       "lineitem_price_quantiles" -> ext.Events.priceQuantilesSql,
       "events_sessionize" -> ext.Events.sessionizeSql,
       "events_session_durations" -> ext.Events.sessionDurationsSql,

@@ -23,6 +23,84 @@ object Events {
   def centsSumSql(e: String): String =
     s"CAST(SUM(CAST(round($e*100) AS BIGINT)) AS DOUBLE)/100.0"
 
+  /** Planted-lateness slice: idHash(event_id) % this == 0 (~3% of
+    * events) is delayed by [[OooDelayUs]]. 29 is coprime with the
+    * idHash multiplier 40503 = 3·23·587 — a factor of the multiplier
+    * (23, say) would make the slice structurally EMPTY on small ids. */
+  val OooSliceMod = 29L
+
+  /** 2 h planted delay — past the streaming twins' 30 min watermark. */
+  val OooDelayUs: Long = 2L * 3600 * 1000000L
+
+  /** Out-of-order arrival audit — the measurement a streaming watermark
+    * is DESIGNED from: within each user's stream (event_id = arrival
+    * order), an event is out-of-order if its event time precedes the
+    * max event time already seen for that user, and its lateness is
+    * that regression in seconds. Reported per event-time hour: event
+    * count, out-of-order count/permille, and worst lateness — exactly
+    * the table you read before choosing `withWatermark("ts", X)`
+    * (the streaming twins here use 30 min; this gate shows what that
+    * choice drops). Per-user running max keeps the computation KEYED —
+    * a global arrival watermark would serialize on one partition at
+    * scale, and per-key watermark design is what production pipelines
+    * do anyway (device clocks skew per device).
+    *
+    * The fixture's event_id order is perfectly time-sorted (zero
+    * out-of-order rows at every SF), which would make the gate
+    * vacuous — so, the integrity/pii pattern: both engines
+    * deterministically delay the SAME idHash slice of events by
+    * [[OooDelayUs]] (a late device flush), and must EARN matching
+    * non-zero counts through their windowed detectors. Unperturbed
+    * hours prove the detector also stays silent on ordered data.
+    *
+    * Scale shape: one user_id-keyed window (running max over arrival
+    * order) riding the same shuffle a sessionize pass uses, then a
+    * map-side-combinable hourly rollup. Integer micros throughout. */
+  def outOfOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          when(Hashing.idHash(col("event_id")) % OooSliceMod === 0,
+            lit(OooDelayUs)).otherwise(lit(0L))).as("tsu"))
+      .withColumn("ts", timestamp_micros(col("tsu")).cast("timestamp_ntz"))
+      .withColumn("prev_max", max(col("tsu")).over(w))
+      .withColumn("late_us",
+        when(col("prev_max") > col("tsu"), col("prev_max") - col("tsu"))
+          .otherwise(lit(0L)))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_ooo"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("ooo_permille", expr("n_ooo * 1000 div n_events"))
+  }
+
+  val outOfOrderSql: String =
+    s"""WITH e AS (SELECT event_id, user_id,
+       |    CAST(epoch_us(ts) AS BIGINT)
+       |      - CASE WHEN (${Hashing.idHashSql("event_id")}) % $OooSliceMod = 0
+       |             THEN $OooDelayUs ELSE 0 END AS tsu
+       |  FROM events WHERE ts IS NOT NULL),
+       |m AS (SELECT event_id, user_id, make_timestamp(tsu) AS ts, tsu,
+       |    MAX(tsu) OVER (PARTITION BY user_id ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM e),
+       |l AS (SELECT ts,
+       |    CASE WHEN prev_max > tsu THEN prev_max - tsu ELSE 0 END AS late_us
+       |  FROM m)
+      |SELECT date_trunc('hour', ts) AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COALESCE(SUM(CASE WHEN late_us > 0 THEN 1 END), 0) AS BIGINT)
+      |    AS n_ooo,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(COALESCE(SUM(CASE WHEN late_us > 0 THEN 1 END), 0) * 1000
+      |    // COUNT(*) AS BIGINT) AS ooo_permille
+      |FROM l GROUP BY 1""".stripMargin
+
   def windowedAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))

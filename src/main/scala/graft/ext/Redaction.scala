@@ -124,11 +124,52 @@ object Redaction {
        |SELECT 'ipv4', CAST(COUNT(CASE WHEN n_ips > 0 THEN 1 END) AS BIGINT),
        |  CAST(SUM(n_ips) AS BIGINT) FROM per""".stripMargin
 
+  /** Minimum safe equivalence-class size for [[kAnonymity]]. */
+  val KAnon = 5L
+
+  /** k-anonymity / l-diversity audit over the customer table's
+    * quasi-identifier pair (nation, market segment) — the re-
+    * identification risk report a privacy pass produces BEFORE a
+    * dataset ships (Sweeney 2002; Machanavajjhala 2007): per
+    * equivalence class, its size (k), whether it clears [[KAnon]], and
+    * the diversity (distinct count) of a sensitive attribute — here
+    * the account-balance sign — whose l = 1 classes leak the attribute
+    * even when k is large. Joining a "de-identified" dump against a
+    * public roster on the quasi-identifiers is exactly a keyed join;
+    * classes below k are the rows that join uniquely enough to name.
+    *
+    * Scale shape: ONE map-side-combinable groupBy on the quasi-
+    * identifier pair; the report is |nations|·|segments| rows at any
+    * corpus size. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct(when(col("c_acctbal") >= 0, 1L).otherwise(0L))
+          .as("l_diversity"))
+      .withColumn("at_risk", col("k") < KAnon)
+      .withColumn("attr_leak", col("l_diversity") === 1L)
+
+  val kAnonymitySql: String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  c_mktsegment AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 1
+       |    ELSE 0 END) AS BIGINT) AS l_diversity,
+       |  COUNT(*) < $KAnon AS at_risk,
+       |  COUNT(DISTINCT CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) = 1
+       |    AS attr_leak
+       |FROM customer GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_k_anonymity" -> (kAnonymity _),
     "pii_redact" -> (piiRedact _),
     "pii_summary" -> (piiSummary _))
 
   val oracles: Map[String, String] = Map(
+    "privacy_k_anonymity" -> kAnonymitySql,
     "pii_redact" -> piiRedactSql,
     "pii_summary" -> piiSummarySql)
 }

@@ -157,4 +157,47 @@ class AnomalySpec extends SparkSpec {
     assert(flagged > 0, "no outliers flagged — threshold vacuous")
     assert(flagged * 4 < got.size, s"$flagged/${got.size} flagged")
   }
+
+  test("out-of-order audit: per-user regressions match a sequential fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = ext.Events.outOfOrder(spark, sf)
+      .select(unix_micros(col("hour").cast("timestamp")).as("h"),
+        col("n_events"), col("n_ooo"), col("max_late_us"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Sequential per-user fold over arrival (event_id) order, with the
+    // same planted-lateness slice applied by hand.
+    val P = ext.Hashing.P
+    val ev = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, uid, tsu0) =>
+        val ih = ((id % P) * 40503 + 12345) % P
+        val tsu = tsu0 -
+          (if (ih % ext.Events.OooSliceMod == 0) ext.Events.OooDelayUs
+           else 0L)
+        (id, uid, tsu, tsu / 3600000000L * 3600000000L)
+      }
+    val want = collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    ev.groupBy(_._2).foreach { case (_, es) =>
+      var mx = Long.MinValue
+      es.sortBy(_._1).foreach { case (_, _, tsu, hour) =>
+        val late = if (mx > tsu) mx - tsu else 0L
+        val (n, o, ml) = want(hour)
+        want(hour) = (n + 1, o + (if (late > 0) 1L else 0L),
+          math.max(ml, late))
+        mx = math.max(mx, tsu)
+      }
+    }
+    assert(got == want.toMap, {
+      val d = got.keySet ++ want.keySet
+      d.filter(k => got.get(k) != want.toMap.get(k)).take(3)
+        .map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString(";")
+    })
+    assert(got.values.exists(_._2 > 0),
+      "fixture must contain genuine out-of-order arrivals")
+  }
 }

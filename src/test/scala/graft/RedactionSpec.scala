@@ -51,4 +51,24 @@ class RedactionSpec extends SparkSpec {
     assert(summary("phone")._2 == per.values.map(_._2).sum)
     assert(summary("ipv4")._2 == per.values.map(_._3).sum)
   }
+
+  test("k-anonymity: classes partition the table; flags match their k/l") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.Redaction.kAnonymity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("k")).sum == total,
+      "equivalence classes must partition the customers")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("at_risk") ==
+        (r.getAs[Long]("k") < ext.Redaction.KAnon))
+      assert(r.getAs[Boolean]("attr_leak") ==
+        (r.getAs[Long]("l_diversity") == 1L))
+      assert(r.getAs[Long]("l_diversity") >= 1L &&
+        r.getAs[Long]("l_diversity") <= 2L)
+    }
+    // The fixture populates both risk arms at this SF (tiny classes
+    // exist among 125 nation x segment cells over 150 customers).
+    assert(rows.exists(_.getAs[Boolean]("at_risk")))
+  }
 }
