@@ -678,6 +678,71 @@ object TextAnalysis {
        |      FROM hits)
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  private val PrfSeedDocs = 3
+  private val PrfExpTerms = 5
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 lineage;
+    * the PRF step every classic IR stack runs between first-pass
+    * retrieval and rerank): for each BM25 query term, take its top-
+    * [[PrfSeedDocs]] documents as assumed-relevant feedback, pool
+    * their vocabulary, and rank candidate expansion terms by
+    * (feedback-doc frequency DESC, corpus df ASC, word ASC) — common
+    * in the feedback pool, rare in the corpus: the integer-exact
+    * rendering of the Rocchio signal with no tf-idf float anywhere.
+    * Emits the top-[[PrfExpTerms]] expansions per seed term.
+    *
+    * Scale shape: seed docs come from the shared [[bm25Hits]] stage
+    * (pruned posting lists, one term-keyed exchange) via a bounded
+    * window; the feedback pool join is keyed on doc_id against a
+    * BROADCAST seed frame (≤ terms·seeds rows at any SF); candidate
+    * ranking is a map-side-combinable count + a window over
+    * [[Bm25QueryTerms]] partitions; the df attach is one keyed join. */
+  def searchPrfExpansion(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = bm25Hits(spark, sfDir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rnk") <= PrfSeedDocs)
+      .select(col("term"), col("doc_id"))
+    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumers: feedback-pool join + df table
+    val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val pool = tf.join(broadcast(seeds), Seq("doc_id"))
+      .filter(col("word") =!= col("term"))
+      .groupBy(col("term"), col("word"))
+      .agg(countDistinct(col("doc_id")).as("fb_docs"))
+    pool.join(dfTab, Seq("word"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("fb_docs").desc, col("df").asc, col("word").asc))
+        .cast("long"))
+      .filter(col("rank") <= PrfExpTerms)
+      .select(col("term"), col("word").as("exp_word"), col("fb_docs"),
+        col("df"), col("rank"))
+  }
+
+  val searchPrfExpansionSql: String =
+    s"""WITH $bm25HitsCtes,
+       |seeds AS (SELECT term, doc_id FROM (
+       |    SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |      ORDER BY idf_bits * tf_permille DESC, doc_id) AS rnk
+       |    FROM hits)
+       |  WHERE rnk <= $PrfSeedDocs),
+       |pool AS (SELECT s.term, tf.word,
+       |    CAST(COUNT(DISTINCT tf.doc_id) AS BIGINT) AS fb_docs
+       |  FROM tf JOIN seeds s ON tf.doc_id = s.doc_id
+       |  WHERE tf.word <> s.term
+       |  GROUP BY 1, 2)
+       |SELECT term, word AS exp_word, fb_docs, df, CAST(rank AS BIGINT)
+       |  AS rank
+       |FROM (SELECT p.term, p.word, p.fb_docs, d.df,
+       |    row_number() OVER (PARTITION BY p.term
+       |      ORDER BY p.fb_docs DESC, d.df ASC, p.word ASC) AS rank
+       |  FROM pool p JOIN dfx d ON p.word = d.word)
+       |WHERE rank <= $PrfExpTerms""".stripMargin
+
   /** Held-out bigram-LM scoring — the CCNet/Gopher perplexity-filter
     * shape done honestly: the LM trains on HALF the corpus (idHash-even
     * docs — the deterministic split both engines share) and scores the
@@ -1034,6 +1099,7 @@ object TextAnalysis {
     "quality_lm_heldout" -> (lmHeldout _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "search_bm25" -> (bm25TopK _),
+    "search_prf_expansion" -> (searchPrfExpansion _),
     "search_rrf" -> (searchRrf _),
     "search_postings_and" -> (postingsAnd _),
     "search_phrase" -> (phraseSearch _),
@@ -1053,6 +1119,7 @@ object TextAnalysis {
     "quality_lm_heldout" -> lmHeldoutSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "search_bm25" -> bm25TopKSql,
+    "search_prf_expansion" -> searchPrfExpansionSql,
     "search_rrf" -> searchRrfSql,
     "search_postings_and" -> postingsAndSql,
     "search_phrase" -> phraseSearchSql,

@@ -290,4 +290,41 @@ class TextParitySpec extends SparkSpec {
         s.toLowerCase.split("[^a-z]+").count(en.contains).toLong, s"stop '$s'")
     }
   }
+
+  test("PRF expansion: ranks match a driver recompute from the seed docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = ext.TextAnalysis.searchPrfExpansion(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    assert(got.nonEmpty)
+    // Seed docs from the gated BM25 ranking; pool + rank by hand.
+    val top = ext.TextAnalysis.bm25TopK(spark, sf)
+      .select("term", "rnk", "doc_id")
+      .as[(String, Long, Long)].collect()
+      .filter(_._2 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(lower(col("text")), "[^a-z]+").as("ws"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (d, ws) => d -> ws.filter(_.nonEmpty).toSet }.toMap
+    val df = words.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity[String]).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (term, rows) =>
+      assert(rows.map(_._5).toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"$term ranks")
+      assert(rows.forall(_._2 != term), s"$term must not expand to itself")
+      val seeds = top(term)
+      val cand = words.collect {
+        case (d, ws) if seeds(d) => ws - term
+      }.flatten.groupBy(identity[String]).view
+        .mapValues(_.size.toLong).toMap
+      val want = cand.toSeq
+        .map { case (w, fb) => (w, fb, df(w)) }
+        .sortBy { case (w, fb, d) => (-fb, d, w) }.take(5)
+        .map { case (w, fb, d) => (term, w, fb, d) }
+      assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq == want,
+        s"$term expansion diverged:\n got=$rows\nwant=$want")
+    }
+  }
 }
