@@ -30,6 +30,8 @@ object SparkEntry {
       ext.Funnel.queries ++ ext.AggState.queries ++ ext.Retention.queries ++ ext.Skew.queries ++ ext.Basket.queries ++ ext.Audit.queries ++ ext.PageRank.queries ++ ext.Tokenize.queries ++ ext.Bpe.queries ++ ext.Pipeline.queries ++ ext.ProductQuant.queries ++ ext.Audio.queries ++ ext.Bfs.queries ++ ext.Winnow.queries ++ ext.Communities.queries ++ ext.Paragraph.queries ++ ext.ScalarQuant.queries ++ ext.SparseSim.queries ++ ext.CharEntropy.queries ++
       ext.Rfm.queries ++ ext.Moments.queries ++ ext.Cdc.queries ++
       ext.Novelty.queries ++ ext.Qoi.queries ++ ext.SupplyChain.queries ++
+      ext.Sweep.queries ++ ext.LinkPrediction.queries ++
+      ext.Compaction.queries ++
       ext.Hits.queries ++ ext.Readability.queries ++ ext.Gif.queries ++ ext.Pca.queries ++ ext.Growth.queries ++ ext.Latency.queries ++ ext.Paths.queries ++ ext.Spell.queries ++ ext.Rake.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
@@ -87,6 +89,8 @@ object SparkEntry {
       ext.PageRank.oracles ++ ext.Tokenize.oracles ++ ext.Bpe.oracles ++ ext.Pipeline.oracles ++ ext.ProductQuant.oracles ++ ext.Audio.oracles ++ ext.Bfs.oracles ++ ext.Winnow.oracles ++ ext.Communities.oracles ++ ext.Paragraph.oracles ++ ext.ScalarQuant.oracles ++ ext.SparseSim.oracles ++ ext.CharEntropy.oracles ++
       ext.Rfm.oracles ++ ext.Moments.oracles ++ ext.Cdc.oracles ++
       ext.Novelty.oracles ++ ext.Qoi.oracles ++ ext.SupplyChain.oracles ++
+      ext.Sweep.oracles ++ ext.LinkPrediction.oracles ++
+      ext.Compaction.oracles ++
       ext.Hits.oracles ++ ext.Readability.oracles ++ ext.Gif.oracles ++ ext.Pca.oracles ++ ext.Growth.oracles ++ ext.Latency.oracles ++ ext.Paths.oracles ++ ext.Spell.oracles ++ ext.Rake.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
