@@ -154,11 +154,62 @@ object Components {
        |FROM comp c JOIN q ON c.doc_id = q.doc_id
        |GROUP BY component""".stripMargin
 
+  /** End-to-end dedup yield by source — the number a curation run is
+    * judged on: how many docs/chars survive near-dup removal, per
+    * ingest source. A doc survives iff it is unclustered (no near-dup)
+    * or it is its cluster's quality keeper. Rides the session-memoized
+    * label frame and the keeper argmax — both bounded by the near-dup
+    * node count — then ONE left-join pass over the corpus and a
+    * |sources|-row rollup; the removal rate is a cross-engine-exact
+    * integer permille. */
+  def dedupYieldBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("nc"))
+    val comp = dedupComponents(spark, sfDir)
+    val keepers = clusterKeepers(spark, sfDir).select(col("keeper"))
+    docs
+      .join(comp, Seq("doc_id"), "left_outer")
+      .join(keepers, col("doc_id") === col("keeper"), "left_outer")
+      .withColumn("keep", col("component").isNull || col("keeper").isNotNull)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("nc")).as("chars_total"),
+        sum(when(col("keep"), col("nc")).otherwise(0L)).as("chars_kept"))
+      .withColumn("removed_permille",
+        expr("(n_docs - n_kept) * 1000 div n_docs").cast("long"))
+  }
+
+  val dedupYieldBySourceSql: String =
+    s"""$componentsCtePrefix,
+       |q AS (${TextAnalysis.textQualitySql}),
+       |k AS (SELECT (array_agg(c.doc_id
+       |      ORDER BY q.quality_score DESC, c.doc_id))[1] AS keeper
+       |  FROM comp c JOIN q ON c.doc_id = q.doc_id
+       |  GROUP BY component),
+       |flagged AS (
+       |  SELECT d.source, CAST(d.n_chars AS BIGINT) AS nc,
+       |    (c.doc_id IS NULL OR kk.keeper IS NOT NULL) AS keep
+       |  FROM documents d
+       |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |  LEFT JOIN k kk ON d.doc_id = kk.keeper)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(nc) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN keep THEN nc ELSE 0 END) AS BIGINT)
+       |    AS chars_kept,
+       |  CAST((COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END)) * 1000
+       |    // COUNT(*) AS BIGINT) AS removed_permille
+       |FROM flagged GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
-    "dedup_cluster_keepers" -> (clusterKeepers _))
+    "dedup_cluster_keepers" -> (clusterKeepers _),
+    "dedup_yield_by_source" -> (dedupYieldBySource _))
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
-    "dedup_cluster_keepers" -> clusterKeepersSql)
+    "dedup_cluster_keepers" -> clusterKeepersSql,
+    "dedup_yield_by_source" -> dedupYieldBySourceSql)
 }
