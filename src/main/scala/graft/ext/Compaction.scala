@@ -66,9 +66,71 @@ object Compaction {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Zone-map pruning selectivities the planned layout would deliver.
+    * Data skipping is THE scan-cost lever at 100 TB: a `n_chars > T`
+    * predicate never opens a file whose per-file max is ≤ T (the
+    * min/max footer stats every columnar format carries — parquet
+    * row-group stats, Iceberg/Delta manifests). This gate computes, for
+    * a fixed dial of thresholds, how many of the planned files a reader
+    * could skip and how many docs that avoids scanning — turning the
+    * layout's data-skipping value into a graded number instead of a
+    * design claim. Per-file stats ride the same window prefix-sum as
+    * [[compactionPlan]]; the threshold dial is a constant ×4 map-side
+    * explode, then a 4-row rollup. */
+  def minmaxPruning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val files = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("file_no",
+        expr(s"(cum - bytes) div $TargetBytes").cast("long"))
+      .groupBy(col("source"), col("file_no"))
+      .agg(count(lit(1)).as("n_docs"), max(col("bytes")).as("max_bytes"))
+    files
+      .withColumn("threshold",
+        explode(array(lit(500L), lit(1000L), lit(2000L), lit(4000L))))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("max_bytes") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_skipped"),
+        sum(when(col("max_bytes") <= col("threshold"), col("n_docs"))
+          .otherwise(0L)).as("docs_skipped"))
+      .withColumn("skip_permille",
+        expr("n_skipped * 1000 div n_files").cast("long"))
+  }
+
+  val minmaxPruningSql: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(n_chars AS BIGINT) AS bytes FROM documents),
+       |c AS (SELECT source, doc_id, bytes,
+       |    SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |f AS (SELECT source,
+       |    CAST((cum - bytes) // $TargetBytes AS BIGINT) AS file_no,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(MAX(bytes) AS BIGINT) AS max_bytes
+       |  FROM c GROUP BY 1, 2)
+       |SELECT CAST(threshold AS BIGINT) AS threshold,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(CASE WHEN max_bytes <= threshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_skipped,
+       |  CAST(SUM(CASE WHEN max_bytes <= threshold THEN n_docs ELSE 0 END)
+       |    AS BIGINT) AS docs_skipped,
+       |  CAST(SUM(CASE WHEN max_bytes <= threshold THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS skip_permille
+       |FROM f CROSS JOIN (VALUES (500), (1000), (2000), (4000))
+       |  t(threshold)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_compaction_plan" -> (compactionPlan _))
+    "layout_compaction_plan" -> (compactionPlan _),
+    "layout_minmax_pruning" -> (minmaxPruning _))
 
   val oracles: Map[String, String] = Map(
-    "layout_compaction_plan" -> compactionPlanSql)
+    "layout_compaction_plan" -> compactionPlanSql,
+    "layout_minmax_pruning" -> minmaxPruningSql)
 }
