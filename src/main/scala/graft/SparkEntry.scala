@@ -32,7 +32,8 @@ object SparkEntry {
       ext.Novelty.queries ++ ext.Qoi.queries ++ ext.SupplyChain.queries ++
       ext.Sweep.queries ++ ext.LinkPrediction.queries ++
       ext.Compaction.queries ++ ext.KnnEval.queries ++ ext.Tga.queries ++
-      ext.Experiment.queries ++
+      ext.Experiment.queries ++ ext.Skyline.queries ++
+      ext.Forecast.queries ++
       ext.Hits.queries ++ ext.Readability.queries ++ ext.Gif.queries ++ ext.Pca.queries ++ ext.Growth.queries ++ ext.Latency.queries ++ ext.Paths.queries ++ ext.Spell.queries ++ ext.Rake.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
@@ -92,7 +93,8 @@ object SparkEntry {
       ext.Novelty.oracles ++ ext.Qoi.oracles ++ ext.SupplyChain.oracles ++
       ext.Sweep.oracles ++ ext.LinkPrediction.oracles ++
       ext.Compaction.oracles ++ ext.KnnEval.oracles ++ ext.Tga.oracles ++
-      ext.Experiment.oracles ++
+      ext.Experiment.oracles ++ ext.Skyline.oracles ++
+      ext.Forecast.oracles ++
       ext.Hits.oracles ++ ext.Readability.oracles ++ ext.Gif.oracles ++ ext.Pca.oracles ++ ext.Growth.oracles ++ ext.Latency.oracles ++ ext.Paths.oracles ++ ext.Spell.oracles ++ ext.Rake.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
