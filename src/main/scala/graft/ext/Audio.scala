@@ -303,13 +303,81 @@ object Audio {
     s"""WITH $clipCte
        |${statsSelect("(i // ch) % 2 = 0", "rate // 2", "(frames + 1) // 2")}""".stripMargin
 
+  /** Energy-threshold window length, in frames. */
+  val EnergyWindowFrames = 16
+
+  case class AudioEnergy(doc_id: Long, n_windows: Long, total_energy: Long,
+      n_voiced: Long, first_voiced: Long, max_window_energy: Long)
+
+  /** Windowed energy / voice-activity profile — the segmentation pass
+    * an audio-training pipeline runs before transcription or chunking
+    * (classic energy-threshold VAD, Rabiner & Sambur 1975): per
+    * [[EnergyWindowFrames]]-frame window, the exact Σv² energy; a
+    * window is "voiced" iff its energy is strictly above the clip mean
+    * (cross-multiplied, `e·n_windows > total` — no division, exact on
+    * both engines). `first_voiced` is the 1-based index of the first
+    * voiced window (0 = none): the trim-leading-silence cut point.
+    * Partial tail windows are dropped (stated both sides). Same
+    * partition-local kernel shape as [[decodeWav]] — zero shuffles. */
+  def audioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedClips(spark, sfDir).map { case (id, wav) =>
+      val ch = wav.channels
+      val frames = wav.samples.length / ch
+      val nw = frames / EnergyWindowFrames
+      val wes = Array.tabulate(nw) { w =>
+        var e = 0L
+        var i = w * EnergyWindowFrames * ch
+        val end = (w + 1) * EnergyWindowFrames * ch
+        while (i < end) {
+          val v = wav.samples(i).toLong
+          e += v * v
+          i += 1
+        }
+        e
+      }
+      val total = wes.sum
+      val voiced = wes.map(e => e * nw > total)
+      AudioEnergy(id, nw.toLong, total,
+        voiced.count(identity).toLong,
+        (voiced.indexOf(true) + 1).toLong, // -1 + 1 = 0 when none
+        if (nw == 0) 0L else wes.max)
+    }.toDF()
+  }
+
+  val audioEnergySql: String = {
+    val v = vExpr("i")
+    val wEnergy = // per-window exact Σv² as a BIGINT list
+      s"list_transform(range(0, CAST(frames // $EnergyWindowFrames AS INTEGER)), w -> " +
+        s"CAST(list_sum(list_prepend(0::BIGINT, list_transform(" +
+        s"range(w*$EnergyWindowFrames*CAST(ch AS INTEGER), (w+1)*$EnergyWindowFrames*CAST(ch AS INTEGER)), " +
+        s"i -> CAST($v AS BIGINT) * CAST($v AS BIGINT)))) AS BIGINT))"
+    s"""WITH $clipCte,
+       |wen AS (SELECT doc_id, frames // $EnergyWindowFrames AS nw,
+       |    $wEnergy AS wes
+       |  FROM wavd)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(list_sum(list_prepend(0::BIGINT, wes)) AS BIGINT)
+       |    AS total_energy,
+       |  CAST(len(list_filter(wes, e -> e * nw >
+       |    list_sum(list_prepend(0::BIGINT, wes)))) AS BIGINT) AS n_voiced,
+       |  CAST(COALESCE(list_position(list_transform(wes, e -> e * nw >
+       |    list_sum(list_prepend(0::BIGINT, wes))), true), 0) AS BIGINT)
+       |    AS first_voiced,
+       |  CAST(CASE WHEN nw = 0 THEN 0 ELSE list_max(wes) END AS BIGINT)
+       |    AS max_window_energy
+       |FROM wen""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode_wav" -> (decodeWav _),
     "multimodal_audio_decimate" -> (decimateWav _),
-    "multimodal_audio_fingerprint" -> (audioFingerprint _))
+    "multimodal_audio_fingerprint" -> (audioFingerprint _),
+    "multimodal_audio_energy" -> (audioEnergy _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_decode_wav" -> decodeWavSql,
     "multimodal_audio_decimate" -> decimateWavSql,
-    "multimodal_audio_fingerprint" -> audioFingerprintSql)
+    "multimodal_audio_fingerprint" -> audioFingerprintSql,
+    "multimodal_audio_energy" -> audioEnergySql)
 }
