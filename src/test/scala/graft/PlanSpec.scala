@@ -463,6 +463,71 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q9: part-name filter pushed to the dim scan; dims broadcast") {
+    val p = plan(ext.SupplyChain.q9ProfitByNation(spark, sf))
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: grand total attaches as a 1-row broadcast, not a data cross join") {
+    val p = plan(ext.SupplyChain.q11ImportantParts(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // The scalar attach is a broadcast NL join against a 1-row agg —
+    // the ONLY nested-loop allowed here.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q16: supplier exclusion is a broadcast LEFT ANTI join") {
+    val p = plan(ext.SupplyChain.q16SupplierCounts(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20: nested aggregation reuses the l_partkey partitioning") {
+    val p = plan(ext.SupplyChain.q20DominantSuppliers(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // per-(part,supplier) agg, then per-part rollup: the second agg's
+    // grouping is a prefix of the first's hash partitioning, so Catalyst
+    // must NOT insert a second l_partkey exchange between them.
+    val pairAgg = p.indexOf("Exchange hashpartitioning(l_partkey")
+    assert(pairAgg >= 0, p)
+  }
+
+  test("skyline: the only window runs on the date-reduced frame") {
+    val p = plan(ext.Skyline.ordersSkyline(spark, sf))
+    val wi = p.indexOf("Window")
+    assert(wi >= 0, p)
+    // The window's subtree must contain the per-(segment,date) max agg —
+    // i.e. facts are reduced BEFORE the sort, not sorted raw.
+    assert(p.substring(wi).contains("HashAggregate"), p.substring(wi))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sweep: concurrency window is day-partitioned, never global") {
+    val p = plan(ext.Sweep.peakConcurrency(spark, sf))
+    // Every window spec must carry the day partition key; a global
+    // (unpartitioned) running sum would serialize the whole stream.
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach(s => assert(s.contains("day#"), s"global window spec: $s"))
+  }
+
+  test("link prediction: anti-join removes edges; wedge join is keyed") {
+    val p = plan(ext.LinkPrediction.linkPrediction(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("compaction plan: one window per source, then pure aggregation") {
+    val p = plan(ext.Compaction.compactionPlan(spark, sf))
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph family shares one session copurchase build (memo seam)") {
     val before = ext.Frames.buildsOf("copurchase")
     ext.Basket.copurchase(spark, sf).count()
