@@ -28,14 +28,21 @@ import graft.Tables
   */
 object Experiment {
 
-  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.events(spark, sfDir)
+  /** Per-user purchase/error counts — the only fact-sized aggregation;
+    * the streaming twin computes THIS incrementally and shares
+    * [[readoutFromCounts]] for everything after. */
+  private[graft] def perUserCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("np"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("ne"))
+
+  /** 2×2 cells + chi-square from a (user_id, np, ne) frame. */
+  private[graft] def readoutFromCounts(perUserNp: DataFrame): DataFrame = {
+    val perUser = perUserNp
       .select((Hashing.idHash(col("user_id")) % 2).as("arm"),
         (col("np") > col("ne")).as("conv"))
     val cells = perUser.agg(
@@ -59,6 +66,9 @@ object Experiment {
                       * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE))
               END""").as("chi2"))
   }
+
+  def abTest(spark: SparkSession, sfDir: String): DataFrame =
+    readoutFromCounts(perUserCounts(Tables.events(spark, sfDir)))
 
   val abTestSql: String =
     s"""WITH pu AS (

@@ -918,7 +918,25 @@ object Streaming {
     runToParquet(admitted, OutputMode.Append(), "curate")
   }
 
+  /** Streaming A/B readout — the experiment dashboard in the ingest
+    * path: the fact-sized work (per-user purchase/error counters) runs
+    * as ONE incremental streaming aggregation (per-user Long state,
+    * Complete mode — each batch emits the whole per-user frame, so the
+    * sink overwrite is idempotent under replay); the constant-size 2×2
+    * + chi-square finisher runs on the read-back, shared verbatim with
+    * the batch path ([[graft.ext.Experiment.readoutFromCounts]] — the
+    * same finisher seam as the kv twin's max_by read side). Oracle =
+    * the batch A/B oracle: the streaming counters must land on the
+    * identical cells. */
+  def abTestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = graft.ext.Experiment.perUserCounts(
+      eventStream(spark, sfDir))
+    graft.ext.Experiment.readoutFromCounts(
+      runToParquet(counts, OutputMode.Complete(), "ab-test"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_stream_ab_test" -> (abTestStream _),
     "corpus_curate_stream" -> (curateStream _),
     "events_stream_funnel" -> (funnelStream _),
     "dedup_exact_stream" -> (dedupExactStream _),
@@ -935,6 +953,7 @@ object Streaming {
     "events_stream_scd2" -> (scd2Stream _))
 
   val oracles: Map[String, String] = Map(
+    "events_stream_ab_test" -> graft.ext.Experiment.abTestSql,
     "corpus_curate_stream" -> graft.ext.Curation.curateSql,
     "events_stream_funnel" -> graft.ext.Funnel.funnelUsersSql,
     "dedup_exact_stream" -> graft.ext.Dedup.exactSql,

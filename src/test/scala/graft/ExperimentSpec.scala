@@ -42,6 +42,13 @@ class ExperimentSpec extends SparkSpec {
     assert(row.getAs[Double]("chi2") >= 0.0)
   }
 
+  test("streaming twin lands on the identical readout row") {
+    val batch = Experiment.abTest(spark, sf).collect()(0)
+    val stream = graft.streaming.Streaming.abTestStream(spark, sf)
+      .collect()(0)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("conversion permilles agree with the cells") {
     val (a, b, c, d) = (row.getAs[Long]("a"), row.getAs[Long]("b"),
       row.getAs[Long]("c"), row.getAs[Long]("d"))
