@@ -33,7 +33,7 @@ object SparkEntry {
       ext.Sweep.queries ++ ext.LinkPrediction.queries ++
       ext.Compaction.queries ++ ext.KnnEval.queries ++ ext.Tga.queries ++
       ext.Experiment.queries ++ ext.Skyline.queries ++
-      ext.Forecast.queries ++ ext.CodeDetect.queries ++
+      ext.Forecast.queries ++ ext.CodeDetect.queries ++ ext.Gini.queries ++
       ext.Hits.queries ++ ext.Readability.queries ++ ext.Gif.queries ++ ext.Pca.queries ++ ext.Growth.queries ++ ext.Latency.queries ++ ext.Paths.queries ++ ext.Spell.queries ++ ext.Rake.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "kv_replay" -> ((s, dir) => kv.KvReplay.fromEvents(s, dir)),
@@ -94,7 +94,7 @@ object SparkEntry {
       ext.Sweep.oracles ++ ext.LinkPrediction.oracles ++
       ext.Compaction.oracles ++ ext.KnnEval.oracles ++ ext.Tga.oracles ++
       ext.Experiment.oracles ++ ext.Skyline.oracles ++
-      ext.Forecast.oracles ++ ext.CodeDetect.oracles ++
+      ext.Forecast.oracles ++ ext.CodeDetect.oracles ++ ext.Gini.oracles ++
       ext.Hits.oracles ++ ext.Readability.oracles ++ ext.Gif.oracles ++ ext.Pca.oracles ++ ext.Growth.oracles ++ ext.Latency.oracles ++ ext.Paths.oracles ++ ext.Spell.oracles ++ ext.Rake.oracles ++ Map(
       "kv_replay" -> kv.KvReplay.oracleSql,
       "kv_replay_resharded" -> kv.KvReplay.reshardedOracleSql,
