@@ -21,11 +21,22 @@ import graft.Tables
   */
 object CodeDetect {
 
-  /** Code-symbol character class (regex-escaped where needed). */
-  private val SymbolClass = """[^\[\]{}();=<>#_]"""
+  /** Code-symbol character class (regex-escaped where needed).
+    * POSITIVE class: `regexp_replace(text, SymbolClass, "")` strips the
+    * symbol characters, so `length(text) − length(stripped)` counts
+    * exactly the symbol characters. (A previous revision negated the
+    * class, which inverted the metric — prose scored higher than code;
+    * CodeDetectSpec now pins the ordering.)
+    */
+  private val SymbolClass = """[\[\]{}();=<>#_]"""
 
   def codeRatio(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    codeRatioOf(Tables.documents(spark, sfDir))
+
+  /** Frame-level kernel (spec seam: CodeDetectSpec feeds planted
+    * prose/code documents and asserts the score ordering). */
+  def codeRatioOf(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),

@@ -40,12 +40,18 @@ object Gini {
       .groupBy(col("segment"))
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(col("rev_c")).as("s_sum"),
-        sum(col("rank") * col("rev_c")).as("w_sum"))
+        // The whole numerator chain runs in decimal(38,0): the per-row
+        // product rank·rev_c is cast BEFORE summing and the 2·/(n+1)·
+        // products stay decimal, matching DuckDB's HUGEINT arithmetic
+        // (a previous revision summed in Long, which wraps silently at
+        // ~1e6 customers/segment — the round-9 advisor's finding).
+        sum(col("rev_c").cast("decimal(38,0)")).as("s_sum"),
+        sum(col("rank").cast("decimal(38,0)") * col("rev_c")).as("w_sum"))
       .select(col("segment"), col("n_customers"),
         (col("s_sum").cast("double") / 100.0).as("revenue"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
-                 * (2*w_sum - (n_customers+1)*s_sum))
+                 * (CAST(2 AS DECIMAL(38,0))*w_sum
+                    - (CAST(n_customers AS DECIMAL(38,0))+1)*s_sum))
                 div (CAST(n_customers AS DECIMAL(38,0)) * s_sum)
                 AS LONG)""").as("gini_e6"))
   }

@@ -64,8 +64,17 @@ object LinkPrediction {
       .withColumnRenamed("deg", "da").drop("d_node")
       .join(deg, col("pb") === col("d_node"))
       .withColumnRenamed("deg", "db").drop("d_node")
+      // When the cap fires, adjacency is asymmetric (a middle keeps a
+      // neighbor whose own capped list dropped it), so the wedge count
+      // cn is not bounded by the capped degrees and da + db - cn can
+      // reach zero or below. Clamp cn to min(da, db) for the Jaccard
+      // term so capped-mode scores stay in [0, 1000]; uncapped (the
+      // gated corpus path, where the oracle proves the cap a no-op)
+      // the clamp is an identity because cn ≤ min(da, db) by
+      // construction.
       .withColumn("jaccard_e3",
-        expr("cn * 1000 div (da + db - cn)").cast("long"))
+        expr("least(cn, da, db) * 1000 div (da + db - least(cn, da, db))")
+          .cast("long"))
     val wr = Window.partitionBy(col("pa"))
       .orderBy(col("cn").desc, col("jaccard_e3").desc, col("pb"))
     scored

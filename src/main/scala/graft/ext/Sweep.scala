@@ -41,16 +41,29 @@ object Sweep {
     * per-day max; and a left join of the tiny carry-in frame. Peak =
     * carry + max(0, running-net max) — the day-start concurrency is
     * carry itself, hence the floor at 0. */
-  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
-    val iv = Tables.events(spark, sfDir)
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame =
+    peakOf(Tables.events(spark, sfDir)
       .filter(col("ts").isNotNull)
       .select(col("ts"),
-        (col("ts") + expr(s"INTERVAL $TtlSeconds SECOND")).as("te"))
+        (col("ts") + expr(s"INTERVAL $TtlSeconds SECOND")).as("te")))
+
+  /** Sweep kernel over an explicit (ts, te) interval frame — the seam
+    * SweepSpec uses to plant boundary-exact midnight ends. */
+  private[graft] def peakOf(iv: DataFrame): DataFrame = {
+    // An end landing EXACTLY on a midnight belongs to the closing day
+    // under half-open [ts, te) — the interval is never alive in
+    // day(te) — so boundary-exact ends are dropped from the next day's
+    // sweep (and from the carry below); as a trailing -1 at the closing
+    // day's last representable instant they could never raise that
+    // day's max either. (Round-9 advisory: counting them in the next
+    // day inflated carry_in and peak by one per such interval.)
     val boundaries = iv
       .select(date_trunc("day", col("ts")).as("day"), col("ts").as("t"),
         lit(1L).as("net"))
-      .union(iv.select(date_trunc("day", col("te")).as("day"),
-        col("te").as("t"), lit(-1L).as("net")))
+      .union(iv
+        .filter(col("te") =!= date_trunc("day", col("te")))
+        .select(date_trunc("day", col("te")).as("day"),
+          col("te").as("t"), lit(-1L).as("net")))
       .groupBy(col("day"), col("t"))
       .agg(sum(col("net")).as("net"))
     val w = Window.partitionBy(col("day")).orderBy(col("t"))
@@ -62,7 +75,8 @@ object Sweep {
     // Intervals alive at a midnight: they start within TtlSeconds before
     // it, i.e. their end lands on a later day than their start.
     val carry = iv
-      .filter(date_trunc("day", col("ts")) =!= date_trunc("day", col("te")))
+      .filter(date_trunc("day", col("ts")) =!= date_trunc("day", col("te"))
+        && col("te") =!= date_trunc("day", col("te")))
       .groupBy(date_trunc("day", col("te")).as("day"))
       .agg(count(lit(1)).as("carry_in"))
     perDay.join(carry, Seq("day"), "left_outer")
@@ -78,7 +92,8 @@ object Sweep {
        |b AS (SELECT day, t, CAST(SUM(net) AS BIGINT) AS net FROM (
        |    SELECT date_trunc('day', ts) AS day, ts AS t, 1 AS net FROM iv
        |    UNION ALL
-       |    SELECT date_trunc('day', te), te, -1 FROM iv)
+       |    SELECT date_trunc('day', te), te, -1 FROM iv
+       |    WHERE te <> date_trunc('day', te))
        |  GROUP BY 1, 2),
        |a AS (SELECT day, CAST(SUM(net) OVER (PARTITION BY day ORDER BY t
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -86,7 +101,8 @@ object Sweep {
        |p AS (SELECT day, MAX(after) AS max_after FROM a GROUP BY 1),
        |c AS (SELECT date_trunc('day', te) AS day,
        |    CAST(COUNT(*) AS BIGINT) AS carry_in FROM iv
-       |  WHERE date_trunc('day', ts) <> date_trunc('day', te) GROUP BY 1)
+       |  WHERE date_trunc('day', ts) <> date_trunc('day', te)
+       |    AND te <> date_trunc('day', te) GROUP BY 1)
        |SELECT p.day, CAST(COALESCE(carry_in, 0) AS BIGINT) AS carry_in,
        |  CAST(COALESCE(carry_in, 0) + GREATEST(0, max_after) AS BIGINT)
        |    AS peak

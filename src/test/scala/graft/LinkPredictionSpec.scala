@@ -47,6 +47,31 @@ class LinkPredictionSpec extends SparkSpec {
     assert(preds.filter(col("part_a") >= 500).count() == 0)
   }
 
+  test("capped-mode Jaccard stays in [0, 1000] despite asymmetric caps") {
+    // Adversarial shape from the round-9 advisory: middles m keep both
+    // endpoints a, b in their capped lists while a's and b's own capped
+    // lists drop the middles (stronger edges win), so cn = 5 exceeds
+    // da + db = 4 and the unclamped denominator would be -1, yielding a
+    // negative score. a=1, b=2; strong fillers x=10,11 / y=20,21
+    // (weight 100); middles 30..34 (weight 1); cap 2.
+    val edges = (Seq((1L, 10L, 100L), (1L, 11L, 100L),
+        (2L, 20L, 100L), (2L, 21L, 100L)) ++
+      (30L to 34L).flatMap(m => Seq((1L, m, 1L), (2L, m, 1L))))
+      .toDF("part_a", "part_b", "n_orders")
+    val nbrs = edges.select(col("part_a").as("node"), col("part_b").as("nbr"),
+        col("n_orders").as("w"))
+      .union(edges.select(col("part_b"), col("part_a"), col("n_orders")))
+    val preds = LinkPrediction.predictionsOf(nbrs, edges, 2)
+      .localCheckpoint()
+    val ab = preds.filter(col("part_a") === 1 && col("part_b") === 2)
+      .select("common_neighbors", "jaccard_e3")
+      .as[(Long, Long)].collect()
+    assert(ab.length == 1 && ab(0)._1 == 5L,
+      s"expected the a-b wedge with cn=5, got ${ab.mkString(",")}")
+    assert(preds.filter(col("jaccard_e3") < 0 || col("jaccard_e3") > 1000)
+      .count() == 0, "capped-mode Jaccard escaped [0, 1000]")
+  }
+
   test("cap is a no-op on the corpus graph (max degree below the cap)") {
     val edges = Basket.copurchase(spark, sf)
     val maxDeg = edges.select(col("part_a").as("n"))
