@@ -116,6 +116,79 @@ object Substring {
        |FROM sp LEFT JOIN dup ON sp.h = dup.h
        |GROUP BY sp.doc_id""".stripMargin
 
+  // ------------------------------------------------ multi-granularity pass
+
+  /** Span granularities for the multiscale pass. 5 is the base recall
+    * tier (any duplicated run ≥ 5 words is caught); 16 ≈ a sentence; 64
+    * ≈ the ≥ 50-token boilerplate blocks Lee et al. 2022 excise via a
+    * corpus suffix array. A doc whose coverage fires at 64 but the
+    * corpus average fires only at 5 carries LONG verbatim repeats —
+    * excision material — while 5-only coverage is idiom/collocation
+    * noise. Bounded-length multi-granularity is the distributed stand-in
+    * for the suffix array's arbitrary-length reporting: length
+    * resolution at 3 octave-ish steps instead of exact, at one corpus
+    * scan instead of a global sort. */
+  private[graft] val Scales = Seq(5, 16, 64)
+
+  /** Per-document duplicated-span coverage at each granularity in
+    * [[Scales]] — long format (doc_id, k, n_spans, n_dup_spans,
+    * dup_span_frac), rows only for docs with ≥ k words.
+    *
+    * Scale shape: ONE corpus scan (word-hash arrays projected once,
+    * then all three spans arrays from the same in-stage arrays — the
+    * concat-of-tagged-transforms trick keeps it a single codegen'd
+    * projection); one explode ≤ 3× the base span count; the (k, h)
+    * groupBy is map-side combinable and FINER-keyed than the single-K
+    * pass, so it shuffles proportionally and skews no worse. */
+  def multiscaleCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    multiscaleCoverageOf(Tables.documents(spark, sfDir))
+
+  /** [[multiscaleCoverage]] over an explicit (doc_id, text) frame —
+    * the planted long-repeat spec's seam. */
+  private[graft] def multiscaleCoverageOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = docs.select(col("doc_id"),
+      wordHashes(col("text")).as("w1"), wordHashes37(col("text")).as("w2"))
+    val tagged = Scales.map { k =>
+      transform(spanHashes64(col("w1"), col("w2"), k),
+        h => struct(lit(k.toLong).as("k"), h.as("h")))
+    }
+    val sp = w
+      .select(col("doc_id"), explode(concat(tagged: _*)).as("kh"))
+      .select(col("doc_id"), col("kh.k").as("k"), col("kh.h").as("h"))
+      .localCheckpoint()
+    val dup = sp.groupBy(col("k"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("k"), col("h"), lit(1L).as("is_dup"))
+    sp.join(dup, Seq("k", "h"), "left")
+      .groupBy(col("doc_id"), col("k"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .select(col("doc_id"), col("k"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_span_frac"))
+  }
+
+  val multiscaleCoverageSql: String = {
+    val legs = Scales.map(k =>
+      s"""SELECT doc_id, CAST($k AS BIGINT) AS k,
+         |  unnest(${spanHashes64Sql("w1", "w2", k)}) AS h FROM w"""
+        .stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, ${wordHashesSql("text")} AS w1,
+       |  ${wordHashes37Sql("text")} AS w2 FROM documents),
+       |msp AS ($legs),
+       |mdup AS (SELECT k, h FROM msp GROUP BY k, h
+       |  HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT msp.doc_id, msp.k, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN mdup.h IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_spans,
+       |  CAST(SUM(CASE WHEN mdup.h IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_span_frac
+       |FROM msp LEFT JOIN mdup ON msp.k = mdup.k AND msp.h = mdup.h
+       |GROUP BY msp.doc_id, msp.k""".stripMargin
+  }
+
   // ------------------------------------------------ per-source boilerplate
 
   /** The template footer planted for the boilerplate gate — 12 words, so
@@ -207,10 +280,12 @@ object Substring {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> (duplicatedSpans _),
     "dedup_substring_coverage" -> (spanCoverage _),
+    "dedup_substring_multiscale" -> (multiscaleCoverage _),
     "quality_boilerplate" -> (boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> duplicatedSpansSql,
     "dedup_substring_coverage" -> spanCoverageSql,
+    "dedup_substring_multiscale" -> multiscaleCoverageSql,
     "quality_boilerplate" -> boilerplateSql)
 }

@@ -139,6 +139,60 @@ class SubstringSpec extends SparkSpec {
       s"span-table occurrences $occ != per-doc dup-span sum $docSum")
   }
 
+  test("multiscale: planted long repeat fires at every granularity, " +
+      "short repeat only below its length") {
+    // Doc 1/2 share a 70-word block (long verbatim boilerplate — the
+    // Lee et al. ≥50-token excision case); doc 3/4 share a 20-word
+    // block (sentence-scale); doc 5 is fully unique. Fillers are
+    // doc-unique words, so the only duplicated spans are the blocks'
+    // internal spans: an L-word block yields exactly L-k+1 duplicated
+    // k-spans.
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val long = words("rep", 70)
+    val short = words("sent", 20)
+    val docs = Seq(
+      (1L, s"${words("fa", 30)} $long ${words("fb", 30)}"),
+      (2L, s"${words("fc", 30)} $long ${words("fd", 30)}"),
+      (3L, s"${words("fe", 30)} $short ${words("ff", 30)}"),
+      (4L, s"${words("fg", 30)} $short ${words("fh", 30)}"),
+      (5L, words("solo", 70))).toDF("doc_id", "text")
+    val cov = Substring.multiscaleCoverageOf(docs).localCheckpoint()
+    val m = cov.select("doc_id", "k", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // Long block: 66 / 55 / 7 duplicated spans at k = 5 / 16 / 64.
+    for (d <- Seq(1L, 2L)) {
+      assert(m((d, 5L))._2 == 66L, s"doc $d k=5: ${m((d, 5L))}")
+      assert(m((d, 16L))._2 == 55L, s"doc $d k=16: ${m((d, 16L))}")
+      assert(m((d, 64L))._2 == 7L, s"doc $d k=64: ${m((d, 64L))}")
+    }
+    // Short block: fires at 5 and 16, NOT at 64 (the row exists — the
+    // doc has 80 words — but carries zero duplicated spans).
+    for (d <- Seq(3L, 4L)) {
+      assert(m((d, 5L))._2 == 16L, s"doc $d k=5: ${m((d, 5L))}")
+      assert(m((d, 16L))._2 == 5L, s"doc $d k=16: ${m((d, 16L))}")
+      assert(m((d, 64L))._2 == 0L, s"doc $d k=64: ${m((d, 64L))}")
+    }
+    // Unique doc: rows at every granularity (70 words ≥ 64), all clean.
+    for (k <- Substring.Scales)
+      assert(m((5L, k.toLong))._2 == 0L, s"doc 5 k=$k: ${m((5L, k.toLong))}")
+    // n_spans bookkeeping: 130-word docs have 126 / 115 / 67 spans.
+    assert(m((1L, 5L))._1 == 126L && m((1L, 16L))._1 == 115L &&
+      m((1L, 64L))._1 == 67L)
+  }
+
+  test("multiscale k=5 tier equals the single-K coverage gate") {
+    val ms = Substring.multiscaleCoverage(spark, sf)
+      .filter(col("k") === 5)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+    val single = Substring.spanCoverage(spark, sf)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"))
+    assert(ms.count() > 0)
+    assert(ms.exceptAll(single).count() == 0 &&
+      single.exceptAll(ms).count() == 0,
+      "multiscale k=5 diverged from the single-K kernel")
+  }
+
   test("boilerplate recurrence is scoped to the source") {
     // The SAME footer appears twice in source A but only once in source
     // B: A's carriers are flagged, B's single carrier must NOT be —
