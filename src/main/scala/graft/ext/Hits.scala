@@ -42,8 +42,13 @@ object Hits {
   /** K HITS rounds over an arbitrary directed (src, dst) edge frame;
     * returns one frame tagging each side: (node_type hub|authority,
     * node, deg, score). */
-  private[graft] def hitsOf(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+  private[graft] def hitsOf(edgesIn: DataFrame): DataFrame =
+    hitsOfPrepared(edgesIn.localCheckpoint())
+
+  /** [[hitsOf]] over an ALREADY lineage-cut edge frame — the gate path
+    * feeds the session-memoized (and pre-checkpointed) edge frame here
+    * so it isn't re-copied on every call. */
+  private def hitsOfPrepared(edges: DataFrame): DataFrame = {
     val hubDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val authDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
@@ -70,18 +75,32 @@ object Hits {
           col("deg"), col("a").as("score")))
   }
 
-  /** The gate: distinct customer→part purchase edges via orders ⋈
-    * lineitem (both sides collapsed before the join). */
-  def partsHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.orders(spark, sfDir)
+  /** Distinct customer→part purchase edges via orders ⋈ lineitem (both
+    * sides collapsed before the join). Session-memoized
+    * ([[Frames.sessionMemo]], the [[Basket.copurchase]] discipline):
+    * the round-9 audit found this fact-scan rebuild was the dominant
+    * cost of the slowest bench key; the distinct edge frame is
+    * dimension-×-catalog-bounded, far below the fact scan it derives
+    * from, so one cut copy per (session, sf) is the right trade. */
+  def purchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Frames.sessionMemo("purchase_edges", spark, sfDir) {
+      purchaseEdgesBuild(spark, sfDir).localCheckpoint()
+    }
+
+  /** The un-memoized build — the frame PlanSpec pins. */
+  private[graft] def purchaseEdgesBuild(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
       .distinct()
-    hitsOf(edges)
-  }
+
+  /** The gate: HITS over the memoized purchase edge frame. */
+  def partsHits(spark: SparkSession, sfDir: String): DataFrame =
+    hitsOfPrepared(purchaseEdges(spark, sfDir))
 
   val partsHitsSql: String = {
     val base =

