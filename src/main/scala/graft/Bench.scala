@@ -60,6 +60,24 @@ object Bench {
     // Untimed warm-up at the smallest SF: JVM/codegen/shuffle-infra
     // startup would otherwise be billed to whichever query runs first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Machine-calibration probe (round 9 ask): a FIXED, data-independent,
+    // single-partition CPU-bound job — xxhash64 over a constant range —
+    // timed median-of-3 and reported as "calib_sec" but EXCLUDED from
+    // every total. Three round-9 ship rows needed manual "the box is 2×
+    // slower right now" diagnosis; this field lets the driver/judge
+    // normalize between-session drift mechanically: same code + same
+    // box state ⇒ same calib_sec, so total/calib ratios are comparable
+    // across sessions where raw totals are not.
+    val calib = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 40000000L, 1L, 1)
+          .select(sum(xxhash64(col("id")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A rep that throws must NOT feed its time-to-failure into the
       // median (a fast crash would make the graded total look good);
@@ -121,12 +139,12 @@ object Bench {
     // "queries" = the 12 slowest medians (regression-relevant heavy
     // hitters); the complete map is in "queries_file".
     val slow12 = results.filter(_._2 >= 0).sortBy(-_._2).take(12).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"stream_init_total":${r3(initTotal)},$sentinel,"errors":$errors,"queries_file":"bench_last.json","queries":${row(slow12, _._2)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"stream_init_total":${r3(initTotal)},"calib_sec":${r3(calib)},$sentinel,"errors":$errors,"queries_file":"bench_last.json","queries":${row(slow12, _._2)},"sf":"$sfDir"}"""
     // Full, untruncated record for grading / local triage — every median
     // and per-query minimum. Resolved against the repo root (not the
     // process cwd) so it lands in a known place; a failed write warns
     // instead of vanishing silently.
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"sf":"$sfDir"}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
     try java.nio.file.Files.writeString(benchOut, fullLine + "\n")

@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Two flavors:
   *  - `UnicodePattern` (`[^\p{L}]+`) is the faithful `unicode.IsLetter`
-  *    rendition;
-  *  - `AsciiPattern` (`[^a-zA-Z]+`) is the DuckDB-oracle-comparable
-  *    subset (FIXTURES.md pins the oracle corpus to ASCII; Java and RE2
-  *    Unicode tables can disagree, `SURVEY.md §7.7`).
+  *    rendition — the DEFAULT since round 10: a production corpus is
+  *    not ASCII, and the engine-side sequential path
+  *    (`engine/MapReduce.tokenize`) always used `\p{L}`, so the default
+  *    now matches it. Gates stay hash-green because FIXTURES.md pins the
+  *    oracle corpus to ASCII, where the two classes coincide
+  *    (TokenizerSpec pins both the coincidence and the Unicode parity
+  *    property against the Go `FieldsFunc` oracle).
+  *  - `AsciiPattern` (`[^a-zA-Z]+`) remains as the explicit override for
+  *    oracle-comparability experiments (Java and RE2 Unicode tables can
+  *    disagree off the ASCII plane, `SURVEY.md §7.7`).
   *
   * Everything stays inside Catalyst built-ins (split / filter HOF), so the
   * tokenizer is whole-stage-codegen'd — no Scala UDF in the hot path.
@@ -24,10 +30,10 @@ object Tokenizer {
 
   /** Array of non-empty tokens (pre-explode, so the empty-token drop
     * happens before the generator fans rows out). */
-  def tokens(text: Column, pattern: String = AsciiPattern): Column =
+  def tokens(text: Column, pattern: String = UnicodePattern): Column =
     filter(split(text, pattern), t => length(t) > lit(0))
 
   /** One row per token. */
-  def words(text: Column, pattern: String = AsciiPattern): Column =
+  def words(text: Column, pattern: String = UnicodePattern): Column =
     explode(tokens(text, pattern))
 }

@@ -60,6 +60,22 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("default pattern is the Unicode-faithful one") {
+    // The default must match Go's unicode.IsLetter semantics off the
+    // ASCII plane (round-10 flip), while staying identical to the ASCII
+    // class on ASCII input — the property the oracle gates rely on.
+    for (s <- Seq("héllo wörld", "日本語 テスト", "aéb 123 ü"))
+      assert(sparkTokens(Seq(s), Tokenizer.UnicodePattern)
+        == goTokens(s, ascii = false), s"input: '$s'")
+    val ascii = "The quick. brown_fox don't stop"
+    assert(ss2default(ascii) == goTokens(ascii, ascii = true))
+    assert(ss2default("héllo wörld") == Seq("héllo", "wörld"))
+  }
+
+  private def ss2default(s: String): Seq[String] =
+    Seq(s).toDF("text").select(Tokenizer.words($"text").as("w"))
+      .as[String].collect().toSeq
+
   test("property: spark word count == sequential Go oracle (generated corpus)") {
     val ss = List.fill(50)(textGen.sample.getOrElse(""))
     val got = ss.toDF("text")
