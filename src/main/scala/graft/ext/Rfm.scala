@@ -129,9 +129,17 @@ object Rfm {
       .select(col("p_brand"), col("p_partkey"),
         (col("rev_e6").cast("double") / 1e6).as("revenue"),
         expr("rev_e6 * 1000 div tot_e6").as("share_pm"),
-        expr("cum_e6 * 1000 div tot_e6").as("cum_pm"),
-        when(col("cum_e6") * 5 <= col("tot_e6") * 4, lit("A"))
-          .when(col("cum_e6") * 20 <= col("tot_e6") * 19, lit("B"))
+        // cum_e6 approaches the BRAND total, so cum_e6 * 1000 wraps a
+        // Long once a brand's e6-scaled revenue passes ~9.2e15 — the
+        // sf1 slope run hit exactly this (ANSI overflow). The permille
+        // and the class-boundary products run in decimal(38,0) on both
+        // engines (DuckDB: HUGEINT), like the Gini numerator.
+        expr("CAST(cum_e6 AS DECIMAL(38,0)) * 1000 div tot_e6")
+          .cast("long").as("cum_pm"),
+        when(col("cum_e6").cast("decimal(38,0)") * 5
+            <= col("tot_e6").cast("decimal(38,0)") * 4, lit("A"))
+          .when(col("cum_e6").cast("decimal(38,0)") * 20
+            <= col("tot_e6").cast("decimal(38,0)") * 19, lit("B"))
           .otherwise(lit("C")).as("abc_class"))
   }
 
@@ -152,9 +160,11 @@ object Rfm {
       |  FROM j)
       |SELECT p_brand, p_partkey, CAST(rev_e6 AS DOUBLE)/1e6 AS revenue,
       |  rev_e6 * 1000 // tot_e6 AS share_pm,
-      |  cum_e6 * 1000 // tot_e6 AS cum_pm,
-      |  CASE WHEN cum_e6 * 5 <= tot_e6 * 4 THEN 'A'
-      |       WHEN cum_e6 * 20 <= tot_e6 * 19 THEN 'B'
+      |  CAST(CAST(cum_e6 AS HUGEINT) * 1000 // tot_e6 AS BIGINT) AS cum_pm,
+      |  CASE WHEN CAST(cum_e6 AS HUGEINT) * 5 <= CAST(tot_e6 AS HUGEINT) * 4
+      |         THEN 'A'
+      |       WHEN CAST(cum_e6 AS HUGEINT) * 20
+      |         <= CAST(tot_e6 AS HUGEINT) * 19 THEN 'B'
       |       ELSE 'C' END AS abc_class
       |FROM c""".stripMargin
 
