@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -189,6 +190,118 @@ object Substring {
        |GROUP BY msp.doc_id, msp.k""".stripMargin
   }
 
+  // ------------------------------------------------ excision tier
+
+  /** Excision granularity: the long tier of [[Scales]] — the ≥ 50-token
+    * verbatim blocks Lee et al. 2022 remove. */
+  private[graft] val ExciseK = 64
+
+  /** 70-word planted template (the [[Footer]] pattern, long-tier): the
+    * synthetic corpus has no organic 64-word cross-doc repeats, so the
+    * gate plants one deterministically in BOTH engines — fire and
+    * not-fire proven at every SF. */
+  private[graft] val LongFooter: String =
+    (1 to 70).map(i => s"exw$i").mkString(" ")
+
+  /** Docs with doc_id ≡ 4 (mod 9) carry the long template; 9 is coprime
+    * to the 20-source cycle, so every source receives planted docs. */
+  private[graft] def withLongFooter(docs: DataFrame): DataFrame =
+    docs.withColumn("aug",
+      when(col("doc_id") % 9 === 4, concat(col("text"), lit(" " + LongFooter)))
+        .otherwise(col("text")))
+
+  /** Keep-first excision report — what a curation pipeline DELETES:
+    * every occurrence of a cross-document duplicated [[ExciseK]]-word
+    * span outside the span's first (minimum doc_id) document is marked
+    * for removal; overlapping marked spans are UNIONED into covered
+    * word intervals (equal-length intervals sorted by position make the
+    * union a lag-delta sum — `min(K, pos − prev_pos)` — no interval
+    * tree). Output per doc (≥ K words; shorter docs have no K-spans and
+    * nothing to excise): total words, excised span occurrences, excised
+    * WORD count, and the retained permille.
+    *
+    * Within-first-doc repeats are kept (keep-first is a cross-document
+    * rule — the canonical copy keeps its own internal structure).
+    *
+    * Scale shape: one corpus scan (positional spans via posexplode of
+    * the same widened kernel), the (h) groupBy and join are the
+    * [[spanCoverage]] shapes, and the interval union is a
+    * doc-partitioned window over EXCISED spans only (far sparser than
+    * the span frame); n_words rides the span count (n_spans + K − 1),
+    * so no second scan. */
+  def exciseReport(spark: SparkSession, sfDir: String): DataFrame =
+    exciseOf(withLongFooter(Tables.documents(spark, sfDir)))
+
+  /** [[exciseReport]] over an explicit (doc_id, aug) frame — the
+    * planted-template spec's seam. */
+  private[graft] def exciseOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sp = docs
+      .select(col("doc_id"),
+        posexplode(spanHashes64(wordHashes(col("aug")),
+          wordHashes37(col("aug")), ExciseK)).as(Seq("pos", "h")))
+      .localCheckpoint()
+    val firstDoc = sp.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("first_doc"))
+    val exc = sp.join(firstDoc, Seq("h"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = exc
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("add",
+        when(col("prev").isNull, lit(ExciseK.toLong))
+          .otherwise(least(lit(ExciseK.toLong),
+            (col("pos") - col("prev")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add")).as("n_excised_words"),
+        count(lit(1)).as("n_excised_spans"))
+    sp.groupBy(col("doc_id"))
+      .agg((count(lit(1)) + (ExciseK - 1)).as("n_words"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_excised_spans"), lit(0L)).as("n_excised_spans"),
+        coalesce(col("n_excised_words"), lit(0L)).as("n_excised_words"),
+        expr("(n_words - coalesce(n_excised_words, 0)) * 1000 div n_words")
+          .cast("long").as("retained_pm"))
+  }
+
+  val exciseReportSql: String =
+    s"""WITH ef AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 9 = 4 THEN text || ' $LongFooter'
+       |       ELSE text END AS aug FROM documents),
+       |ew AS (SELECT doc_id, ${wordHashesSql("aug")} AS w1,
+       |  ${wordHashes37Sql("aug")} AS w2 FROM ef),
+       |esp AS (SELECT doc_id,
+       |  unnest(${spanHashes64Sql("w1", "w2", ExciseK)}) AS h,
+       |  generate_subscripts(${spanHashes64Sql("w1", "w2", ExciseK)}, 1)
+       |    AS pos FROM ew),
+       |efd AS (SELECT h, MIN(doc_id) AS first_doc FROM esp GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |exc AS (SELECT esp.doc_id, esp.pos FROM esp
+       |  JOIN efd ON esp.h = efd.h WHERE esp.doc_id <> efd.first_doc),
+       |lagd AS (SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM exc),
+       |cov AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN prev IS NULL THEN $ExciseK
+       |      ELSE LEAST($ExciseK, pos - prev) END) AS BIGINT)
+       |      AS n_excised_words,
+       |    CAST(COUNT(*) AS BIGINT) AS n_excised_spans
+       |  FROM lagd GROUP BY 1),
+       |nw AS (SELECT doc_id,
+       |    CAST(COUNT(*) + ${ExciseK - 1} AS BIGINT) AS n_words
+       |  FROM esp GROUP BY 1)
+       |SELECT nw.doc_id, n_words,
+       |  COALESCE(n_excised_spans, 0) AS n_excised_spans,
+       |  COALESCE(n_excised_words, 0) AS n_excised_words,
+       |  CAST((n_words - COALESCE(n_excised_words, 0)) * 1000 // n_words
+       |    AS BIGINT) AS retained_pm
+       |FROM nw LEFT JOIN cov ON nw.doc_id = cov.doc_id""".stripMargin
+
   // ------------------------------------------------ per-source boilerplate
 
   /** The template footer planted for the boilerplate gate — 12 words, so
@@ -281,11 +394,13 @@ object Substring {
     "dedup_substring_spans" -> (duplicatedSpans _),
     "dedup_substring_coverage" -> (spanCoverage _),
     "dedup_substring_multiscale" -> (multiscaleCoverage _),
+    "dedup_substring_excise" -> (exciseReport _),
     "quality_boilerplate" -> (boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> duplicatedSpansSql,
     "dedup_substring_coverage" -> spanCoverageSql,
     "dedup_substring_multiscale" -> multiscaleCoverageSql,
+    "dedup_substring_excise" -> exciseReportSql,
     "quality_boilerplate" -> boilerplateSql)
 }

@@ -193,6 +193,57 @@ class SubstringSpec extends SparkSpec {
       "multiscale k=5 diverged from the single-K kernel")
   }
 
+  test("excise: keep-first removal with exact interval-union coverage") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val block = words("blk", 70)
+    val docs = Seq(
+      // Doc 1 is the block's first document — keeps everything.
+      (1L, s"${words("fa", 30)} $block ${words("fb", 30)}"),
+      (2L, s"${words("fc", 30)} $block ${words("fd", 30)}"),
+      (3L, s"${words("fe", 30)} $block ${words("ff", 30)}"),
+      // Doc 4 repeats the block twice INTERNALLY but is not first —
+      // both occurrences are excised; union must not double-count the
+      // overlap-free 2×70 words.
+      (4L, s"$block ${words("fg", 10)} $block"),
+      // Doc 5: unique, 80 words — a clean row.
+      (5L, words("solo", 80)),
+      // Doc 6: 40 words — below K, no row at all.
+      (6L, words("tiny", 40))).toDF("doc_id", "aug")
+    val m = Substring.exciseOf(docs).localCheckpoint()
+      .select("doc_id", "n_words", "n_excised_spans", "n_excised_words",
+        "retained_pm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // First doc keeps its copy (and 130 words stay 1000 permille).
+    assert(m(1L) == (130L, 0L, 0L, 1000L), s"doc1: ${m(1L)}")
+    // Later docs excise exactly the 70 block words: 7 contiguous
+    // 64-spans union to 70, not 7×64.
+    assert(m(2L) == (130L, 7L, 70L, 461L), s"doc2: ${m(2L)}")
+    assert(m(3L) == (130L, 7L, 70L, 461L), s"doc3: ${m(3L)}")
+    // Both internal occurrences excised; 150 words, 140 removed.
+    assert(m(4L)._3 == 140L && m(4L)._1 == 150L, s"doc4: ${m(4L)}")
+    assert(m(5L) == (80L, 0L, 0L, 1000L), s"doc5: ${m(5L)}")
+    assert(!m.contains(6L), "sub-K doc must produce no row")
+  }
+
+  test("excise gate: planted template removed everywhere but its first doc") {
+    val rep = Substring.exciseReport(spark, sf).localCheckpoint()
+    import org.apache.spark.sql.functions.{min => fmin}
+    val firstPlanted = rep.filter(col("doc_id") % 9 === 4)
+      .agg(fmin("doc_id")).as[Long].head()
+    val planted = rep.filter(col("doc_id") % 9 === 4
+      && col("doc_id") =!= firstPlanted)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_excised_words") < 70).count() == 0,
+      "a planted doc kept its template")
+    assert(rep.filter(col("doc_id") === firstPlanted)
+      .filter(col("n_excised_words") > 0).count() == 0,
+      "the first planted doc must keep the template")
+    // Sanity: retained_pm bounded, and excised never exceeds n_words.
+    assert(rep.filter(col("retained_pm") < 0 || col("retained_pm") > 1000
+      || col("n_excised_words") > col("n_words")).count() == 0)
+  }
+
   test("boilerplate recurrence is scoped to the source") {
     // The SAME footer appears twice in source A but only once in source
     // B: A's carriers are flagged, B's single carrier must NOT be —
