@@ -529,10 +529,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("HITS rides one session purchase-edge build (memo seam)") {
+    // Another suite in the shared session may already have built the
+    // memo — assert existence + stability, not first-build (the
+    // copurchase test's discipline).
     val before = ext.Frames.buildsOf("purchase_edges")
     ext.Hits.purchaseEdges(spark, sf).count()
     val afterFirst = ext.Frames.buildsOf("purchase_edges")
-    assert(afterFirst > before)
+    assert(afterFirst >= 1 && afterFirst >= before)
     // Repeated gate runs (the bench's reps) must reuse the cut edge
     // frame, not re-run the orders ⋈ lineitem fact collapse.
     ext.Hits.partsHits(spark, sf).count()
