@@ -35,6 +35,17 @@ import graft.Tables
   * dashboard-sized at any SF. */
 object Growth {
 
+  /** Rolling-active windows in hours. INVARIANT (pinned here because
+    * the round-9 audit flagged it): the fan-out below explodes each
+    * distinct user-hour `Windows.max` times, so the widest window IS
+    * the explode factor. 72× over DEDUP'D user-hours is the deliberate
+    * trade vs a range join (which plans as a BNLJ with O(|spine|)
+    * probes); if a caller ever needs windows past ~an explode factor
+    * of a few hundred (say 30 days = 720×), do NOT widen this list —
+    * switch that tier to grouped HLL registers with union-by-window
+    * (the gated `sketch_hll_grouped_source` machinery, see the header
+    * note above), whose state is windows × spine-sized and
+    * explode-free. */
   val Windows: Seq[Int] = Seq(6, 24, 72)
 
   def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
