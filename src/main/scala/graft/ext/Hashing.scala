@@ -37,9 +37,15 @@ object Hashing {
     * broadcast). Overflow-safe: (id mod P) < 2^31, ×40503 < 2^47. */
   def idHash(c: Column): Column = ((c % P) * 40503L + 12345L) % P
 
-  /** Same, as DuckDB SQL over an integer expression. */
+  /** Same, as DuckDB SQL over an integer expression. FULLY
+    * parenthesized: callers embed this inside products
+    * (`a*${idHashSql(k)} + b`), and SQL's `*`/`%` share precedence
+    * left-to-right, so without the outer parens the caller's `a*` bound
+    * to the UN-reduced inner term — mathematically identical mod P, but
+    * it overflows DuckDB's checked INT64 once ids reach sf1's shifted
+    * key range (the round-10 sf1 audit caught both bloom gates). */
   def idHashSql(e: String): String =
-    s"(($e % 2147483647) * 40503 + 12345) % 2147483647"
+    s"((($e % 2147483647) * 40503 + 12345) % 2147483647)"
 
   /** 31-bit polynomial hash of a whole string column (char fold).
     * Production path: native codegen'd expression (graft.functions). */

@@ -30,8 +30,11 @@ import graft.Tables
   * Width discipline: S1 fits a Long, but m4n ≈ n⁴·q̄⁴ ≈ 1e29 at
   * sf0.1 — the numerators accumulate in decimal(38,0) (HUGEINT on
   * the oracle side, same 128-bit headroom) and are EMITTED as
-  * doubles: both engines' 128-bit-integer→double casts are correctly
-  * rounded, so the emitted columns still compare exactly. A 100 TB
+  * doubles. The JVM's decimal→double conversion is correctly rounded
+  * (BigInteger.doubleValue); DuckDB's direct hugeint→double is NOT
+  * (it double-rounds via the 64-bit halves — the round-10 sf1 audit
+  * caught a 1-ulp m3n divergence), so the oracle routes the cast
+  * through VARCHAR (strtod, correctly rounded) to match bit-for-bit. A 100 TB
   * run (n ≈ 1e11 per cell ⇒ n³·S4 ≈ 1e59) splits each cell into
   * sub-aggregated shards whose decimal moments merge by the same
   * closed forms — the plan shape (one map-side-combinable groupBy)
@@ -101,17 +104,25 @@ object Moments {
       |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
       |      - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4n
       |  FROM s)
+      |-- HUGEINT -> DOUBLE via VARCHAR: DuckDB's direct hugeint cast is
+      |-- double-rounded (upper*2^64 + lower, two roundings) and diverged
+      |-- from the JVM's correctly-rounded conversion by 1 ulp on the
+      |-- sf1 audit's m3n; string->double (strtod) rounds correctly on
+      |-- both engines.
       |SELECT l_returnflag, l_linestatus, n, s1 AS sum_q,
       |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
-      |  CAST(m2n AS DOUBLE) AS m2n, CAST(m3n AS DOUBLE) AS m3n,
-      |  CAST(m4n AS DOUBLE) AS m4n,
-      |  CASE WHEN CAST(m2n AS DOUBLE) = 0.0 THEN NULL
-      |       ELSE CAST(m3n AS DOUBLE)
-      |         / (CAST(m2n AS DOUBLE) * sqrt(CAST(m2n AS DOUBLE)))
+      |  CAST(CAST(m2n AS VARCHAR) AS DOUBLE) AS m2n,
+      |  CAST(CAST(m3n AS VARCHAR) AS DOUBLE) AS m3n,
+      |  CAST(CAST(m4n AS VARCHAR) AS DOUBLE) AS m4n,
+      |  CASE WHEN CAST(CAST(m2n AS VARCHAR) AS DOUBLE) = 0.0 THEN NULL
+      |       ELSE CAST(CAST(m3n AS VARCHAR) AS DOUBLE)
+      |         / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+      |            * sqrt(CAST(CAST(m2n AS VARCHAR) AS DOUBLE)))
       |  END AS skewness,
-      |  CASE WHEN CAST(m2n AS DOUBLE) = 0.0 THEN NULL
-      |       ELSE CAST(m4n AS DOUBLE)
-      |         / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)) - 3.0
+      |  CASE WHEN CAST(CAST(m2n AS VARCHAR) AS DOUBLE) = 0.0 THEN NULL
+      |       ELSE CAST(CAST(m4n AS VARCHAR) AS DOUBLE)
+      |         / (CAST(CAST(m2n AS VARCHAR) AS DOUBLE)
+      |            * CAST(CAST(m2n AS VARCHAR) AS DOUBLE)) - 3.0
       |  END AS kurtosis
       |FROM m""".stripMargin
 

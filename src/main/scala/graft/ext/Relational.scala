@@ -68,7 +68,7 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
       |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
-      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE)/1e6 AS sum_disc_price,
       |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*100 AS DOUBLE) AS avg_qty,
       |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*100 AS DOUBLE) AS avg_price,
       |  CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*)*10000 AS DOUBLE) AS avg_disc,
@@ -142,7 +142,7 @@ object Relational {
 
   val q5Sql: String =
     s"""SELECT n_name,
-       |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+       |  CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE)/1e6 AS revenue
        |FROM customer, orders, lineitem, supplier, nation, region
        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -335,7 +335,7 @@ object Relational {
         .cast("double") / 1e6).as("revenue"))
 
   val q6Sql: String =
-    """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*10000) AS BIGINT)) AS DOUBLE)/1e6 AS revenue
+    """SELECT CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*10000) AS BIGINT)) AS VARCHAR) AS DOUBLE)/1e6 AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |  AND CAST(round(l_discount*10000) AS BIGINT) BETWEEN 200 AND 600
@@ -381,7 +381,7 @@ object Relational {
   val q7Sql: String =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+      |  CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE)/1e6 AS revenue
       |FROM lineitem, orders, supplier, customer, nation n1, nation n2
       |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
       |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -442,7 +442,7 @@ object Relational {
     """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
       |    THEN CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))
       |    ELSE 0 END) AS DOUBLE)
-      |  / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) AS promo_share
+      |  / CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE) AS promo_share
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
@@ -528,7 +528,7 @@ object Relational {
   }
 
   val q19Sql: String =
-    """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE)/1e6 AS revenue
+    """SELECT CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE)/1e6 AS revenue
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
@@ -605,7 +605,7 @@ object Relational {
       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
       |      THEN CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))
       |      ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS DOUBLE) AS mkt_share
+      |    / CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS VARCHAR) AS DOUBLE) AS mkt_share
       |FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
       |  AND l_suppkey = s_suppkey AND l_partkey = p_partkey

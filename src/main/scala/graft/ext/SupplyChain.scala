@@ -130,10 +130,11 @@ object SupplyChain {
 
   val q9Sql: String =
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+      |  CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
       |      *(10000-CAST(round(l_discount*10000) AS BIGINT))
       |    - CAST(round(p_retailprice*100) AS BIGINT)
-      |      *CAST(round(l_quantity*100) AS BIGINT)*100) AS DOUBLE)/1e6
+      |      *CAST(round(l_quantity*100) AS BIGINT)*100) AS VARCHAR)
+      |    AS DOUBLE)/1e6
       |    AS sum_profit
       |FROM lineitem, part, supplier, nation, orders
       |WHERE l_partkey=p_partkey AND l_suppkey=s_suppkey
@@ -232,12 +233,17 @@ object SupplyChain {
       .join(perPart, col("l_partkey") === col("pt_partkey"))
       .filter(col("qty_c") * 2L > col("tot_c"))
       .select("l_suppkey").distinct()
+    // Keyed by s_suppkey: the output is one row PER WINNING SUPPLIER on
+    // both engines. (A previous revision emitted only (s_name, n_name)
+    // with DISTINCT on the oracle side alone — indistinguishable while
+    // supplier names are unique, but the sf1 audit's replicated names
+    // made the oracle collapse 10 suppliers into one row.)
     winners
       .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, sfDir)
         .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
-      .select("s_name", "n_name")
+      .select("s_suppkey", "s_name", "n_name")
   }
 
   val q20Sql: String =
@@ -250,7 +256,7 @@ object SupplyChain {
       |    AND l_shipdate < TIMESTAMP '1999-01-01'
       |  GROUP BY 1,2),
       |pt AS (SELECT l_partkey AS pk, SUM(qty_c) AS tot_c FROM sp GROUP BY 1)
-      |SELECT DISTINCT s_name, n_name
+      |SELECT DISTINCT s_suppkey, s_name, n_name
       |FROM sp, pt, supplier, nation
       |WHERE sp.l_partkey=pt.pk AND 2*qty_c > tot_c
       |  AND sp.l_suppkey=s_suppkey AND s_nationkey=n_nationkey""".stripMargin

@@ -1,89 +1,110 @@
 #!/usr/bin/env python3
 """Parallel wrapper around check_oracle's per-query compare.
 
-Usage: check_oracle_par.py <sfDir> <verifyOutDir> [workers] [skipLog]
+Usage:
+  check_oracle_par.py <sfDir> <verifyOutDir> [workers] [skipLog] [timeoutSec]
+  check_oracle_par.py --one <sfDir> <verifyOutDir> <name>   (internal)
 
-Same semantics as check_oracle.py (same canon + compare), but fans the
-queries out over a process pool — at sf1 the sequential loop is
-hours-slow because each DuckDB oracle replay and pandas canonicalization
-runs alone. If skipLog is given, keys already reported "  PASS <k>:" in
-that log are not re-run (resume support for a killed sequential run).
+Same semantics as check_oracle.py (same canon + compare), but each query
+runs in its OWN subprocess with a hard timeout — at sf1 a handful of
+DuckDB oracle replays are pathological (tens of GB of spill); a timeout
+kills the child (releasing its spill) and reports ORACLE-TIMEOUT instead
+of wedging the whole gate. Results print as they complete (unordered).
+Keys already reported "  PASS <k>:" in skipLog are not re-run.
 """
-import sys, os, json, re
-from concurrent.futures import ProcessPoolExecutor
+import sys, os, json, re, subprocess, time
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_oracle import canon, TABLES  # noqa: E402
 
-SF_DIR = None
-OUT_DIR = None
-ORACLES = None
 
-
-def init(sf_dir, out_dir, oracles):
-    global SF_DIR, OUT_DIR, ORACLES
-    SF_DIR, OUT_DIR, ORACLES = sf_dir, out_dir, oracles
-
-
-def check(name):
-    import duckdb
+def check_one(sf_dir, out_dir, name):
+    import duckdb, tempfile
     con = duckdb.connect()
     con.execute("SET threads TO 4")
+    con.execute("SET memory_limit='12GB'")
+    # Each child gets its OWN spill dir: concurrent children sharing the
+    # default cwd-relative ".tmp" delete each other's temp files.
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='ckor_')}'")
     for t in TABLES:
-        p = os.path.join(SF_DIR, t + ".parquet")
+        p = os.path.join(sf_dir, t + ".parquet")
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
     try:
         s_df = con.sql(
-            f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')").df()
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
     except Exception as e:
-        return (name, False, f"spark result read error: {e}")
-    if name not in ORACLES:
-        return (name, len(s_df) > 0, f"ROWS-ONLY {len(s_df)} rows")
+        return (False, f"spark result read error: {e}")
+    if name not in oracles:
+        return (len(s_df) > 0, f"ROWS-ONLY {len(s_df)} rows")
     try:
-        o_df = con.sql(ORACLES[name]).df()
+        o_df = con.sql(oracles[name]).df()
     except Exception as e:
-        return (name, False, f"oracle SQL error: {e}")
+        return (False, f"oracle SQL error: {e}")
     if sorted(s_df.columns) != sorted(o_df.columns):
-        return (name, False,
+        return (False,
                 f"columns {sorted(s_df.columns)} vs {sorted(o_df.columns)}")
     try:
         a, b = canon(s_df), canon(o_df)
     except Exception as e:
-        return (name, False, f"canon error: {type(e).__name__}: {e}")
+        return (False, f"canon error: {type(e).__name__}: {e}")
     if a == b:
-        return (name, True, f"{len(a)} rows")
+        return (True, f"{len(a)} rows")
     sa, sb = set(a), set(b)
     detail = [f"spark {len(a)} rows vs oracle {len(b)} rows"]
     detail += [f"spark-only: {x[:200]}" for x in list(sa - sb)[:3]]
     detail += [f"oracle-only: {x[:200]}" for x in list(sb - sa)[:3]]
-    return (name, False, "; ".join(detail))
+    return (False, "; ".join(detail))
 
 
 def main():
+    if sys.argv[1] == "--one":
+        ok, msg = check_one(sys.argv[2], sys.argv[3], sys.argv[4])
+        print(("PASS " if ok else "FAIL ") + msg)
+        sys.exit(0 if ok else 1)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     workers = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     skip = set()
     if len(sys.argv) > 4 and os.path.exists(sys.argv[4]):
         with open(sys.argv[4]) as f:
-            skip = set(re.findall(r"^  PASS (\S+):", f.read(), re.M))
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        oracles = json.load(f)
+            skip = set(re.findall(r"^ *PASS (\S+):", f.read(), re.M))
+    timeout = int(sys.argv[5]) if len(sys.argv) > 5 else 900
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     todo = [n for n in names if n not in skip]
     print(f"{len(names)} queries, {len(skip & set(names))} already passed, "
-          f"{len(todo)} to run on {workers} workers", flush=True)
+          f"{len(todo)} to run on {workers} workers, {timeout}s/key cap",
+          flush=True)
+
+    def run(name):
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 sf_dir, out_dir, name],
+                capture_output=True, text=True, timeout=timeout)
+            line = (r.stdout.strip().splitlines() or ["FAIL empty output"])[0]
+            ok = line.startswith("PASS")
+            msg = line.split(" ", 1)[1] if " " in line else line
+            if not ok and r.stderr:
+                msg += " | " + r.stderr.strip().splitlines()[-1][:200]
+        except subprocess.TimeoutExpired:
+            ok, msg = False, f"ORACLE-TIMEOUT after {timeout}s (DuckDB side)"
+        return name, ok, msg, time.time() - t0
+
     n_pass, n_fail = len(skip & set(names)), 0
-    with ProcessPoolExecutor(max_workers=workers, initializer=init,
-                             initargs=(sf_dir, out_dir, oracles)) as ex:
-        for name, ok, msg in ex.map(check, todo):
-            print(f"  {'PASS' if ok else 'FAIL'} {name}: {msg}", flush=True)
-            if ok:
-                n_pass += 1
-            else:
-                n_fail += 1
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(run, n) for n in todo]
+        for f in as_completed(futs):
+            name, ok, msg, dt = f.result()
+            print(f"  {'PASS' if ok else 'FAIL'} {name}: {msg} "
+                  f"[{dt:.0f}s]", flush=True)
+            n_pass += ok
+            n_fail += not ok
     print(f"{n_pass} pass / {n_fail} fail / {len(names)} queries")
     sys.exit(1 if n_fail else 0)
 
