@@ -329,9 +329,14 @@ object Communities {
     "parts_modularity" -> (partsModularity _),
     "parts_assortativity" -> (partsAssortativity _))
 
+  // MATERIALIZED CTEs on the unrolled-round oracles: each LPA/peel
+  // round references the previous round's CTE twice, and DuckDB's
+  // default inlining re-expands the chain exponentially — the sf1
+  // audit measured a >75 GB spill for the k-core oracle vs 5 s
+  // materialized (see Hashing.materializeCtes).
   val oracles: Map[String, String] = Map(
-    "parts_communities" -> partsCommunitiesSql,
-    "parts_kcore" -> partsKcoreSql,
-    "parts_modularity" -> partsModularitySql,
+    "parts_communities" -> Hashing.materializeCtes(partsCommunitiesSql),
+    "parts_kcore" -> Hashing.materializeCtes(partsKcoreSql),
+    "parts_modularity" -> Hashing.materializeCtes(partsModularitySql),
     "parts_assortativity" -> partsAssortativitySql)
 }

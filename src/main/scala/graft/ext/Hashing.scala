@@ -29,6 +29,19 @@ object Hashing {
   val permA: Seq[Long] = graft.functions.HashKernels.permA.toSeq
   val permB: Seq[Long] = graft.functions.HashKernels.permB.toSeq
 
+  /** Force every CTE in a DuckDB oracle to materialize (`name AS
+    * MATERIALIZED (...)`). The unrolled-round graph oracles chain CTEs
+    * that each reference the previous round TWICE; DuckDB's default
+    * CTE inlining then re-expands the whole prefix per reference —
+    * 2^rounds copies of the base self-join, measured as a >75 GB spill
+    * for the sf1 k-core oracle where the materialized form runs in
+    * 5 s. Safe for these oracles: `AS (` appears only at CTE
+    * definitions (derived tables are `FROM (`, windows `OVER (`).
+    * Oracle-side only — the Spark plans localCheckpoint per round and
+    * never re-expand. */
+  def materializeCtes(sql: String): String =
+    sql.replace("AS (", "AS MATERIALIZED (")
+
   /** Order-scrambling 31-bit hash of an integer id column. Purpose:
     * deterministic CONSTANT-SIZE samples — `ORDER BY idHash(id), id
     * LIMIT n` picks the same n rows in Spark and DuckDB at any corpus

@@ -123,13 +123,17 @@ object Hits {
          |    // (SELECT MAX(a) FROM ar$k) AS BIGINT) AS a FROM ar$k)"""
         .stripMargin
     }
-    s"""WITH $base,
-       |${steps.mkString(",\n")}
-       |SELECT 'hub' AS node_type, h.src AS node, d.deg, h.h AS score
-       |FROM h$Iters h JOIN hdeg d ON d.src = h.src
-       |UNION ALL
-       |SELECT 'authority', a.node, d.deg, a.a
-       |FROM a$Iters a JOIN adeg d ON d.dst = a.node""".stripMargin
+    // MATERIALIZED: each round references the previous twice; DuckDB's
+    // default inlining re-expands the chain exponentially (see
+    // Hashing.materializeCtes — the sf1 audit's >75 GB oracle spill).
+    Hashing.materializeCtes(
+      s"""WITH $base,
+         |${steps.mkString(",\n")}
+         |SELECT 'hub' AS node_type, h.src AS node, d.deg, h.h AS score
+         |FROM h$Iters h JOIN hdeg d ON d.src = h.src
+         |UNION ALL
+         |SELECT 'authority', a.node, d.deg, a.a
+         |FROM a$Iters a JOIN adeg d ON d.dst = a.node""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -199,7 +199,10 @@ object PageRank {
     "parts_pagerank" -> (partsPagerank _),
     "parts_triangles" -> (partsTriangles _))
 
+  // MATERIALIZED CTEs: the unrolled PageRank rounds chain CTE
+  // references and DuckDB's default inlining re-expands the prefix per
+  // reference (sf1 audit: 460 s → seconds; see Hashing.materializeCtes).
   val oracles: Map[String, String] = Map(
-    "parts_pagerank" -> partsPagerankSql,
-    "parts_triangles" -> partsTrianglesSql)
+    "parts_pagerank" -> Hashing.materializeCtes(partsPagerankSql),
+    "parts_triangles" -> Hashing.materializeCtes(partsTrianglesSql))
 }
