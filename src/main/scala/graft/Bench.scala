@@ -69,11 +69,13 @@ object Bench {
     // box state ⇒ same calib_sec, so total/calib ratios are comparable
     // across sessions where raw totals are not.
     val calib = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
+        // pmod keeps the Long sum far from overflow under ANSI mode
+        // (summing raw xxhash64 values wraps a Long within 40M rows).
         spark.range(0L, 40000000L, 1L, 1)
-          .select(sum(xxhash64(col("id")))).collect()
+          .select(sum(pmod(xxhash64(col("id")), lit(997L)))).collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(1)
