@@ -42,10 +42,10 @@ object Growth {
     * trade vs a range join (which plans as a BNLJ with O(|spine|)
     * probes); if a caller ever needs windows past ~an explode factor
     * of a few hundred (say 30 days = 720×), do NOT widen this list —
-    * switch that tier to grouped HLL registers with union-by-window
-    * (the gated `sketch_hll_grouped_source` machinery, see the header
-    * note above), whose state is windows × spine-sized and
-    * explode-free. */
+    * switch to the GATED HLL tier below (`events_rolling_actives_hll`,
+    * [[rollingActivesHll]]): its fan-out explodes hour-REGISTER rows
+    * (spine × 64, corpus-independent), measured 2.3 s vs 20.1 s for
+    * this exact tier at sf1 — and the gap grows with the corpus. */
   val Windows: Seq[Int] = Seq(6, 24, 72)
 
   def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
@@ -99,6 +99,102 @@ object Growth {
        |SELECT * FROM f""".stripMargin
   }
 
+  /** HLL tier of [[rollingActives]] — the 100 TB shape the explode
+    * comment above points at, now GATED rather than merely documented.
+    * Per-hour 64-register HyperLogLog state ([[Sketches]]' exact-integer
+    * kernel: idHash bucket/rho, shared CASE, integer alpha, integer
+    * linear-counting table), then the window union = element-wise MAX of
+    * registers across the window's hours. The decisive difference from
+    * the exact tier: the 72× fan-out explodes REGISTER rows (hours × 64,
+    * corpus-independent) instead of user-hours (corpus-sized), so the
+    * widest window costs spine × windows × 64 tiny rows no matter how
+    * many users exist. Estimates carry HLL's ~13% error at m=64
+    * (RollingHllSpec measures it against the exact tier); both engines
+    * compute identical integers, so the gate is still hash-exact. */
+  def rollingActivesHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import Sketches.{HllM, HllWBits, HllAlphaNum, HllAlphaDen, hllRhoCase, hllLcTable}
+    val S = HllWBits + 1
+    val numer = (HllAlphaNum * HllM * HllM) << S
+    val regs = Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("hour", col("ts")).cast("timestamp"))
+          .as("hour_us"),
+        Hashing.idHash(col("user_id")).as("h"))
+      .selectExpr("hour_us", s"h % $HllM AS bucket", s"h div $HllM AS w")
+      .select(col("hour_us"), col("bucket"), expr(hllRhoCase).as("rho"))
+      .groupBy(col("hour_us"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .localCheckpoint() // spine + fan both derive from it
+    val spine = regs.select(col("hour_us").as("t_us")).distinct()
+    val fan = regs
+      .select(col("hour_us"), col("bucket"), col("reg"),
+        explode(expr(s"sequence(0L, ${Windows.max - 1}L)")).as("off"))
+      .select((col("hour_us") + col("off") * lit(3600000000L)).as("t_us"),
+        col("bucket"), col("off"), col("reg"))
+    val winAggs = Windows.map(w =>
+      max(when(col("off") < w, col("reg"))).as(s"reg_$w"))
+    val winRegs = fan.join(spine, "t_us")
+      .groupBy(col("t_us"), col("bucket"))
+      .agg(winAggs.head, winAggs.tail: _*)
+    val estAggs = Windows.flatMap(w => Seq(
+      count(col(s"reg_$w")).as(s"nb_$w"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $S - reg_$w)")).as(s"spp_$w")))
+    val estCols = Windows.map { w =>
+      val sumPow = s"(COALESCE(spp_$w, 0L) + ($HllM - nb_$w) * ${1L << S}L)"
+      val raw = s"(${numer}L div ($HllAlphaDen * $sumPow))"
+      expr(s"""CAST(CASE WHEN ($HllM - nb_$w) > 0 AND $raw * 2 <= ${5 * HllM}
+              |  THEN element_at(array(${hllLcTable.mkString(", ")}),
+              |    CAST($HllM - nb_$w AS INT))
+              |  ELSE $raw END AS LONG)""".stripMargin)
+        .as(s"rau_${w}h_est")
+    }
+    winRegs
+      .groupBy(col("t_us"))
+      .agg(estAggs.head, estAggs.tail: _*)
+      .select(expr("cast(timestamp_micros(t_us) as timestamp_ntz)")
+        .as("hour") +: estCols: _*)
+  }
+
+  val rollingActivesHllSql: String = {
+    import Sketches.{HllM, HllWBits, HllAlphaNum, HllAlphaDen, hllRhoCase, hllLcTable}
+    val S = HllWBits + 1
+    val numer = (HllAlphaNum * HllM * HllM) << S
+    val wMax = Windows.max
+    val winCols = Windows.map(w =>
+      s"MAX(CASE WHEN off < $w THEN reg END) AS reg_$w").mkString(",\n    ")
+    val estInputs = Windows.map(w =>
+      s"""CAST(COUNT(reg_$w) AS BIGINT) AS nb_$w,
+         |    CAST(SUM(1::BIGINT << ($S - reg_$w)) AS BIGINT) AS spp_$w"""
+        .stripMargin).mkString(",\n    ")
+    val estCols = Windows.map { w =>
+      s"""CAST(CASE WHEN ($HllM - nb_$w) > 0
+         |      AND ($numer // ($HllAlphaDen * (COALESCE(spp_$w, 0)
+         |        + ($HllM - nb_$w) * ${1L << S}))) * 2 <= ${5 * HllM}
+         |    THEN list_extract([${hllLcTable.mkString(", ")}],
+         |      CAST($HllM - nb_$w AS INT))
+         |    ELSE $numer // ($HllAlphaDen * (COALESCE(spp_$w, 0)
+         |      + ($HllM - nb_$w) * ${1L << S}))
+         |    END AS BIGINT) AS rau_${w}h_est""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH ev AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |    ${Hashing.idHashSql("user_id")} AS h FROM events),
+       |b AS (SELECT hour_us, h % $HllM AS bucket, h // $HllM AS w FROM ev),
+       |r AS (SELECT hour_us, bucket, MAX($hllRhoCase) AS reg FROM b
+       |  GROUP BY 1, 2),
+       |sp AS (SELECT DISTINCT hour_us AS t_us FROM r),
+       |f AS (SELECT r.hour_us + CAST(t.off AS BIGINT) * 3600000000 AS t_us,
+       |    bucket, CAST(t.off AS BIGINT) AS off, reg
+       |  FROM r, unnest(range(0, $wMax)) AS t(off)),
+       |wr AS (SELECT t_us, bucket,
+       |    $winCols
+       |  FROM f JOIN sp USING (t_us) GROUP BY 1, 2),
+       |e AS (SELECT t_us,
+       |    $estInputs
+       |  FROM wr GROUP BY 1)
+       |SELECT make_timestamp(t_us) AS hour,
+       |  $estCols
+       |FROM e""".stripMargin
+  }
+
   def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderdate"),
@@ -134,9 +230,11 @@ object Growth {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling_actives" -> (rollingActives _),
+    "events_rolling_actives_hll" -> (rollingActivesHll _),
     "orders_cohort_ltv" -> (cohortLtv _))
 
   val oracles: Map[String, String] = Map(
     "events_rolling_actives" -> rollingActivesSql,
+    "events_rolling_actives_hll" -> rollingActivesHllSql,
     "orders_cohort_ltv" -> cohortLtvSql)
 }

@@ -431,18 +431,18 @@ object Sketches {
 
   // ------------------------------------------------- hyperloglog
 
-  private val HllM = 64 // registers (p = 6 bucket bits)
+  private[ext] val HllM = 64 // registers (p = 6 bucket bits)
   // Remaining-word width: h < 2^31 = P+1, so h div 64 < 2^25.
-  private val HllWBits = 25
+  private[ext] val HllWBits = 25
   // alpha_64 = 0.709 (Flajolet et al., HyperLogLog, AofA 2007) kept as
   // the exact rational 709/1000 so the estimate is integer arithmetic.
-  private val HllAlphaNum = 709L
-  private val HllAlphaDen = 1000L
+  private[ext] val HllAlphaNum = 709L
+  private[ext] val HllAlphaDen = 1000L
 
   /** rho(w) = leading zeros of w as a 25-bit word, plus 1 (w = 0 → 26).
     * ONE CASE string parsed by BOTH engines (Spark `expr` and DuckDB),
     * so the registers agree bit-for-bit with zero float involvement. */
-  private val hllRhoCase: String = {
+  private[ext] val hllRhoCase: String = {
     val branches = (1 to HllWBits)
       .map(rho => s"WHEN w >= ${1L << (HllWBits - rho)} THEN $rho")
       .mkString(" ")
@@ -453,7 +453,7 @@ object Sketches {
     * for v = 1..m zero registers, computed ONCE here and embedded as the
     * same integer literals in both engines — no runtime ln(), no float
     * drift across libm implementations. */
-  private val hllLcTable: Seq[Long] =
+  private[ext] val hllLcTable: Seq[Long] =
     (1 to HllM).map(v => Math.round(HllM * Math.log(HllM.toDouble / v)))
 
   /** Deterministic HyperLogLog over the corpus's 3-word shingle hashes —
