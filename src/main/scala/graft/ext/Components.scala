@@ -103,7 +103,7 @@ object Components {
   /** Oracle CTE chain: transitive closure by recursive CTE, component =
     * min reachable node (self included via LEAST). Shared prefix so
     * downstream oracles (cluster keepers) can extend the WITH chain. */
-  private val componentsCtePrefix: String =
+  private[ext] val componentsCtePrefix: String =
     s"""WITH RECURSIVE lshpairs AS (
        |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql}) ),
        |sym AS (
@@ -203,13 +203,70 @@ object Components {
        |    // COUNT(*) AS BIGINT) AS removed_permille
        |FROM flagged GROUP BY 1""".stripMargin
 
+  /** Train/val/test near-dup LEAKAGE audit — the classic eval bug a
+    * hash-random split guarantees at some rate: a near-duplicate of a
+    * training document landing in val/test inflates eval scores. Per
+    * ordered split pair (split_a < split_b lexicographically): clusters
+    * with members on both sides and the number of cross-split near-dup
+    * pairs (Σ over clusters of n_a·n_b — each is a leaked evaluation
+    * item). A clean pipeline drives these to zero by splitting at
+    * CLUSTER granularity; this report is the gate that proves whether
+    * yours does.
+    *
+    * Scale shape: rides the session-memoized label frame (bounded by
+    * near-dup nodes); the split tag is a pure hash map-op; the
+    * per-(cluster, split) rollup is ≤ 3 rows per cluster and the pair
+    * join runs on that collapsed frame — never on docs. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyHash(
+          concat_ws(":", lit("split"), col("doc_id").cast("string")))
+          .%(100).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    val per = dedupComponents(spark, sfDir)
+      .join(split, "doc_id")
+      .groupBy(col("component"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    per.as("x").join(per.as("y"),
+        col("x.component") === col("y.component")
+          && col("x.split") < col("y.split"))
+      .groupBy(col("x.split").as("split_a"), col("y.split").as("split_b"))
+      .agg(countDistinct(col("x.component")).as("n_leaking_clusters"),
+        sum(col("x.n") * col("y.n")).as("n_cross_pairs"))
+  }
+
+  val splitLeakageSql: String =
+    s"""$componentsCtePrefix,
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN (${graft.ext.Hashing.stringHashSql(
+                 "'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 80
+       |         THEN 'train'
+       |         WHEN (${graft.ext.Hashing.stringHashSql(
+                 "'split:' || CAST(doc_id AS VARCHAR)")}) % 100 < 90
+       |         THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |per AS (SELECT component, split, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM comp JOIN sp USING (doc_id) GROUP BY 1, 2)
+       |SELECT x.split AS split_a, y.split AS split_b,
+       |  CAST(COUNT(DISTINCT x.component) AS BIGINT) AS n_leaking_clusters,
+       |  CAST(SUM(x.n * y.n) AS BIGINT) AS n_cross_pairs
+       |FROM per x JOIN per y
+       |  ON x.component = y.component AND x.split < y.split
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
     "dedup_cluster_keepers" -> (clusterKeepers _),
-    "dedup_yield_by_source" -> (dedupYieldBySource _))
+    "dedup_yield_by_source" -> (dedupYieldBySource _),
+    "corpus_split_leakage" -> (splitLeakage _))
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_keepers" -> clusterKeepersSql,
-    "dedup_yield_by_source" -> dedupYieldBySourceSql)
+    "dedup_yield_by_source" -> dedupYieldBySourceSql,
+    "corpus_split_leakage" -> splitLeakageSql)
 }

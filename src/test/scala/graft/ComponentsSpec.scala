@@ -72,4 +72,37 @@ class ComponentsSpec extends SparkSpec {
       assert(cc(edges) == want)
     }
   }
+
+  test("split leakage equals a driver-side recompute from the label frame") {
+    import org.apache.spark.sql.functions._
+    // Independent recompute: take the gated cluster labels and the
+    // split membership function, fold the pair counts in plain Scala.
+    val comp = Components.dedupComponents(spark, sf)
+      .as[(Long, Long)].collect().toMap // doc_id -> component
+    assert(comp.nonEmpty, "fixture has no near-dup clusters — vacuous")
+    val splitOf = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.polyHash(
+          concat_ws(":", lit("split"), col("doc_id").cast("string")))
+          .%(100).as("b"))
+      .as[(Long, Long)].collect()
+      .map { case (d, b) =>
+        d -> (if (b < 80) "train" else if (b < 90) "val" else "test") }
+      .toMap
+    val per = comp.toSeq
+      .map { case (d, c) => (c, splitOf(d)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = (for {
+      ((c1, s1), n1) <- per.toSeq
+      ((c2, s2), n2) <- per.toSeq
+      if c1 == c2 && s1 < s2
+    } yield ((s1, s2), (c1, n1 * n2)))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2._1).toSet.size.toLong,
+        vs.map(_._2._2).sum)).toMap
+    val got = Components.splitLeakage(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == want, s"gate $got vs recompute $want")
+  }
 }
