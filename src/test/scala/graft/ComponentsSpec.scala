@@ -105,4 +105,23 @@ class ComponentsSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(got == want, s"gate $got vs recompute $want")
   }
+
+  test("cluster-granular split has zero leaked pairs and full coverage") {
+    import org.apache.spark.sql.functions._
+    val rep = Components.splitByCluster(spark, sf).localCheckpoint()
+    // The fix works: no near-dup pair straddles splits.
+    assert(rep.filter(col("n_leaked_pairs") =!= 0).count() == 0)
+    // ...while the doc-hash split demonstrably leaks on this corpus
+    // (otherwise this gate proves nothing).
+    assert(Components.splitLeakage(spark, sf).count() > 0)
+    // Every document is assigned exactly once.
+    val nDocs = rep.agg(sum("n_docs")).as[Long].head()
+    assert(nDocs == Tables.documents(spark, sf).count())
+    // Roughly 80/10/10 by CLUSTER count (hash target): train holds the
+    // majority of clusters.
+    val m = rep.select("split", "n_clusters").as[(String, Long)]
+      .collect().toMap
+    assert(m("train") > m.getOrElse("val", 0L) &&
+      m("train") > m.getOrElse("test", 0L))
+  }
 }

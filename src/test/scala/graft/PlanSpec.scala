@@ -528,6 +528,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-10 keys: keyed joins only, one scan for multiscale spans") {
+    // Multiscale: the three granularities ride ONE documents scan (the
+    // tagged-concat projection) — a second FileScan would mean the
+    // per-K branches each re-read the corpus.
+    val pm = plan(ext.Substring.multiscaleCoverage(spark, sf))
+    assert(!pm.contains("CartesianProduct"), pm)
+    assert("Scan parquet".r.findAllIn(pm).size <= 1,
+      "multiscale re-scans the corpus per granularity")
+    val pe = plan(ext.Substring.exciseReport(spark, sf))
+    assert(!pe.contains("CartesianProduct"), pe)
+    val ph = plan(ext.Growth.rollingActivesHll(spark, sf))
+    assert(!ph.contains("CartesianProduct"), ph)
+    val pl = plan(ext.Components.splitLeakage(spark, sf))
+    assert(!pl.contains("CartesianProduct"), pl)
+    val ps = plan(ext.Components.splitByCluster(spark, sf))
+    assert(!ps.contains("CartesianProduct"), ps)
+  }
+
   test("HITS rides one session purchase-edge build (memo seam)") {
     // Another suite in the shared session may already have built the
     // memo — assert existence + stability, not first-build (the
