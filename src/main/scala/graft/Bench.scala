@@ -68,7 +68,10 @@ object Bench {
     // normalize between-session drift mechanically: same code + same
     // box state ⇒ same calib_sec, so total/calib ratios are comparable
     // across sessions where raw totals are not.
-    val calib = {
+    // Guarded like the warm-up above: a probe failure must degrade to a
+    // -1 sentinel, not abort the whole bench before a single query is
+    // timed (r10 advisory).
+    val calib = try {
       import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -79,7 +82,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(1)
-    }
+    } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A rep that throws must NOT feed its time-to-failure into the
       // median (a fast crash would make the graded total look good);

@@ -68,8 +68,12 @@ object Gini {
       |  FROM rev)
       |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
       |  CAST(SUM(rev_c) AS DOUBLE)/100.0 AS revenue,
+      |  -- rank*rev_c crosses into HUGEINT PER ROW (not just at the SUM):
+      |  -- a checked-BIGINT per-row product aborts at very large segments
+      |  -- where the Spark side's decimal(38,0) path succeeds (r10 advisory;
+      |  -- same fix as Rfm).
       |  CAST(CAST(1000000 AS HUGEINT)
-      |      * (2*SUM(rank*rev_c) - (COUNT(*)+1)*SUM(rev_c))
+      |      * (2*SUM(CAST(rank AS HUGEINT)*rev_c) - (COUNT(*)+1)*SUM(rev_c))
       |    // (CAST(COUNT(*) AS HUGEINT) * SUM(rev_c)) AS BIGINT)
       |    AS gini_e6
       |FROM ranked GROUP BY 1""".stripMargin

@@ -35,12 +35,20 @@ object Hashing {
     * CTE inlining then re-expands the whole prefix per reference —
     * 2^rounds copies of the base self-join, measured as a >75 GB spill
     * for the sf1 k-core oracle where the materialized form runs in
-    * 5 s. Safe for these oracles: `AS (` appears only at CTE
-    * definitions (derived tables are `FROM (`, windows `OVER (`).
-    * Oracle-side only — the Spark plans localCheckpoint per round and
-    * never re-expand. */
+    * 5 s. The rewrite is anchored to CTE-definition sites only — an
+    * identifier followed by `AS (` at the start of the statement or
+    * right after a `,`/`WITH` (round-10 advisory: a blind
+    * `replace("AS (", …)` would also hit an `AS (` inside a string
+    * literal or a non-CTE context, silently corrupting any future
+    * oracle routed through here). Oracle-side only — the Spark plans
+    * localCheckpoint per round and never re-expand. */
   def materializeCtes(sql: String): String =
-    sql.replace("AS (", "AS MATERIALIZED (")
+    // (WITH | , ) <identifier> AS (  →  … AS MATERIALIZED (
+    // \w+ cannot match inside a quoted SQL string unless the quote
+    // char immediately precedes it, which `(?:WITH|,)\s*` excludes.
+    """(?is)((?:\bWITH\b|,)\s*\w+\s+AS)\s*\(""".r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + " MATERIALIZED ("))
 
   /** Order-scrambling 31-bit hash of an integer id column. Purpose:
     * deterministic CONSTANT-SIZE samples — `ORDER BY idHash(id), id

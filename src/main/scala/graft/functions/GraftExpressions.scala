@@ -301,10 +301,21 @@ object GraftExpressions {
   * that touches a table can use the graft_* functions. */
 object GraftFunctions {
 
+  // Register once per session: [[graft.Tables]] calls register on every
+  // table load, and re-registering emitted a SimpleFunctionRegistry
+  // "function replaced" WARN per kernel per call — hundreds of lines
+  // that drowned the bench summary in the driver's stdout tail window
+  // (r10 ask #7). Weak keys so a stopped session doesn't pin.
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit =
-    GraftExpressions.builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+    if (registered.add(spark)) {
+      GraftExpressions.builders.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
 
   def polyHash(c: Column): Column = call_function("graft_poly_hash", c)

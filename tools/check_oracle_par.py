@@ -25,8 +25,15 @@ def check_one(sf_dir, out_dir, name):
     con.execute("SET threads TO 4")
     con.execute("SET memory_limit='12GB'")
     # Each child gets its OWN spill dir: concurrent children sharing the
-    # default cwd-relative ".tmp" delete each other's temp files.
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='ckor_')}'")
+    # default cwd-relative ".tmp" delete each other's temp files. Created
+    # UNDER the verify out dir so the parent can rmtree it even when this
+    # child is killed by the timeout mid-spill (r10 advisory: orphaned
+    # mkdtemp dirs accumulated tens of GB across ORACLE-TIMEOUT runs).
+    spill_parent = os.path.join(out_dir, ".oracle_spill")
+    os.makedirs(spill_parent, exist_ok=True)
+    con.execute(
+        f"SET temp_directory="
+        f"'{tempfile.mkdtemp(prefix=name + '_', dir=spill_parent)}'")
     for t in TABLES:
         p = os.path.join(sf_dir, t + ".parquet")
         if os.path.exists(p):
@@ -74,7 +81,8 @@ def main():
             skip = set(re.findall(r"^ *PASS (\S+):", f.read(), re.M))
     timeout = int(sys.argv[5]) if len(sys.argv) > 5 else 900
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and not d.startswith("."))  # skip .oracle_spill
     todo = [n for n in names if n not in skip]
     print(f"{len(names)} queries, {len(skip & set(names))} already passed, "
           f"{len(todo)} to run on {workers} workers, {timeout}s/key cap",
@@ -105,6 +113,11 @@ def main():
                   f"[{dt:.0f}s]", flush=True)
             n_pass += ok
             n_fail += not ok
+    # Reap every child's spill dir — a timeout-killed DuckDB can leave
+    # tens of GB behind; the fixed parent makes cleanup unconditional.
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, ".oracle_spill"),
+                  ignore_errors=True)
     print(f"{n_pass} pass / {n_fail} fail / {len(names)} queries")
     sys.exit(1 if n_fail else 0)
 
