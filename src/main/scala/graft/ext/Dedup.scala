@@ -278,14 +278,49 @@ object Dedup {
   /** LSH band-bucket candidate pairs (doc_a < doc_b) — the shared
     * candidate stage both near-dup verifiers (Jaccard, edit distance)
     * refine. */
-  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = bandBuckets(spark, sfDir)
+  def lshCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    pairsOf(bandBuckets(spark, sfDir))
+
+  private def pairsOf(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+
+  /** Per-band-bucket membership cap for the candidate self-join — the
+    * posting-cap pattern ([[Basket]]'s copurchase cap, the sparse-doc
+    * postings cap) applied to LSH buckets. An UNCAPPED band self-join is
+    * quadratic in the occupancy of its largest bucket, and real corpora
+    * have mega-buckets (templated boilerplate, near-identical spam
+    * clusters); at 100 TB one such cluster of 10⁶ docs is 5·10¹¹ pairs
+    * in a single reduce key — the job-killer shape. Capping each
+    * (band, bh) bucket to its first [[BucketCap]] members in the
+    * deterministic (idHash, doc_id) order bounds any bucket's
+    * contribution at K²/2 pairs while keeping the GROUPS discoverable:
+    * a near-dup cluster's survivors still pair with each other (the
+    * transitive-closure consumer reconnects the rest), which is why
+    * strongest-K-per-bucket is the standard production trade. The cap is
+    * replicated VERBATIM in the oracle (same window, same order), so the
+    * gate stays hash-exact at every SF; at the gate SFs it never binds —
+    * max measured occupancy is 4 at sf0.1 / 18 at sf3 vs K=32 — which
+    * CappedBucketsSpec proves by equating capped and uncapped results
+    * (and proves the cap ENGAGES on a planted mega-bucket). */
+  private[graft] val BucketCap = 32
+
+  private[graft] def cappedBuckets(bands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bh"))
+      .orderBy(Hashing.idHash(col("doc_id")), col("doc_id"))
+    bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BucketCap).drop("rn")
   }
+
+  /** [[lshCandidates]] with the [[BucketCap]] guard — the candidate
+    * stage the edit-distance verifier rides (its per-pair cost is the
+    * highest of the verifiers, so it is the first consumer to get the
+    * bound; the same wrapper serves any other consumer that needs it). */
+  def lshCandidatesCapped(spark: SparkSession, sfDir: String): DataFrame =
+    pairsOf(cappedBuckets(bandBuckets(spark, sfDir)))
 
   /** MinHash-LSH near-dup pairs: band-bucket join for candidates, then
     * exact shingle-Jaccard verification at 0.8. The only shuffles are the
@@ -293,14 +328,17 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     verifyJaccard(spark, sfDir, lshCandidates(spark, sfDir), threshold = 0.8)
 
-  /** Edit-distance near-dup verification over the SAME LSH candidates:
-    * exact Levenshtein ≤ 20 on the raw texts — the character-level twin
-    * of the shingle-Jaccard verifier (identical algorithm in both
-    * engines, so directly oracle-comparable). Quadratic per pair, which
-    * is fine precisely because LSH bounds the candidate count. */
+  /** Edit-distance near-dup verification over the SAME LSH candidates
+    * (capped at [[BucketCap]] per band bucket — Levenshtein is the most
+    * expensive verifier per pair, O(|a|·|b|) chars, so it is the one a
+    * mega-bucket hurts first): exact Levenshtein ≤ 20 on the raw texts —
+    * the character-level twin of the shingle-Jaccard verifier (identical
+    * algorithm in both engines, so directly oracle-comparable). Quadratic
+    * per pair, which is fine precisely because LSH + the cap bound the
+    * candidate count. */
   def editDistanceDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    lshCandidates(spark, sfDir)
+    lshCandidatesCapped(spark, sfDir)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -357,8 +395,24 @@ object Dedup {
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
 
+  /** [[bandsSqlCtes]] plus the CAPPED candidate CTE — the verbatim
+    * oracle twin of [[cappedBuckets]]: same window, same (idHash,
+    * doc_id) order, same K. */
+  private lazy val cappedCandsSqlCtes: String =
+    s"""$bandsSqlCtes,
+       |capped AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, row_number() OVER (
+       |      PARTITION BY band, bh
+       |      ORDER BY ${idHashSql("doc_id")}, doc_id) AS rn
+       |    FROM bands) WHERE rn <= $BucketCap),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+
   val editDistanceDedupSql: String =
-    s"""WITH $lshCandsSqlCtes
+    s"""WITH $cappedCandsSqlCtes
        |SELECT doc_a, doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
        |FROM cands JOIN documents a ON a.doc_id = doc_a
        |JOIN documents b ON b.doc_id = doc_b

@@ -37,12 +37,23 @@ OFF = 100_000_000  # key shift per replica; all ids are 0..~1e6 at sf0.1
 
 
 def salt(i):
-    """Two-letter word suffix for replica i (replica 0 unsalted)."""
-    return chr(97 + i % 26) + chr(97 + (7 * i + 3) % 26)
+    """Two-letter word suffix for replica i (replica 0 unsalted).
+
+    UNIQUE for i < 676: the round-11 form chr(97+i%26)+chr(97+(7i+3)%26)
+    had period 26 in BOTH characters, so replicas 27/28/29 reused the
+    salts of 1/2/3 — the 30-replica sf3 fixture contained three phantom
+    cross-replica EXACT-duplicate document sets, which inflated the
+    dedup candidate joins quadratically (a generator artifact the r10
+    sf3 spot-slope partly measured). The +i//26 term preserves every
+    salt for i < 26 (sf1 fixtures unchanged) and makes same-first-char
+    collisions differ in the second char by (183k) mod 26 = k mod 26.
+    """
+    return chr(97 + i % 26) + chr(97 + (7 * i + 3 + i // 26) % 26)
 
 
 def main():
     replicas, out = int(sys.argv[1]), sys.argv[2]
+    heaps = "--heaps" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET preserve_insertion_order=false; SET threads TO 16;")
@@ -75,13 +86,45 @@ def main():
     gen("events", f"""SELECT event_id + {{off}} AS event_id, ts,
         user_id + {{off}} AS user_id, event_type, value, props
         FROM '{SRC}/events.parquet'""")
-    gen("documents", f"""SELECT doc_id + {{off}} AS doc_id,
-        array_to_string(list_transform(string_split(text, ' '),
-          w -> w || '{{salted}}'), ' ') AS text,
-        lang, source,
-        CAST(length(array_to_string(list_transform(string_split(text, ' '),
-          w -> w || '{{salted}}'), ' ')) AS BIGINT) AS n_chars
-        FROM '{SRC}/documents.parquet'""")
+    # documents: two disclosed salting modes (BASELINE.md slope audit).
+    # - full (default): EVERY word of replica i>0 gets the replica suffix.
+    #   Dedup workload stays linear (no cross-replica shingles) but vocab
+    #   grows ∝ replicas — real corpora grow vocab sublinearly (Heaps'
+    #   law), so this OVERSTATES vocab-bounded operators' cost.
+    # - --heaps: replica i salts only the word TYPES whose per-replica
+    #   hash falls under 1000/sqrt(i+1) permille; new types per replica
+    #   ≈ V0/sqrt(i+1), total vocab ≈ V0·2·sqrt(R) — Heaps β ≈ 0.5, the
+    #   realistic growth for vocab-bounded operators (BPE, tokenize,
+    #   edit-distance, heaps_law). Cross-replica shingle sharing stays
+    #   negligible for dedup ((1-p)³ of 3-word shingles survive
+    #   unsalted: ≤ 2.5% at replica 1, Jaccard far below every gate
+    #   threshold), so dedup workload remains linear in BOTH modes.
+    if heaps:
+        import math
+        parts = [f"SELECT * FROM '{SRC}/documents.parquet'"]
+        for i in range(1, replicas):
+            thresh = round(1000 / math.sqrt(i + 1))
+            expr = (f"array_to_string(list_transform(string_split(text, ' '), "
+                    f"w -> CASE WHEN hash(w || 'g{i}') % 1000 < {thresh} "
+                    f"THEN w || '{salt(i)}' ELSE w END), ' ')")
+            parts.append(
+                f"""SELECT doc_id + {i * OFF} AS doc_id, {expr} AS text,
+                lang, source, CAST(length({expr}) AS BIGINT) AS n_chars
+                FROM '{SRC}/documents.parquet'""")
+        q = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({q}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+        n = con.sql(
+            f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+        print(f"  documents: {n} rows (heaps mode)", flush=True)
+    else:
+        gen("documents", f"""SELECT doc_id + {{off}} AS doc_id,
+            array_to_string(list_transform(string_split(text, ' '),
+              w -> w || '{{salted}}'), ' ') AS text,
+            lang, source,
+            CAST(length(array_to_string(list_transform(string_split(text, ' '),
+              w -> w || '{{salted}}'), ' ')) AS BIGINT) AS n_chars
+            FROM '{SRC}/documents.parquet'""")
     gen("embeddings", f"""SELECT vec_id + {{off}} AS vec_id,
         CAST(list_transform(generate_series(1, len(embedding)),
           j -> embedding[j] + (CASE WHEN {{off}} = 0 THEN 0.0 ELSE
