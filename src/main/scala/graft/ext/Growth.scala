@@ -228,13 +228,63 @@ object Growth {
       |FROM o JOIN c ON o.o_custkey = c.o_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Auto-tier seam (r10 ask #5): the exact tier's cost is its fan-out
+    * — |distinct user-hours| × widest window rows — while the HLL
+    * tier's is spine × 64 × window, corpus-independent. Above this
+    * fan-row bound the exact tier's explode dominates (measured 20.1 s
+    * exact vs 2.3 s HLL at sf1, gap growing with the corpus), so the
+    * auto gate flips to HLL there. |events| upper-bounds |user-hours|
+    * and is a metadata-cheap plan-time scalar (the [[Similarity]]
+    * adaptive-bits corpus-count discipline), so both engines can
+    * replay the identical decision. 10 M rows ≈ the measured knee
+    * between sf0.1 (7.2 M fan rows, exact wins on overhead) and sf1
+    * (72 M, HLL wins 9×). */
+  val AutoFanRowCap = 10000000L
+
+  private[graft] def useHllTier(nEvents: Long): Boolean =
+    nEvents * Windows.max > AutoFanRowCap
+
+  /** Tier-dispatching rolling actives: one output schema (hour,
+    * rau_{w}h…, tier) whichever tier runs, so callers — and the DuckDB
+    * oracle, which replays the same |events|-count rule — see a stable
+    * contract. Exact values below the cap, HLL estimates above it. */
+  def rollingActivesAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.events(spark, sfDir).count()
+    if (!useHllTier(n))
+      rollingActives(spark, sfDir).select(
+        col("hour") +: Windows.map(w => col(s"rau_${w}h")) :+
+          lit("exact").as("tier"): _*)
+    else
+      rollingActivesHll(spark, sfDir).select(
+        col("hour") +: Windows.map(w =>
+          col(s"rau_${w}h_est").as(s"rau_${w}h")) :+
+          lit("hll").as("tier"): _*)
+  }
+
+  val rollingActivesAutoSql: String = {
+    val raus = Windows.map(w => s"rau_${w}h").mkString(", ")
+    val estAs = Windows.map(w => s"rau_${w}h_est AS rau_${w}h").mkString(", ")
+    s"""WITH decision AS (
+       |  SELECT COUNT(*) * ${Windows.max} > $AutoFanRowCap AS use_hll
+       |  FROM events)
+       |SELECT hour, $raus, 'exact' AS tier
+       |FROM ($rollingActivesSql) x
+       |WHERE NOT (SELECT use_hll FROM decision)
+       |UNION ALL
+       |SELECT hour, $estAs, 'hll' AS tier
+       |FROM ($rollingActivesHllSql) y
+       |WHERE (SELECT use_hll FROM decision)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling_actives" -> (rollingActives _),
     "events_rolling_actives_hll" -> (rollingActivesHll _),
+    "events_rolling_actives_auto" -> (rollingActivesAuto _),
     "orders_cohort_ltv" -> (cohortLtv _))
 
   val oracles: Map[String, String] = Map(
     "events_rolling_actives" -> rollingActivesSql,
     "events_rolling_actives_hll" -> rollingActivesHllSql,
+    "events_rolling_actives_auto" -> rollingActivesAutoSql,
     "orders_cohort_ltv" -> cohortLtvSql)
 }

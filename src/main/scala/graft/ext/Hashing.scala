@@ -42,13 +42,27 @@ object Hashing {
     * literal or a non-CTE context, silently corrupting any future
     * oracle routed through here). Oracle-side only — the Spark plans
     * localCheckpoint per round and never re-expand. */
-  def materializeCtes(sql: String): String =
-    // (WITH | , ) <identifier> AS (  →  … AS MATERIALIZED (
+  def materializeCtes(sql: String): String = {
+    // (WITH [RECURSIVE] | , ) <identifier> [(col,…)] AS (  →  … AS MATERIALIZED (
     // \w+ cannot match inside a quoted SQL string unless the quote
     // char immediately precedes it, which `(?:WITH|,)\s*` excludes.
-    """(?is)((?:\bWITH\b|,)\s*\w+\s+AS)\s*\(""".r
-      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-        m.group(1) + " MATERIALIZED ("))
+    // Covers RECURSIVE (otherwise consumed as the identifier, leaving
+    // the real first CTE unmaterialized) and column-list CTEs
+    // `name(a,b) AS (` (round-11 advisory).
+    val site =
+      """(?is)((?:\bWITH\b(?:\s+RECURSIVE\b)?|,)\s*\w+\s*(?:\([^)]*\))?\s+AS)\s*\(""".r
+    val out = site.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1) + " MATERIALIZED ("))
+    // Post-condition: a definition-site `AS (` the pattern missed would
+    // silently reintroduce the exponential re-expansion this rewrite
+    // exists to prevent — fail loudly instead. (Re-running the finder on
+    // the output matches only sites still followed directly by `(`.)
+    site.findFirstIn(out).foreach { miss =>
+      throw new IllegalStateException(
+        s"materializeCtes left an unmaterialized CTE site: '$miss'")
+    }
+    out
+  }
 
   /** Order-scrambling 31-bit hash of an integer id column. Purpose:
     * deterministic CONSTANT-SIZE samples — `ORDER BY idHash(id), id

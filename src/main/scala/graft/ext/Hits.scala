@@ -53,10 +53,25 @@ object Hits {
       .localCheckpoint()
     val authDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    def rescale(raw: DataFrame, c: String): DataFrame =
-      raw.crossJoin(broadcast(raw.agg(max(col(c)).as("mx"))))
-        .select(raw.columns.filter(_ != c).map(col) :+
+    // Per-round cut (r11 ask: fuse the round's work into ONE execution).
+    // `raw` is referenced twice (max side + main side) and the next
+    // round's join references the rescaled frame again — uncut, each
+    // round's edges-join + agg re-executed per reference and the
+    // unrolled plan grew with the round chain (the dominant cost of the
+    // slowest bench key: 12 keyed-join executions over 3 rounds).
+    // localCheckpoint materializes the NODE-sized aggregate (≤ |nodes|
+    // rows, far below edges), so every keyed join over edges runs
+    // exactly once and the max + next round read the cut copy. A true
+    // single-join fusion of h and a is impossible without changing
+    // semantics: a_k = Aᵀ·rescale(A·a_{k-1}) and integer-div rescale is
+    // non-linear, so the two directions are sequentially dependent
+    // within a round. Values unchanged → oracle hash unchanged.
+    def rescale(raw: DataFrame, c: String): DataFrame = {
+      val cut = raw.localCheckpoint()
+      cut.crossJoin(broadcast(cut.agg(max(col(c)).as("mx"))))
+        .select(cut.columns.filter(_ != c).map(col) :+
           expr(s"($c * $Scale) div mx").as(c): _*)
+    }
     var auth = authDeg.select(col("dst").as("node"), lit(Scale).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to Iters) {

@@ -311,10 +311,18 @@ object GraftFunctions {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   def register(spark: SparkSession): Unit =
-    if (registered.add(spark)) {
-      GraftExpressions.builders.foreach { case (name, builder) =>
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
+    // Whole check-and-install under one lock: marking BEFORE installing
+    // let a concurrent second caller proceed mid-install, and a builder
+    // failure left the session permanently marked with functions missing
+    // (round-11 advisory). The flag is set only after success, so a
+    // failed install retries on the next call.
+    registered.synchronized {
+      if (!registered.contains(spark)) {
+        GraftExpressions.builders.foreach { case (name, builder) =>
+          spark.sessionState.functionRegistry
+            .createOrReplaceTempFunction(name, builder, "built-in")
+        }
+        registered.add(spark)
       }
     }
 

@@ -104,20 +104,27 @@ def main():
             ok, msg = False, f"ORACLE-TIMEOUT after {timeout}s (DuckDB side)"
         return name, ok, msg, time.time() - t0
 
-    n_pass, n_fail = len(skip & set(names)), 0
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = [ex.submit(run, n) for n in todo]
-        for f in as_completed(futs):
-            name, ok, msg, dt = f.result()
-            print(f"  {'PASS' if ok else 'FAIL'} {name}: {msg} "
-                  f"[{dt:.0f}s]", flush=True)
-            n_pass += ok
-            n_fail += not ok
-    # Reap every child's spill dir — a timeout-killed DuckDB can leave
-    # tens of GB behind; the fixed parent makes cleanup unconditional.
+    # Reap any stale spill left by a previous interrupted run BEFORE
+    # children start creating fresh dirs under the same parent.
     import shutil
     shutil.rmtree(os.path.join(out_dir, ".oracle_spill"),
                   ignore_errors=True)
+    n_pass, n_fail = len(skip & set(names)), 0
+    try:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(run, n) for n in todo]
+            for f in as_completed(futs):
+                name, ok, msg, dt = f.result()
+                print(f"  {'PASS' if ok else 'FAIL'} {name}: {msg} "
+                      f"[{dt:.0f}s]", flush=True)
+                n_pass += ok
+                n_fail += not ok
+    finally:
+        # Reap every child's spill dir — a timeout-killed DuckDB can
+        # leave tens of GB behind; finally makes cleanup unconditional
+        # even on KeyboardInterrupt / worker exception (r11 advisory).
+        shutil.rmtree(os.path.join(out_dir, ".oracle_spill"),
+                      ignore_errors=True)
     print(f"{n_pass} pass / {n_fail} fail / {len(names)} queries")
     sys.exit(1 if n_fail else 0)
 
