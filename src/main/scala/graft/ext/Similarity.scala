@@ -152,7 +152,8 @@ object Similarity {
     * the thing being graded. Fixed-bit gates stay alongside for
     * recall-audit comparability across SFs. */
   def knnLshAdaptive(spark: SparkSession, sfDir: String): DataFrame =
-    knnLshWith(spark, sfDir, DenseLshTables, adaptiveBits(spark, sfDir))
+    lshTop3(spark, sfDir, DenseLshTables, adaptiveBits(spark, sfDir),
+      _.filter(col("vec_id") % 50 === 0), cap = Some(AdaptiveTargetBucket))
 
   /** Corpus-count → bits, the plan-time statistic read. `count()` over
     * the vec_id projection collapses to a parquet-metadata scan. */
@@ -173,7 +174,8 @@ object Similarity {
     * join); the recall audit passes a semi-join against the fixed
     * 32-vector sample so all three methods rank the SAME queries. */
   private def lshTop3(spark: SparkSession, sfDir: String, tables: Int,
-      bits: Int, pickQ: DataFrame => DataFrame): DataFrame = {
+      bits: Int, pickQ: DataFrame => DataFrame,
+      cap: Option[Long] = None): DataFrame = {
     val base = quantized(spark, sfDir)
     val bucketed = base
       .select(col("vec_id"),
@@ -181,7 +183,24 @@ object Similarity {
       .toDF("vec_id", "tbl", "bucket")
     val q = pickQ(bucketed)
       .select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    // Candidate-side bucket cap (adaptive variant only): integer bits
+    // step by powers of two, so uncapped occupancy SAWTOOTHS between
+    // target and 2×target as n grows — linear in expectation but up to
+    // 4.5× per 3× at an unlucky decade pair (measured sf1→sf3), and
+    // cluster-skewed buckets can exceed even that. Keeping only the
+    // strongest-K = [[AdaptiveTargetBucket]] members per (table, bucket)
+    // in (idHash, vec_id) order — the bounded-posting-list discipline of
+    // every production ANN index, same pattern as [[Dedup]]'s band cap —
+    // pins candidates at queries × tables × K exactly, independent of
+    // occupancy skew or the bits stairstep. Query side stays uncapped:
+    // every query still probes. Oracle replays the identical window.
+    val c0 = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    val c = cap.fold(c0) { k =>
+      val cw = Window.partitionBy(col("tbl"), col("bucket"))
+        .orderBy(Hashing.idHash(col("vec_b")), col("vec_b"))
+      c0.withColumn("crn", row_number().over(cw))
+        .filter(col("crn") <= k).drop("crn")
+    }
     val cands = q.join(c, Seq("tbl", "bucket"))
       .filter(col("vec_a") =!= col("vec_b"))
       .select("vec_a", "vec_b").distinct()
@@ -226,8 +245,14 @@ object Similarity {
        |      qv[CAST(d+1 AS INTEGER)] * ((((t*prm.bits + bb)*2654435761 + d*40503) % 2047) - 1023))) > 0
        |    THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
        |  FROM n, tb, prm),
+       |bcap AS (SELECT vec_id, t, bucket FROM (
+       |    SELECT vec_id, t, bucket, row_number() OVER (
+       |      PARTITION BY t, bucket
+       |      ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id) AS crn
+       |    FROM b) z
+       |  WHERE crn <= $AdaptiveTargetBucket),
        |cands AS (SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
-       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+       |  FROM b q JOIN bcap c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE $queryPred AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
@@ -460,7 +485,8 @@ object Similarity {
       .unionAll(lshTop3(spark, sfDir, DenseLshTables, DenseLshBits, forSample)
         .select(col("vec_a"), col("vec_b"), lit("lsh_dense").as("method")))
       .unionAll(lshTop3(spark, sfDir, DenseLshTables,
-          adaptiveBits(spark, sfDir), forSample)
+          adaptiveBits(spark, sfDir), forSample,
+          cap = Some(AdaptiveTargetBucket))
         .select(col("vec_a"), col("vec_b"), lit("lsh_adaptive").as("method")))
       .unionAll(ivfTop3(spark, sfDir, forSample)
         .select(col("vec_a"), col("vec_b"), lit("ivf").as("method")))

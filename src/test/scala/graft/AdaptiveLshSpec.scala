@@ -39,14 +39,38 @@ class AdaptiveLshSpec extends SparkSpec {
     }
   }
 
-  test("gated adaptive query == explicit dial at the fixture's bits") {
-    import org.apache.spark.sql.functions._
+  test("gated adaptive query: capped dial keeps every query, weakens no rank") {
+    // The adaptive gate = explicit dial at the fixture's bits PLUS the
+    // strongest-64-per-bucket candidate cap (which BINDS at every
+    // fixture SF — occupancy targets 64..128 by construction — so plain
+    // equality with the uncapped dial cannot hold; the cross-engine
+    // hash gate pins the capped semantics exactly instead). Spec the
+    // cap's contracts against the uncapped dial at the same bits
+    // (sf0.001: 500 vectors -> bits 2; 8 tables):
     val adaptive = Similarity.knnLshAdaptive(spark, sf)
-      .select("vec_a", "vec_b", "rank").collect().toSet
-    // sf0.001 has 500 vectors -> bits 2; 8 tables (the dense dial).
+      .select("vec_a", "vec_b", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val explicit = Similarity.knnLshWith(spark, sf, 8, 2)
-      .select("vec_a", "vec_b", "rank").collect().toSet
-    assert(adaptive == explicit)
+      .select("vec_a", "vec_b", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(adaptive.nonEmpty)
+    // 1. No query vanishes: the cap keeps 64 members per bucket, so
+    //    every query that had candidates still has candidates.
+    assert(adaptive.map(_._1).toSet == explicit.map(_._1).toSet)
+    // 2. Ranks stay a contiguous 1..k prefix per query.
+    adaptive.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length), s"q=$q")
+    }
+    // 3. Dropping candidates can only WEAKEN the best match: adaptive's
+    //    top-1 cosine <= uncapped top-1 cosine, per query.
+    val expTop = explicit.filter(_._3 == 1L).map(r => r._1 -> r._4).toMap
+    adaptive.filter(_._3 == 1L).foreach { case (q, _, _, c) =>
+      assert(c <= expTop(q) + 1e-12, s"q=$q capped top-1 beat uncapped")
+    }
+    // 4. The cap actually engages at this occupancy (125/bucket avg):
+    //    some query's neighbor set differs from the uncapped dial.
+    assert(adaptive.map(t => (t._1, t._2)).toSet !=
+      explicit.map(t => (t._1, t._2)).toSet,
+      "cap did not engage — occupancy assumption broken")
   }
 }
