@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -12,17 +13,19 @@ import graft.Tables
   *    6 h / 24 h / 72 h windows, plus the floored-permille stickiness
   *    ratio (short/long — "of this window's actives, how many were
   *    here today"). Sliding DISTINCT has no prefix-sum identity (users
-  *    leave the window), so the exact form EXPLODES each deduplicated
-  *    (user, hour) row into its ≤W future spine hours (integer micros
-  *    arithmetic) and EQUI-joins the spine — fan-out exactly
-  *    |user-hours|·W and an ordinary shuffle-hash join, deliberately
-  *    NOT a range join: the range form plans as a broadcast
-  *    nested-loop whose per-row probe cost is O(|spine|), which loses
-  *    to the bounded explode once the spine is a year of hours. At
-  *    100 TB the same spine rides [[Sketches]]' mergeable HLL
-  *    registers (`sketch_hll_grouped`) with union-by-window instead —
-  *    the documented trade (±2% for O(spine) state), both tiers
-  *    gated.
+  *    leave the window), so the exact form uses a gap-bounded COVERAGE
+  *    explode: each activity hour covers the spine hours up to
+  *    min(W−1, gap to the user's next activity), so every
+  *    (user, spine-hour) pair is emitted exactly once with its
+  *    hours-since-last-activity offset already attached — no W×
+  *    intermediate, no per-(hour,user) grouping, and `active in
+  *    window w` is just `off < w`. Deliberately NOT a range join: the
+  *    range form plans as a broadcast nested-loop whose per-row probe
+  *    cost is O(|spine|), which loses to the bounded explode once the
+  *    spine is a year of hours. At 100 TB the same spine rides
+  *    [[Sketches]]' mergeable HLL registers (`sketch_hll_grouped`)
+  *    with union-by-window instead — the documented trade (±2% for
+  *    O(spine) state), both tiers gated.
   *  - Cohort LTV: customers cohorted by first-order quarter, revenue
   *    accumulated by cohort age in quarters — the retention-revenue
   *    triangle. Quarter index is the integer year·4 + (quarter−1)
@@ -36,16 +39,19 @@ import graft.Tables
 object Growth {
 
   /** Rolling-active windows in hours. INVARIANT (pinned here because
-    * the round-9 audit flagged it): the fan-out below explodes each
-    * distinct user-hour `Windows.max` times, so the widest window IS
-    * the explode factor. 72× over DEDUP'D user-hours is the deliberate
-    * trade vs a range join (which plans as a BNLJ with O(|spine|)
-    * probes); if a caller ever needs windows past ~an explode factor
-    * of a few hundred (say 30 days = 720×), do NOT widen this list —
-    * switch to the GATED HLL tier below (`events_rolling_actives_hll`,
-    * [[rollingActivesHll]]): its fan-out explodes hour-REGISTER rows
-    * (spine × 64, corpus-independent), measured 2.3 s vs 20.1 s for
-    * this exact tier at sf1 — and the gap grows with the corpus. */
+    * the round-9 audit flagged it): the widest window bounds the
+    * per-activity coverage explode below — each activity emits
+    * min(`Windows.max`, gap-to-next-activity) rows, so the fan is
+    * output-sized (one row per active (user, spine-hour) pair), with
+    * `Windows.max` only the WORST-case factor for users active less
+    * than once per window. Still the deliberate trade vs a range join
+    * (which plans as a BNLJ with O(|spine|) probes); if a caller ever
+    * needs windows past a few hundred hours (say 30 days = 720×
+    * worst-case), prefer the GATED HLL tier below
+    * (`events_rolling_actives_hll`, [[rollingActivesHll]]): its
+    * fan-out explodes hour-REGISTER rows (spine × 64,
+    * corpus-independent) regardless of activity density — and
+    * [[rollingActivesAuto]] makes that call from the corpus count. */
   val Windows: Seq[Int] = Seq(6, 24, 72)
 
   def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
@@ -56,15 +62,35 @@ object Growth {
       .distinct()
       .localCheckpoint() // the fan-out AND the spine derive from it
     val spine = uh.select(col("uh_us").as("hour_us")).distinct()
-    val fan = uh
+    // Gap-bounded COVERAGE explode: `user active-in-window-w at hour t`
+    // ≡ `t − (latest activity ≤ t) < w`, and the latest-activity
+    // assignment needs no grouping at all — each activity hour covers
+    // spine hours [h, h + min(W−1, gap_to_next_activity − 1)], so every
+    // (user, spine-hour) pair is emitted EXACTLY ONCE, by its covering
+    // activity, with `off` = hours-since-last-activity already in hand.
+    // vs the naive |user-hours|×W fan + 3 countDistincts (which Catalyst
+    // plans as an Expand ×4 then a distinct-hash over ~290 M rows at
+    // sf1 — measured 67 s): one lead() window (keyed shuffle on
+    // user_id), an explode bounded by min(W, actual gap) — output-sized,
+    // ≈ |active (user,hour) pairs|, typically far below W× — a 1-row
+    // BROADCAST spine join, and a 720-group count. Same exact integers.
+    val usPerHour = 3600000000L
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("uh_us"))
+    val cov = uh
+      .withColumn("next_us", lead(col("uh_us"), 1).over(wNext))
       .select(col("user_id"), col("uh_us"),
-        explode(expr(s"sequence(0L, ${Windows.max - 1}L)")).as("off"))
-      .select(col("user_id"), col("off"),
-        (col("uh_us") + col("off") * lit(3600000000L)).as("hour_us"))
+        least(lit(Windows.max - 1L),
+          coalesce(expr(s"(next_us - uh_us) div $usPerHour") - 1L,
+            lit(Windows.max - 1L))).as("span"))
+    val fan = cov
+      .select(col("user_id"), col("uh_us"),
+        explode(expr("sequence(0L, span)")).as("off"))
+      .select(col("off"),
+        (col("uh_us") + col("off") * lit(usPerHour)).as("hour_us"))
     val aggs = Windows.map { w =>
-      countDistinct(when(col("off") < w, col("user_id"))).as(s"rau_${w}h")
+      count(when(col("off") < w, lit(1))).as(s"rau_${w}h")
     }
-    fan.join(spine, "hour_us")
+    fan.join(broadcast(spine), "hour_us")
       .groupBy(col("hour_us"))
       .agg(aggs.head, aggs.tail: _*)
       .select(
@@ -78,16 +104,21 @@ object Growth {
     val w0 = Windows.head
     val wMax = Windows.max
     val cols = Windows.map(w =>
-      s"""CAST(COUNT(DISTINCT CASE WHEN off < $w
-         |    THEN user_id END) AS BIGINT) AS rau_${w}h""".stripMargin)
+      s"""CAST(COUNT(CASE WHEN off < $w
+         |    THEN 1 END) AS BIGINT) AS rau_${w}h""".stripMargin)
       .mkString(",\n")
     s"""WITH uh AS (SELECT DISTINCT user_id,
        |    epoch_us(date_trunc('hour', ts)) AS uh_us
        |  FROM events),
        |spine AS (SELECT DISTINCT uh_us AS hour_us FROM uh),
-       |fan AS (SELECT user_id, CAST(t.off AS BIGINT) AS off,
+       |cov AS (SELECT user_id, uh_us,
+       |    LEAST($wMax - 1, COALESCE(
+       |      (lead(uh_us) OVER (PARTITION BY user_id ORDER BY uh_us)
+       |        - uh_us) // 3600000000 - 1, $wMax - 1)) AS span
+       |  FROM uh),
+       |fan AS (SELECT CAST(t.off AS BIGINT) AS off,
        |    uh_us + CAST(t.off AS BIGINT) * 3600000000 AS hour_us
-       |  FROM uh, unnest(range(0, $wMax)) AS t(off)),
+       |  FROM cov, unnest(range(0, span + 1)) AS t(off)),
        |a AS (SELECT hour_us,
        |$cols
        |  FROM fan JOIN spine USING (hour_us) GROUP BY 1),
@@ -228,18 +259,20 @@ object Growth {
       |FROM o JOIN c ON o.o_custkey = c.o_custkey
       |GROUP BY 1, 2""".stripMargin
 
-  /** Auto-tier seam (r10 ask #5): the exact tier's cost is its fan-out
-    * — |distinct user-hours| × widest window rows — while the HLL
-    * tier's is spine × 64 × window, corpus-independent. Above this
-    * fan-row bound the exact tier's explode dominates (measured 20.1 s
-    * exact vs 2.3 s HLL at sf1, gap growing with the corpus), so the
-    * auto gate flips to HLL there. |events| upper-bounds |user-hours|
-    * and is a metadata-cheap plan-time scalar (the [[Similarity]]
-    * adaptive-bits corpus-count discipline), so both engines can
-    * replay the identical decision. 10 M rows ≈ the measured knee
-    * between sf0.1 (7.2 M fan rows, exact wins on overhead) and sf1
-    * (72 M, HLL wins 9×). */
-  val AutoFanRowCap = 10000000L
+  /** Auto-tier seam (r10 ask #5): the exact tier's WORST-CASE cost is
+    * |user-hours| × widest window coverage rows (sparse users emit the
+    * full window; dense users are gap-bounded — see the coverage
+    * explode above), while the HLL tier's is spine × 64 registers,
+    * corpus-independent. Above this worst-case-row bound the auto gate
+    * flips to HLL. |events| upper-bounds |user-hours| and is a
+    * metadata-cheap plan-time scalar (the [[Similarity]] adaptive-bits
+    * corpus-count discipline), so both engines replay the identical
+    * decision. 100 M worst-case rows keeps the EXACT tier through sf1
+    * (72 M bound; measured 3.0 s post-coverage-rewrite, vs 2.3 s HLL —
+    * exactness is free there) and flips at sf3 (216 M bound): past
+    * that the exact tier's state grows with corpus × density while
+    * HLL's stays spine-shaped — the 100 TB answer. */
+  val AutoFanRowCap = 100000000L
 
   private[graft] def useHllTier(nEvents: Long): Boolean =
     nEvents * Windows.max > AutoFanRowCap

@@ -16,12 +16,15 @@ class AutoTierSpec extends SparkSpec {
     assert(!Growth.useHllTier(0L))
     assert(!Growth.useHllTier(cap / w)) // n*w == cap: still exact
     assert(Growth.useHllTier(cap / w + 1)) // first count over the cap
-    assert(Growth.useHllTier(100000000L)) // sf1-scale events
-    // The measured knee the cap encodes: sf0.1 (~100k events) exact,
-    // sf1 (~1M events) HLL — the decade where 20.1 s exact vs 2.3 s
-    // HLL was measured.
-    assert(!Growth.useHllTier(100000L))
-    assert(Growth.useHllTier(1000000L))
+    assert(Growth.useHllTier(100000000L)) // far past any fixture
+    // The measured knee the cap encodes post-coverage-rewrite: sf1
+    // (~1M events, 72M worst-case coverage rows) stays EXACT (3.0 s
+    // measured, exactness is free), sf3 (~3M events, 216M bound) flips
+    // to HLL — past there exact state grows with corpus × density
+    // while HLL stays spine-shaped.
+    assert(!Growth.useHllTier(100000L)) // sf0.1
+    assert(!Growth.useHllTier(1000000L)) // sf1
+    assert(Growth.useHllTier(3000000L)) // sf3
   }
 
   test("auto output at fixture scale IS the exact tier, renamed + tagged") {
