@@ -22,8 +22,12 @@ from check_oracle import canon, TABLES  # noqa: E402
 def check_one(sf_dir, out_dir, name):
     import duckdb, tempfile
     con = duckdb.connect()
-    con.execute("SET threads TO 4")
-    con.execute("SET memory_limit='12GB'")
+    # Default 4 threads / 12 GB fits 8 concurrent children on the
+    # 32-core/128 GB box; the retry pass for heavy keys (graph/knn
+    # replays at sf3) overrides via env with fewer, fatter children.
+    con.execute(f"SET threads TO {os.environ.get('ORACLE_THREADS', '4')}")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("ORACLE_MEM", "12GB"))
     # Each child gets its OWN spill dir: concurrent children sharing the
     # default cwd-relative ".tmp" delete each other's temp files. Created
     # UNDER the verify out dir so the parent can rmtree it even when this
