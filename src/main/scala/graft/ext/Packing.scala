@@ -138,11 +138,22 @@ object Packing {
     * (all segments advance in parallel; iterations = max segment size,
     * ~SegTarget). `extraCtes` lets a caller prepend its own (possibly
     * recursive) cost-derivation CTEs; `d0Body` must yield
-    * (doc_id, n_tok /* capped at Budget */, k). */
+    * (doc_id, n_tok /* capped at Budget */, k).
+    *
+    * d0/w/d are `AS MATERIALIZED`: each recursive step's `JOIN d` and
+    * the scalar `(SELECT w FROM w)` probes re-expand un-materialized
+    * CTEs per reference in the oracle engine, so the ENTIRE cost
+    * derivation (tokenize + admission chains in the train-manifest
+    * case) re-executed once per next-fit rank — the graph-oracle
+    * pathology Hashing.materializeCtes exists for, measured 108 s →
+    * 0.9 s at sf0.01 and ORACLE-TIMEOUT(3300 s) → 39 s at sf3 on
+    * corpus_train_manifest, value-identical. `rec` itself must stay
+    * plain (a recursive CTE is its own working table). Oracle-side
+    * only — the Spark packers never unroll (see corpusPackChunked). */
   private[graft] def packCtesFor(extraCtes: String, d0Body: String): String =
-    s"""WITH RECURSIVE $extraCtes d0 AS ($d0Body),
-       |w AS (SELECT greatest(1, ${Hashing.P * SegTarget} // COUNT(*)) AS w FROM d0),
-       |d AS (
+    s"""WITH RECURSIVE $extraCtes d0 AS MATERIALIZED ($d0Body),
+       |w AS MATERIALIZED (SELECT greatest(1, ${Hashing.P * SegTarget} // COUNT(*)) AS w FROM d0),
+       |d AS MATERIALIZED (
        |  SELECT doc_id, n_tok, k, k // (SELECT w FROM w) AS seg,
        |    row_number() OVER (PARTITION BY k // (SELECT w FROM w)
        |      ORDER BY k, doc_id) AS rn
