@@ -92,7 +92,10 @@ object SparkEntry {
     "events_sessionize" -> ext.Events.sessionizeSql,
     "events_session_durations" -> ext.Events.sessionDurationsSql,
     "events_markov_transitions" -> ext.Events.markovTransitionsSql,
-    "events_markov_stationary" -> ext.Events.markovStationarySql)
+    // Unrolled power-iteration chain (see Pca's top-component oracle):
+    // materialized so each rk/pk step computes once in the oracle engine.
+    "events_markov_stationary" ->
+      ext.Hashing.materializeCtes(ext.Events.markovStationarySql))
 
   /** Named module registry: (module name, queries, oracles). The
     * generated ledger (`graft.tools.Ledger` → LEDGER.md, SURVEY §8)
@@ -186,4 +189,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._3).reduce(_ ++ _)
+
+  /** [[oracleSql]] with the per-SF specializations applied — what
+    * Verify actually dumps. Today that is only the auto-tier rolling
+    * actives: the engine replays the same plan-time count decision the
+    * Spark query dispatches on and emits only the selected tier's SQL
+    * (see [[ext.Growth.rollingActivesAutoSqlFor]]), so the oracle never
+    * executes the tier the gate pruned. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql + ("events_rolling_actives_auto" ->
+      ext.Growth.rollingActivesAutoSqlFor(spark, sfDir))
 }

@@ -338,10 +338,18 @@ object Components {
     "corpus_split_leakage" -> (splitLeakage _),
     "corpus_split_by_cluster" -> (splitByCluster _))
 
+  // The composite pipelines (yield/leakage/split) chain the component
+  // closure with quality/decontam CTEs that the oracle engine otherwise
+  // re-expands per reference (sf3: ORACLE-TIMEOUT under standard
+  // children, pass only with fat-child retries) — force MATERIALIZED;
+  // `reach` is the recursive working table and stays plain.
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
     "dedup_cluster_keepers" -> clusterKeepersSql,
-    "dedup_yield_by_source" -> dedupYieldBySourceSql,
-    "corpus_split_leakage" -> splitLeakageSql,
-    "corpus_split_by_cluster" -> splitByClusterSql)
+    "dedup_yield_by_source" ->
+      Hashing.materializeCtes(dedupYieldBySourceSql, except = Set("reach")),
+    "corpus_split_leakage" ->
+      Hashing.materializeCtes(splitLeakageSql, except = Set("reach")),
+    "corpus_split_by_cluster" ->
+      Hashing.materializeCtes(splitByClusterSql, except = Set("reach")))
 }

@@ -96,6 +96,20 @@ object Frames {
     * BOUNDED frame: its blocks are protected from session cleanup for
     * the session's lifetime, which is only sound for frames far smaller
     * than the corpus (pair graphs, label maps — never raw scans). */
+  private val scalars =
+    collection.mutable.Map.empty[(String, String, String), Any]
+
+  /** Session-scoped memo for a SMALL plan-time statistic (a corpus
+    * count, a derived parameter) — same (tag, SparkContext, sfDir) key
+    * discipline as [[sessionMemo]], without the checkpoint lifecycle
+    * (scalars have no blocks to free or liveness to check). */
+  private[graft] def scalarMemo[T](tag: String,
+      spark: org.apache.spark.sql.SparkSession, sfDir: String)(
+      build: => T): T = synchronized {
+    val key = (tag, spark.sparkContext.applicationId, sfDir)
+    scalars.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
+
   private[graft] def sessionMemo(tag: String,
       spark: org.apache.spark.sql.SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame = synchronized {

@@ -282,7 +282,7 @@ object Growth {
     * oracle, which replays the same |events|-count rule — see a stable
     * contract. Exact values below the cap, HLL estimates above it. */
   def rollingActivesAuto(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = Tables.events(spark, sfDir).count()
+    val n = eventsCount(spark, sfDir)
     if (!useHllTier(n))
       rollingActives(spark, sfDir).select(
         col("hour") +: Windows.map(w => col(s"rau_${w}h")) :+
@@ -307,6 +307,33 @@ object Growth {
        |SELECT hour, $estAs, 'hll' AS tier
        |FROM ($rollingActivesHllSql) y
        |WHERE (SELECT use_hll FROM decision)""".stripMargin
+  }
+
+  /** Plan-time |events| statistic, memoized per (session, sfDir) — the
+    * count the auto tier dispatches on, shared with the per-SF oracle
+    * specialization below. */
+  private def eventsCount(spark: SparkSession, sfDir: String): Long =
+    Frames.scalarMemo("events_count", spark, sfDir) {
+      Tables.events(spark, sfDir).count()
+    }
+
+  /** Per-SF specialization of [[rollingActivesAutoSql]]: the static
+    * UNION-of-tiers form filters each branch with an uncorrelated
+    * scalar subquery, which the oracle engine cannot prune at plan
+    * time — above the cap it executes the full exact tier the auto
+    * gate exists to avoid. Verify replays the |events|-count decision
+    * HERE (the identical [[useHllTier]] rule the Spark query runs) and
+    * dumps only the selected tier's SQL, so the oracle pays only the
+    * chosen tier's cost at every SF. The decision itself stays
+    * cross-engine checkable: the static form remains registered as the
+    * reference statement. */
+  def rollingActivesAutoSqlFor(spark: SparkSession, sfDir: String): String = {
+    val raus = Windows.map(w => s"rau_${w}h").mkString(", ")
+    val estAs = Windows.map(w => s"rau_${w}h_est AS rau_${w}h").mkString(", ")
+    if (!useHllTier(eventsCount(spark, sfDir)))
+      s"SELECT hour, $raus, 'exact' AS tier FROM ($rollingActivesSql) x"
+    else
+      s"SELECT hour, $estAs, 'hll' AS tier FROM ($rollingActivesHllSql) y"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

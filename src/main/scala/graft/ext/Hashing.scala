@@ -42,25 +42,35 @@ object Hashing {
     * literal or a non-CTE context, silently corrupting any future
     * oracle routed through here). Oracle-side only — the Spark plans
     * localCheckpoint per round and never re-expand. */
-  def materializeCtes(sql: String): String = {
+  def materializeCtes(sql: String, except: Set[String] = Set.empty): String = {
     // (WITH [RECURSIVE] | , ) <identifier> [(col,…)] AS (  →  … AS MATERIALIZED (
     // \w+ cannot match inside a quoted SQL string unless the quote
     // char immediately precedes it, which `(?:WITH|,)\s*` excludes.
     // Covers RECURSIVE (otherwise consumed as the identifier, leaving
     // the real first CTE unmaterialized) and column-list CTEs
-    // `name(a,b) AS (` (round-11 advisory).
+    // `name(a,b) AS (` (round-11 advisory). `except` names CTEs that
+    // must stay plain — a RECURSIVE CTE is its own working table and
+    // the engine rejects MATERIALIZED on it (packing's `rec`, the
+    // component closure's `reach`, greedy tokenization's `tok`).
+    val exceptLc = except.map(_.toLowerCase)
     val site =
-      """(?is)((?:\bWITH\b(?:\s+RECURSIVE\b)?|,)\s*\w+\s*(?:\([^)]*\))?\s+AS)\s*\(""".r
+      """(?is)((?:\bWITH\b(?:\s+RECURSIVE\b)?|,)\s*)(\w+)(\s*(?:\([^)]*\))?\s+AS)\s*\(""".r
     val out = site.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(m.group(1) + " MATERIALIZED ("))
+      java.util.regex.Matcher.quoteReplacement(
+        if (exceptLc.contains(m.group(2).toLowerCase))
+          m.group(1) + m.group(2) + m.group(3) + " ("
+        else m.group(1) + m.group(2) + m.group(3) + " MATERIALIZED ("))
     // Post-condition: a definition-site `AS (` the pattern missed would
     // silently reintroduce the exponential re-expansion this rewrite
     // exists to prevent — fail loudly instead. (Re-running the finder on
-    // the output matches only sites still followed directly by `(`.)
-    site.findFirstIn(out).foreach { miss =>
-      throw new IllegalStateException(
-        s"materializeCtes left an unmaterialized CTE site: '$miss'")
-    }
+    // the output matches only excepted sites and sites still followed
+    // directly by `(`.)
+    site.findAllMatchIn(out)
+      .find(m => !exceptLc.contains(m.group(2).toLowerCase))
+      .foreach { miss =>
+        throw new IllegalStateException(
+          s"materializeCtes left an unmaterialized CTE site: '${miss.matched}'")
+      }
     out
   }
 

@@ -132,5 +132,9 @@ object Pca {
     "embedding_top_component" -> (topComponent _))
 
   val oracles: Map[String, String] = Map(
-    "embedding_top_component" -> topComponentSql)
+    // Unrolled power-iteration chain: each wk/vk references its
+    // predecessor plus the shared gram CTE — materialized so the oracle
+    // engine computes each step once instead of re-expanding the whole
+    // prefix (sf3: ORACLE-TIMEOUT → OOM even on a fat child otherwise).
+    "embedding_top_component" -> Hashing.materializeCtes(topComponentSql))
 }

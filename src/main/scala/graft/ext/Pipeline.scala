@@ -208,7 +208,12 @@ object Pipeline {
     "corpus_curation_funnel" -> (curationFunnel _))
 
   val oracles: Map[String, String] = Map(
-    "corpus_train_manifest" -> trainManifestSql,
-    "corpus_train_summary" -> trainSummarySql,
+    // Materialized like the Tokenize pack oracles (tokenize + admission
+    // chains re-expand per next-fit rank otherwise); `tok`/`rec` stay
+    // plain (recursive working tables).
+    "corpus_train_manifest" ->
+      Hashing.materializeCtes(trainManifestSql, except = Set("tok", "rec")),
+    "corpus_train_summary" ->
+      Hashing.materializeCtes(trainSummarySql, except = Set("tok", "rec")),
     "corpus_curation_funnel" -> curationFunnelSql)
 }

@@ -109,19 +109,41 @@ object Similarity {
   private val DenseLshTables = 8
   private val DenseLshBits = 4
 
+  /** Posting-list bounds for the FIXED-parameter arms. A fixed-bit
+    * table (or fixed-K IVF quantizer) has per-bucket occupancy ∝ n, so
+    * its candidate join is ∝ n² — measured 12.7× per 3× for the 4-bit
+    * arm at sf3 and the stage that exhausts the sf3 oracle's disk.
+    * Bounding every bucket/cell to a deterministic hash-ordered
+    * K-subset (the same row_number window the adaptive arm uses) pins
+    * candidates at queries × tables × K — linear in n — while the
+    * fixed bits keep the bucket GEOMETRY comparable across SFs.
+    *
+    * Each K strictly exceeds the measured max occupancy at every gate
+    * SF (sf0.1: 84 for the 8-bit arm, 239 for the 4-bit arm, 42 per
+    * IVF cell), so gate hashes and the sf0.01 recall audit are
+    * byte-identical to the uncapped construction; the caps only engage
+    * at SF ≥ 1, where the recall cost is itself measured by
+    * `knn_recall_audit` rather than assumed. */
+  private[graft] val LshBucketCap = 128L
+  private[graft] val DenseBucketCap = 256L
+  private[graft] val IvfCellCap = 64L
+
   /** ANN: candidates share a bucket in ≥1 of 4 hyperplane tables, then
     * exact top-3 by cosine among candidates. Plane j's component d is
     * ((j*2654435761 + d*40503) mod 2047) - 1023 — derived, not stored,
     * identical in the oracle SQL (j = table*8 + bit). */
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame =
-    knnLshWith(spark, sfDir, LshTables, LshBits)
+    lshTop3(spark, sfDir, LshTables, LshBits,
+      _.filter(col("vec_id") % 50 === 0), cap = Some(LshBucketCap))
 
   /** The deployable-quality configuration (recall ≥ 0.5 measured): the
     * candidate join costs more (4-bit buckets are 16× coarser) but the
     * plan shape is identical — the setting a deployment at this corpus
-    * density would actually ship. */
+    * density would actually ship. Bucket-capped ([[DenseBucketCap]]):
+    * non-binding at gate SFs, linear above. */
   def knnLshDense(spark: SparkSession, sfDir: String): DataFrame =
-    knnLshWith(spark, sfDir, DenseLshTables, DenseLshBits)
+    lshTop3(spark, sfDir, DenseLshTables, DenseLshBits,
+      _.filter(col("vec_id") % 50 === 0), cap = Some(DenseBucketCap))
 
   /** Target per-bucket occupancy for [[knnLshAdaptive]]: bits are chosen
     * so a table's expected bucket size stays ≈ this constant at ANY
@@ -156,9 +178,13 @@ object Similarity {
       _.filter(col("vec_id") % 50 === 0), cap = Some(AdaptiveTargetBucket))
 
   /** Corpus-count → bits, the plan-time statistic read. `count()` over
-    * the vec_id projection collapses to a parquet-metadata scan. */
+    * the vec_id projection collapses to a parquet-metadata scan;
+    * memoized per (session, sfDir) so the gate + audit keys share one
+    * read instead of re-counting per call ([[Frames.scalarMemo]]). */
   private[ext] def adaptiveBits(spark: SparkSession, sfDir: String): Int =
-    adaptiveBitsFor(Tables.embeddings(spark, sfDir).select("vec_id").count())
+    Frames.scalarMemo("adaptive_bits", spark, sfDir) {
+      adaptiveBitsFor(Tables.embeddings(spark, sfDir).select("vec_id").count())
+    }
 
   /** [[knnLsh]] with explicit (tables, bits) — the recall/cost dial: bits
     * set per-table bucket selectivity (more bits ⇒ smaller buckets ⇒
@@ -183,17 +209,20 @@ object Similarity {
       .toDF("vec_id", "tbl", "bucket")
     val q = pickQ(bucketed)
       .select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
-    // Candidate-side bucket cap (adaptive variant only): integer bits
-    // step by powers of two, so uncapped occupancy SAWTOOTHS between
-    // target and 2×target as n grows — linear in expectation but up to
-    // 4.5× per 3× at an unlucky decade pair (measured sf1→sf3), and
-    // cluster-skewed buckets can exceed even that. Keeping only the
-    // strongest-K = [[AdaptiveTargetBucket]] members per (table, bucket)
-    // in (idHash, vec_id) order — the bounded-posting-list discipline of
-    // every production ANN index, same pattern as [[Dedup]]'s band cap —
-    // pins candidates at queries × tables × K exactly, independent of
-    // occupancy skew or the bits stairstep. Query side stays uncapped:
-    // every query still probes. Oracle replays the identical window.
+    // Candidate-side bucket cap: fixed-bit arms have occupancy ∝ n
+    // (candidate join ∝ n²), and even the adaptive arm's integer bits
+    // step by powers of two, so its uncapped occupancy SAWTOOTHS
+    // between target and 2×target as n grows — linear in expectation
+    // but up to 4.5× per 3× at an unlucky decade pair (measured
+    // sf1→sf3), and cluster-skewed buckets can exceed even that.
+    // Keeping a deterministic hash-ordered K-subset per (table, bucket)
+    // — (idHash, vec_id) order, i.e. a pseudorandom fixed sample, NOT a
+    // distance-ranked posting list; the recall audit measures the
+    // actual quality impact — pins candidates at queries × tables × K
+    // exactly, independent of occupancy skew or the bits stairstep
+    // (same pattern as [[Dedup]]'s band cap). Query side stays
+    // uncapped: every query still probes. Oracle replays the identical
+    // window.
     val c0 = bucketed.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
     val c = cap.fold(c0) { k =>
       val cw = Window.partitionBy(col("tbl"), col("bucket"))
@@ -216,10 +245,12 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  val knnLshSql: String = knnLshSqlFor("q.vec_id % 50 = 0", LshTables, LshBits)
+  val knnLshSql: String =
+    knnLshSqlFor("q.vec_id % 50 = 0", LshTables, LshBits, Some(LshBucketCap))
 
   val knnLshDenseSql: String =
-    knnLshSqlFor("q.vec_id % 50 = 0", DenseLshTables, DenseLshBits)
+    knnLshSqlFor("q.vec_id % 50 = 0", DenseLshTables, DenseLshBits,
+      Some(DenseBucketCap))
 
   val knnLshAdaptiveSql: String =
     knnLshAdaptiveSqlFor("q.vec_id % 50 = 0")
@@ -263,10 +294,21 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
-  private def knnLshSqlFor(queryPred: String, tables: Int, bits: Int): String = {
+  private def knnLshSqlFor(queryPred: String, tables: Int, bits: Int,
+      cap: Option[Long] = None): String = {
     val cosExpr =
       """CAST(CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS DOUBLE)
         |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))""".stripMargin
+    val capCte = cap.fold("") { k =>
+      s""",
+         |bcap AS (SELECT vec_id, t, bucket FROM (
+         |    SELECT vec_id, t, bucket, row_number() OVER (
+         |      PARTITION BY t, bucket
+         |      ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id) AS crn
+         |    FROM b) z
+         |  WHERE crn <= $k)""".stripMargin
+    }
+    val candSrc = cap.fold("b")(_ => "bcap")
     s"""WITH $quantizedSqlCte,
        |tb AS (SELECT unnest(range(0, $tables)) AS t),
        |b AS (SELECT vec_id, t,
@@ -274,9 +316,9 @@ object Similarity {
        |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
        |      qv[CAST(d+1 AS INTEGER)] * ((((t*$bits + bb)*2654435761 + d*40503) % 2047) - 1023))) > 0
        |    THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-       |  FROM n, tb),
+       |  FROM n, tb)$capCte,
        |cands AS (SELECT DISTINCT q.vec_id AS vec_a, c.vec_id AS vec_b
-       |  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+       |  FROM b q JOIN $candSrc c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE $queryPred AND q.vec_id <> c.vec_id)
        |SELECT vec_a, vec_b, cos, rank FROM (
        |  SELECT vec_a, vec_b,
@@ -343,9 +385,19 @@ object Similarity {
     val ranked = ivfRanked(spark, sfDir)
     // Corpus vectors live in exactly one cell (rn=1); queries probe
     // their top-nprobe cells, so a (query, corpus) pair appears at most
-    // once — no distinct needed.
+    // once — no distinct needed. Cell posting lists are bounded to a
+    // deterministic hash-ordered [[IvfCellCap]]-subset: a FIXED
+    // 64-centroid quantizer has cell size ∝ n, so the uncapped cell
+    // join is ∝ n² (it is what exhausted the sf3 oracle's disk on
+    // `knn_hard_negatives`); the cap pins candidates at
+    // queries × nprobe × K. Non-binding at gate SFs (max cell 42 at
+    // sf0.1); the recall audit prices it above that.
+    val pw = Window.partitionBy(col("cell"))
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid").as("cell"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= IvfCellCap).drop("prn")
     val q = pickQ(ranked.filter(col("rn") <= IvfNprobe))
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"),
         col("nrm").as("na"), col("cid").as("cell"))
@@ -386,8 +438,14 @@ object Similarity {
 
   private[ext] def ivfCandsSqlCte(queryPred: String): String =
     s"""$ivfAssignSqlCte,
+       |posting AS (SELECT vec_id, qv, nrm, cell FROM (
+       |    SELECT vec_id, qv, nrm, cell, row_number() OVER (
+       |      PARTITION BY cell
+       |      ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id) AS prn
+       |    FROM assigned) z
+       |  WHERE prn <= $IvfCellCap),
        |cands AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
-       |  FROM ranked q JOIN assigned c ON q.cid = c.cell
+       |  FROM ranked q JOIN posting c ON q.cid = c.cell
        |  WHERE q.rn <= $IvfNprobe AND $queryPred AND q.vec_id <> c.vec_id)""".stripMargin
 
   private def knnIvfSqlFor(queryPred: String): String = {
@@ -480,9 +538,11 @@ object Similarity {
     // of pinning a cache entry for the session's lifetime.
     val exact = knnBruteForce(spark, sfDir).select("vec_a", "vec_b")
       .localCheckpoint()
-    val ann = lshTop3(spark, sfDir, LshTables, LshBits, forSample)
+    val ann = lshTop3(spark, sfDir, LshTables, LshBits, forSample,
+        cap = Some(LshBucketCap))
       .select(col("vec_a"), col("vec_b"), lit("lsh").as("method"))
-      .unionAll(lshTop3(spark, sfDir, DenseLshTables, DenseLshBits, forSample)
+      .unionAll(lshTop3(spark, sfDir, DenseLshTables, DenseLshBits, forSample,
+          cap = Some(DenseBucketCap))
         .select(col("vec_a"), col("vec_b"), lit("lsh_dense").as("method")))
       .unionAll(lshTop3(spark, sfDir, DenseLshTables,
           adaptiveBits(spark, sfDir), forSample,
@@ -511,8 +571,8 @@ object Similarity {
     val samplePred =
       s"q.vec_id IN (SELECT vec_id FROM n ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id LIMIT 32)"
     s"""WITH exact AS (SELECT vec_a, vec_b FROM ($knnBruteForceSql)),
-       |lsh AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, LshTables, LshBits)})),
-       |lshd AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, DenseLshTables, DenseLshBits)})),
+       |lsh AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, LshTables, LshBits, Some(LshBucketCap))})),
+       |lshd AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, DenseLshTables, DenseLshBits, Some(DenseBucketCap))})),
        |lsha AS (SELECT vec_a, vec_b FROM (${knnLshAdaptiveSqlFor(samplePred)})),
        |ivf AS (SELECT vec_a, vec_b FROM (${knnIvfSqlFor(samplePred)})),
        |ivfpq AS (SELECT vec_a, vec_b FROM (${ProductQuant.knnIvfPqSqlFor(samplePred)})),

@@ -378,10 +378,18 @@ object Tokenize {
     "corpus_token_fertility" -> (tokenFertility _),
     "corpus_vocab_drift" -> (vocabDrift _))
 
+  // The pack oracles chain tokenize → next-fit: every non-recursive CTE
+  // is forced MATERIALIZED (the oracle engine otherwise re-expands the
+  // tokenize chain per recursive rank — the Packing.packCtesFor
+  // pathology; sf3 went ORACLE-TIMEOUT → minutes). `tok`/`rec` are the
+  // recursive working tables and must stay plain.
   val oracles: Map[String, String] = Map(
     "corpus_tokenize" -> corpusTokenizeSql,
-    "corpus_pack_tokens" -> corpusPackTokensSql,
-    "corpus_pack_tokens_stats" -> corpusPackTokensStatsSql,
+    "corpus_pack_tokens" ->
+      Hashing.materializeCtes(corpusPackTokensSql, except = Set("tok", "rec")),
+    "corpus_pack_tokens_stats" ->
+      Hashing.materializeCtes(corpusPackTokensStatsSql,
+        except = Set("tok", "rec")),
     "source_token_budget" -> sourceTokenBudgetSql,
     "sample_mixture_tokens" -> sampleMixtureTokensSql,
     "corpus_token_fertility" -> tokenFertilitySql,

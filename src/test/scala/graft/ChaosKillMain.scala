@@ -112,8 +112,15 @@ object ChaosKillMain {
     val gate = SparkEntry.queries("mr_wordcount")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // Listener bus is async; drain before reading counters.
-    Thread.sleep(2000)
+    // Listener bus is async; the counters only grow, so poll until the
+    // kill's footprint (one removal + one task failure) is visible,
+    // with the old fixed sleep as the fallback deadline — a loaded box
+    // can take longer than any fixed nap, and an early exit here would
+    // flake the spec's >=1 assertions.
+    val deadline = System.nanoTime() + 20_000_000_000L
+    while ((removed.get < 1 || failedTasks.get < 1) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(200)
     println(s"CHAOSKILL equal=${chaos == clean} gate_equal=${chaos == gate} " +
       s"removed=${removed.get} retried_stages=${retriedStages.get} " +
       s"failed_tasks=${failedTasks.get}")

@@ -42,7 +42,19 @@ class ChaosKillSpec extends AnyFunSuite {
     val proc = Process(cmd, None,
       "SPARK_HOME" -> "/opt/spark",
       "SPARK_SCALA_VERSION" -> "2.13").run(logger)
-    val exit = proc.exitValue() // child self-limits; spec-level patience
+    // Bounded wait: a deadlocked local-cluster child (executor relaunch
+    // loop, port exhaustion) must FAIL the suite with its output tail,
+    // not hang it — poll for exit with a hard deadline, then destroy.
+    val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
+    while (proc.isAlive() && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    if (proc.isAlive()) {
+      proc.destroy()
+      fail("ChaosKillMain did not exit within 10 minutes; output tail:\n" +
+        out.synchronized(out.toString)
+          .linesIterator.toSeq.takeRight(30).mkString("\n"))
+    }
+    val exit = proc.exitValue()
     val text = out.synchronized(out.toString)
     val verdict = text.linesIterator.find(_.startsWith("CHAOSKILL "))
       .getOrElse(fail(s"no CHAOSKILL verdict line (exit $exit); tail:\n" +
