@@ -610,6 +610,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "drained inner stream-stream join must equal batch")
   }
 
+  test("daily-chunked click attribution equals the single-batch tier") {
+    // The auto-tier contract: whichever source the |events| dispatch
+    // picks, values are identical — forced here on the gate fixture
+    // (below the cap, so the gated entry runs single-batch and THIS
+    // drives the chunked path it would take at scale).
+    val chunked = Streaming
+      .clickAttributionStreamTiered(spark, sf, chunked = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val single = Streaming
+      .clickAttributionStreamTiered(spark, sf, chunked = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(chunked == single,
+      "chunked and single-batch replays must produce identical pairs")
+  }
+
   test("transformWithState sessionize equals the mapGroupsWithState path") {
     val tws = Streaming.sessionizeTwsStream(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
