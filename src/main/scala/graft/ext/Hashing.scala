@@ -41,7 +41,16 @@ object Hashing {
     * `replace("AS (", …)` would also hit an `AS (` inside a string
     * literal or a non-CTE context, silently corrupting any future
     * oracle routed through here). Oracle-side only — the Spark plans
-    * localCheckpoint per round and never re-expand. */
+    * localCheckpoint per round and never re-expand.
+    *
+    * `except` rules (callers MUST list these): (1) recursive working
+    * tables — the engine rejects MATERIALIZED on them; (2) any CTE
+    * referenced from a correlated subquery INSIDE a recursive CTE —
+    * the engine mis-executes that shape (observed at sf3: the greedy
+    * tokenizer's per-step vocab probe intermittently missed matches
+    * when `vocab` was materialized, with results varying across
+    * executions of the identical statement). Such CTEs are typically
+    * tiny (a top-K vocab); leaving them plain costs nothing. */
   def materializeCtes(sql: String, except: Set[String] = Set.empty): String = {
     // (WITH [RECURSIVE] | , ) <identifier> [(col,…)] AS (  →  … AS MATERIALIZED (
     // \w+ cannot match inside a quoted SQL string unless the quote

@@ -210,10 +210,14 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     // Materialized like the Tokenize pack oracles (tokenize + admission
     // chains re-expand per next-fit rank otherwise); `tok`/`rec` stay
-    // plain (recursive working tables).
+    // plain (recursive working tables), and `vocab` stays plain because
+    // the engine mis-executes a correlated subquery inside a RECURSIVE
+    // CTE when its target is MATERIALIZED (see the Tokenize oracles).
     "corpus_train_manifest" ->
-      Hashing.materializeCtes(trainManifestSql, except = Set("tok", "rec")),
+      Hashing.materializeCtes(trainManifestSql,
+        except = Set("tok", "rec", "vocab")),
     "corpus_train_summary" ->
-      Hashing.materializeCtes(trainSummarySql, except = Set("tok", "rec")),
+      Hashing.materializeCtes(trainSummarySql,
+        except = Set("tok", "rec", "vocab")),
     "corpus_curation_funnel" -> curationFunnelSql)
 }

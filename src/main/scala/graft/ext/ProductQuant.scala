@@ -309,5 +309,9 @@ object ProductQuant {
     "embedding_pq_codes" -> pqCodesSql,
     "embedding_pq_report" -> pqReportSql,
     "embedding_pq_residual_report" -> pqResidualReportSql,
-    "knn_ivfpq" -> knnIvfPqSql)
+    // Materialized for the same reason as Similarity's IVF oracle: the
+    // assignment/codebook CTEs re-expand per reference (sf3: 258 s
+    // under a standard compare child). No recursion, no correlated
+    // subqueries in the chain.
+    "knn_ivfpq" -> Hashing.materializeCtes(knnIvfPqSql))
 }

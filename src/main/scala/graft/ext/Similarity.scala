@@ -886,16 +886,24 @@ object Similarity {
     "knn_mmr_rerank" -> (knnMmrRerank _),
     "embedding_label_stats" -> (labelStats _))
 
+  // The heavy ANN oracles are CTE chains the oracle engine otherwise
+  // re-expands per reference — `ranked` (the 30M-dot IVF assignment at
+  // sf3) computes once for the posting side and once for the query
+  // side, and the recall audit re-expands each METHOD's whole chain
+  // for its hit join and its count (sf3: OOM on the audit, timeout on
+  // hard negatives under standard children). Materialized: each stage
+  // computes once. No recursive CTEs and no correlated subqueries in
+  // these chains (the Hashing.materializeCtes hazard shapes).
   val oracles: Map[String, String] = Map(
     "embedding_gram_matrix" -> gramMatrixSql,
     "embedding_dim_stats" -> dimStatsSql,
     "knn_bruteforce" -> knnBruteForceSql,
     "knn_lsh" -> knnLshSql,
-    "knn_lsh_dense" -> knnLshDenseSql,
+    "knn_lsh_dense" -> Hashing.materializeCtes(knnLshDenseSql),
     "knn_lsh_adaptive" -> knnLshAdaptiveSql,
-    "knn_ivf" -> knnIvfSql,
-    "knn_recall_audit" -> knnRecallAuditSql,
-    "knn_hard_negatives" -> knnHardNegativesSql,
+    "knn_ivf" -> Hashing.materializeCtes(knnIvfSql),
+    "knn_recall_audit" -> Hashing.materializeCtes(knnRecallAuditSql),
+    "knn_hard_negatives" -> Hashing.materializeCtes(knnHardNegativesSql),
     "knn_mmr_rerank" -> knnMmrRerankSql,
     "embedding_label_stats" -> labelStatsSql)
 }

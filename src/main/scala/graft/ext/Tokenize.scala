@@ -125,7 +125,16 @@ object Tokenize {
     * Must be spliced into a `WITH RECURSIVE` clause. `extraCtes` lets a
     * caller interpose its own CTEs (e.g. a snapshot doc filter) and
     * `vocabBody` swaps the vocab derivation — the [[vocabDrift]] gate
-    * trains the vocab on one cohort and applies it to the whole corpus. */
+    * trains the vocab on one cohort and applies it to the whole corpus.
+    *
+    * The greedy step reads its longest-match from `lmatch`, a PLAIN
+    * (word, position) → max-piece-length table joined into the
+    * recursion — never from a correlated subquery inside the recursive
+    * term: the oracle engine mis-executes that shape intermittently at
+    * sf3 (missed matches, varying across executions of the identical
+    * statement — see Hashing.materializeCtes' scaladoc; de-materializing
+    * the target was not sufficient). `lmatch` is |distinct words| ×
+    * avg word length rows — vocabulary-sized, not corpus-sized. */
   private[graft] def tokCtesWith(extraCtes: String, vocabBody: String): String = {
     val words =
       "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')"
@@ -133,19 +142,23 @@ object Tokenize {
        |wcnt AS (SELECT word, COUNT(*) AS c FROM tw GROUP BY word),
        |${extraCtes}vocab AS ($vocabBody),
        |dw AS (SELECT DISTINCT word FROM tw),
+       |wpos AS (SELECT word, unnest(range(1, length(word)+1)) AS p FROM dw),
+       |lmatch AS (SELECT w.word, w.p,
+       |    CAST(MAX(length(v.piece)) AS BIGINT) AS ml
+       |  FROM wpos w JOIN vocab v
+       |    ON v.piece = substr(w.word, CAST(w.p AS INTEGER), length(v.piece))
+       |  GROUP BY w.word, w.p),
        |tok AS (
        |  SELECT word, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n,
        |    CAST(0 AS BIGINT) AS nv
        |  FROM dw
        |  UNION ALL
-       |  SELECT word,
-       |    p + COALESCE((SELECT MAX(length(piece)) FROM vocab v
-       |      WHERE v.piece = substr(tok.word, CAST(p AS INTEGER), length(v.piece))), 1),
-       |    n + 1,
-       |    nv + CASE WHEN EXISTS (SELECT 1 FROM vocab v
-       |      WHERE v.piece = substr(tok.word, CAST(p AS INTEGER), length(v.piece)))
-       |      THEN 1 ELSE 0 END
-       |  FROM tok WHERE p <= length(word)),
+       |  SELECT t.word,
+       |    t.p + COALESCE(m.ml, 1),
+       |    t.n + 1,
+       |    t.nv + CASE WHEN m.ml IS NOT NULL THEN 1 ELSE 0 END
+       |  FROM tok t LEFT JOIN lmatch m ON m.word = t.word AND m.p = t.p
+       |  WHERE t.p <= length(t.word)),
        |pieces AS (SELECT word, MAX(n) AS n_pieces, MAX(nv) AS n_vocab_pieces
        |  FROM tok GROUP BY word),
        |perdoc AS (SELECT tw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -385,11 +398,19 @@ object Tokenize {
   // recursive working tables and must stay plain.
   val oracles: Map[String, String] = Map(
     "corpus_tokenize" -> corpusTokenizeSql,
+    // `vocab` must stay plain as well: it is the correlated-subquery
+    // target inside the RECURSIVE `tok` CTE, and the oracle engine
+    // mis-executes that shape when the target is MATERIALIZED (sf3:
+    // greedy matches intermittently missed → n_tok inflated on 90k of
+    // 150k docs, varying ACROSS executions of the identical statement —
+    // the pack gate and its stats twin disagreed in one compare run).
+    // It is 32 rows; re-expanding it costs nothing.
     "corpus_pack_tokens" ->
-      Hashing.materializeCtes(corpusPackTokensSql, except = Set("tok", "rec")),
+      Hashing.materializeCtes(corpusPackTokensSql,
+        except = Set("tok", "rec", "vocab")),
     "corpus_pack_tokens_stats" ->
       Hashing.materializeCtes(corpusPackTokensStatsSql,
-        except = Set("tok", "rec")),
+        except = Set("tok", "rec", "vocab")),
     "source_token_budget" -> sourceTokenBudgetSql,
     "sample_mixture_tokens" -> sampleMixtureTokensSql,
     "corpus_token_fertility" -> tokenFertilitySql,
