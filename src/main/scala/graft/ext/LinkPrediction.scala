@@ -99,7 +99,15 @@ object LinkPrediction {
 
   /** Oracle is UNCAPPED — equality proves the adjacency cap is a no-op
     * on support-filtered data, the salted-join result-identity pattern. */
-  val linkPredictionSql: String =
+  // Materialized (the oracle engine otherwise re-expands the copurchase
+  // build once per `e` reference and `nb` twice into the wedge join —
+  // sf3: 900 s ORACLE-TIMEOUT under standard children; r12 needed a
+  // fat-child retry). `fresh` is an ANTI-JOIN rather than NOT EXISTS:
+  // same semantics, and it keeps materialized CTEs out of correlated
+  // subqueries entirely (the engine-misexecution shape documented in
+  // Hashing.materializeCtes is recursion-specific, but nothing here
+  // needs correlation in the first place).
+  val linkPredictionSql: String = Hashing.materializeCtes(
     s"""WITH e AS (${Basket.copurchaseSql}),
        |nb AS (SELECT part_a AS node, part_b AS nbr FROM e
        |       UNION ALL SELECT part_b, part_a FROM e),
@@ -109,9 +117,10 @@ object LinkPrediction {
        |    CAST(COUNT(*) AS BIGINT) AS cn
        |  FROM nb x JOIN nb y ON x.node = y.node AND x.nbr < y.nbr
        |  GROUP BY 1, 2),
-       |fresh AS (SELECT pa, pb, cn FROM cand
-       |  WHERE NOT EXISTS (SELECT 1 FROM e
-       |    WHERE part_a = pa AND part_b = pb)),
+       |fresh AS (SELECT c.pa, c.pb, c.cn
+       |  FROM cand c LEFT JOIN e
+       |    ON e.part_a = c.pa AND e.part_b = c.pb
+       |  WHERE e.part_a IS NULL),
        |sc AS (SELECT pa, pb, cn,
        |    CAST(cn * 1000 // (da.deg + db.deg - cn) AS BIGINT)
        |      AS jaccard_e3
@@ -121,7 +130,7 @@ object LinkPrediction {
        |  jaccard_e3, CAST(rank AS BIGINT) AS rank
        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pa
        |    ORDER BY cn DESC, jaccard_e3 DESC, pb) AS rank FROM sc)
-       |WHERE rank <= $TopPredictions""".stripMargin
+       |WHERE rank <= $TopPredictions""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_link_prediction" -> (linkPrediction _))
