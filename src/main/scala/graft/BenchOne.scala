@@ -33,6 +33,11 @@ object BenchOne {
       val n = fn(spark, sfDir).count()
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[benchone] rep $i: $s%.3f s ($n rows)")
+      // Same untimed per-rep hygiene as Bench: protected session memos
+      // survive, per-rep checkpoint debris is freed (at sf10 the HITS
+      // round cuts alone accumulated to a heap OOM by rep 3 without
+      // this).
+      graft.ext.Frames.freeSessionState(spark)
       s
     }
     println(f"[benchone] $name median ${times.sorted.apply(reps / 2)}%.3f s")

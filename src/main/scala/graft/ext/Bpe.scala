@@ -54,6 +54,27 @@ object Bpe {
     * final per-word-type symbol state (cnt, seq) the vocabulary report
     * reads. */
   private[graft] def runMerges(wordTypes: DataFrame): (DataFrame, DataFrame) = {
+    // Interpreted execution for the eager round window (round 14):
+    // every frame the 8 rounds touch is vocabulary-sized and
+    // single-partition, so whole-stage/expression codegen buys nothing
+    // — but a cold JVM paid Janino + C2 compilation across the ~16
+    // per-round jobs (isolated rep-1 26.6 s vs 8.5 s warm, the r13
+    // "JIT-warmup-bound" diagnosis; at 100× every fresh executor JVM
+    // pays the same). The rounds run EAGERLY (localCheckpoint) inside
+    // the conf window and the restored conf governs everything after,
+    // so the scope is exactly the merge loop. Values are
+    // codegen-invariant (the fold was CodegenFallback already).
+    val session = wordTypes.sparkSession
+    val keys = Seq("spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode")
+    val prev = keys.map(k => k -> session.conf.get(k))
+    keys.foreach(k => session.conf.set(k,
+      if (k.endsWith("factoryMode")) "NO_CODEGEN" else "false"))
+    try runMergesEager(wordTypes)
+    finally prev.foreach { case (k, v) => session.conf.set(k, v) }
+  }
+
+  private def runMergesEager(wordTypes: DataFrame): (DataFrame, DataFrame) = {
     // The word-type frame is vocabulary-sized (31 rows here, ~1M at a
     // 100 TB corpus) — collapse it to one partition up front so the 8
     // per-round checkpoint/fold jobs schedule 1 task instead of a full

@@ -96,18 +96,34 @@ object Frames {
     * BOUNDED frame: its blocks are protected from session cleanup for
     * the session's lifetime, which is only sound for frames far smaller
     * than the corpus (pair graphs, label maps — never raw scans). */
-  private val scalars =
-    collection.mutable.Map.empty[(String, String, String), Any]
+  /** One-shot holder: the `lazy val` monitor gives per-KEY once-only
+    * semantics, so a cold build (a Spark count that can take seconds at
+    * sf10) blocks only same-key callers — not every other memoized
+    * build behind one shared Frames lock (r13 advisory). */
+  private final class LazyBox(thunk: () => Any) { lazy val value: Any = thunk() }
+
+  private val scalars = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), LazyBox]()
 
   /** Session-scoped memo for a SMALL plan-time statistic (a corpus
     * count, a derived parameter) — same (tag, SparkContext, sfDir) key
     * discipline as [[sessionMemo]], without the checkpoint lifecycle
-    * (scalars have no blocks to free or liveness to check). */
+    * (scalars have no blocks to free or liveness to check). The build
+    * runs OUTSIDE any map/Frames lock (insertion is putIfAbsent of an
+    * unevaluated box), so concurrent builds of different keys — and a
+    * build that itself calls back into sessionMemo — can never
+    * deadlock or serialize on this path. */
   private[graft] def scalarMemo[T](tag: String,
       spark: org.apache.spark.sql.SparkSession, sfDir: String)(
-      build: => T): T = synchronized {
+      build: => T): T = {
     val key = (tag, spark.sparkContext.applicationId, sfDir)
-    scalars.getOrElseUpdate(key, build).asInstanceOf[T]
+    var box = scalars.get(key)
+    if (box == null) {
+      val fresh = new LazyBox(() => build)
+      val prev = scalars.putIfAbsent(key, fresh)
+      box = if (prev == null) fresh else prev
+    }
+    box.value.asInstanceOf[T]
   }
 
   private[graft] def sessionMemo(tag: String,

@@ -42,16 +42,44 @@ object Hits {
   /** K HITS rounds over an arbitrary directed (src, dst) edge frame;
     * returns one frame tagging each side: (node_type hub|authority,
     * node, deg, score). */
+  /** Storage level for the EDGE checkpoint — the one corpus-scale frame
+    * this operator pins for 4·K join consumers. The default
+    * (deserialized MEMORY_AND_DISK) holds one Java object per row:
+    * ~100 B/edge ≈ 5.5 GB heap at sf10's 55M edges, which alone
+    * overflowed a standard 8 GB JVM (round 14, measured heap OOM after
+    * the agg fix). Serialized blocks are ~20 B/edge and still
+    * disk-spillable; the node-sized per-round cuts stay deserialized
+    * (they are read hot every round and are |nodes|-bounded). */
+  private val EdgeStorage =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   private[graft] def hitsOf(edgesIn: DataFrame): DataFrame =
-    hitsOfPrepared(edgesIn.localCheckpoint())
+    hitsOfPrepared(edgesIn.localCheckpoint(true, EdgeStorage))
 
   /** [[hitsOf]] over an ALREADY lineage-cut edge frame — the gate path
     * feeds the session-memoized (and pre-checkpointed) edge frame here
     * so it isn't re-copied on every call. */
   private def hitsOfPrepared(edges: DataFrame): DataFrame = {
-    val hubDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Every agg here exchanges FIRST and aggregates after (round 14).
+    // Default hash-agg order (partial map → exchange → final) sizes
+    // each task's partial map by the distinct keys in its INPUT split —
+    // on this graph that is ~ALL nodes per task (avg degree ≈ 36 spread
+    // over 32 splits ⇒ map-side combine removes almost nothing but the
+    // map holds node-cardinality entries), so at sf10 (55M edges, 1.5M
+    // customers) 32 concurrent round-agg maps exhausted the 8 GB JVM's
+    // execution pool at BytesToBytesMap creation (UNABLE_TO_ACQUIRE_
+    // MEMORY, measured). Exchanging by the group key first keeps the
+    // exchange count and shuffle volume the same (partial agg wasn't
+    // reducing rows anyway) while each post-exchange map holds only
+    // |nodes|/partitions keys — memory O(nodes/tasks), SF-independent
+    // plan shape. Pure re-grouping of an exact Long sum/count: values
+    // and oracle hashes unchanged.
+    def aggByKey(df: DataFrame, key: String)(aggs: org.apache.spark.sql.Column*)
+        : DataFrame =
+      df.repartition(col(key)).groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val hubDeg = aggByKey(edges, "src")(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val authDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val authDeg = aggByKey(edges, "dst")(count(lit(1)).as("deg"))
       .localCheckpoint()
     // Per-round cut (r11 ask: fuse the round's work into ONE execution).
     // `raw` is referenced twice (max side + main side) and the next
@@ -75,11 +103,13 @@ object Hits {
     var auth = authDeg.select(col("dst").as("node"), lit(Scale).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to Iters) {
-      val hraw = edges.join(auth, edges("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      val hraw = aggByKey(
+        edges.join(auth, edges("dst") === auth("node")), "src")(
+        sum(col("a")).as("h"))
       hub = rescale(hraw, "h")
-      val araw = edges.join(hub, edges("src") === hub("src"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+      val araw = aggByKey(
+        edges.join(hub, edges("src") === hub("src")), "dst")(
+        sum(col("h")).as("a"))
       auth = rescale(araw, "a").select(col("dst").as("node"), col("a"))
     }
     hub.join(hubDeg, "src")
@@ -99,7 +129,7 @@ object Hits {
     * from, so one cut copy per (session, sf) is the right trade. */
   def purchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
     Frames.sessionMemo("purchase_edges", spark, sfDir) {
-      purchaseEdgesBuild(spark, sfDir).localCheckpoint()
+      purchaseEdgesBuild(spark, sfDir).localCheckpoint(true, EdgeStorage)
     }
 
   /** The un-memoized build — the frame PlanSpec pins. */

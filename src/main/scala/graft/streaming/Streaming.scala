@@ -237,7 +237,7 @@ object Streaming {
     * Deterministic minute-spaced stamps make mtime order = name order =
     * event-time order — the in-order contract (§7.7.5) enforced on the
     * axis the source actually sorts by. */
-  private def stamp(p: java.nio.file.Path, i: Int): Unit =
+  private[graft] def stamp(p: java.nio.file.Path, i: Int): Unit =
     Files.setLastModifiedTime(p,
       java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
 
@@ -255,10 +255,18 @@ object Streaming {
     * sides read the same files per trigger. */
   def eventStreamDaily(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val dir = stagedDaily(spark, sfDir)
+    // Schema from the STAGED files themselves, never the raw source
+    // file: staging rewrites ts through Tables.events (always
+    // timestamp_ntz micros), so a raw file in the legacy
+    // TIMESTAMP(NANOS)->LongType shape would hand readStream a
+    // LongType spec for micros data and normalizeEventTs would divide
+    // by 1000 AGAIN — silent timestamp corruption in this tier only.
+    // Deriving the spec from the staged write makes the two sides
+    // definitionally agree.
+    val stagedSchema = spark.read.parquet(dir).schema
     Tables.normalizeEventTs(
-      spark.readStream.schema(raw.schema)
+      spark.readStream.schema(stagedSchema)
         .option("maxFilesPerTrigger", sys.env.getOrElse(
           "SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", DailyFilesPerTrigger))
         .parquet(dir))
@@ -598,7 +606,12 @@ object Streaming {
     sys.env.get("SPARK_GRAFT_STREAM_CHUNKED") match {
       case Some("1") => true
       case Some("0") => false
-      case _ => eventsCount(spark, sfDir) > ChunkedReplayEventCap
+      // Fail loudly on anything else ("true", a typo): a bench/verify
+      // child intending to FORCE a tier must never silently measure
+      // the auto-decided other one.
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_STREAM_CHUNKED must be '1' or '0', got '$other'")
+      case None => eventsCount(spark, sfDir) > ChunkedReplayEventCap
     }
 
   def clickAttributionStream(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process._
-
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Executor-kill chaos gate (the reference's crash test,
@@ -30,30 +28,48 @@ class ChaosKillSpec extends AnyFunSuite {
     val cmd = Seq(java) ++ addOpens ++ Seq(
       "-Xmx3g", "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.ChaosKillMain", "/root/testdata/sf0.01")
-    val out = new StringBuilder
-    val logger = ProcessLogger(
-      line => out.synchronized { out.append(line).append('\n') },
-      line => out.synchronized { out.append(line).append('\n') })
+    // java.lang.ProcessBuilder (not scala.sys.process) so the timeout
+    // path can force-kill the whole PROCESS TREE: a SIGTERM to the
+    // launcher alone can orphan the forked local-cluster child JVM —
+    // the exact orphaned-JVM pathology that corrupted a round-9 bench
+    // measurement on this box (BASELINE round-9 instrument note).
     // SPARK_HOME for the in-process standalone Worker's executor launch;
     // SPARK_SCALA_VERSION because the launcher's command builder calls
     // getScalaVersion() unconditionally and, without the env that
     // bin/load-spark-env.sh would set, scans for non-existent
     // launcher/target build dirs ("Cannot find any build directories").
-    val proc = Process(cmd, None,
-      "SPARK_HOME" -> "/opt/spark",
-      "SPARK_SCALA_VERSION" -> "2.13").run(logger)
+    import scala.jdk.CollectionConverters._
+    val pb = new _root_.java.lang.ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new StringBuilder
+    val gobbler = new Thread(() => {
+      val br = new _root_.java.io.BufferedReader(
+        new _root_.java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .foreach(l => out.synchronized { out.append(l).append('\n') })
+    })
+    gobbler.setDaemon(true)
+    gobbler.start()
     // Bounded wait: a deadlocked local-cluster child (executor relaunch
     // loop, port exhaustion) must FAIL the suite with its output tail,
-    // not hang it — poll for exit with a hard deadline, then destroy.
-    val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
-    while (proc.isAlive() && System.currentTimeMillis() < deadline)
-      Thread.sleep(500)
-    if (proc.isAlive()) {
-      proc.destroy()
-      fail("ChaosKillMain did not exit within 10 minutes; output tail:\n" +
+    // not hang it — and must not leave grandchildren running under the
+    // next measurement.
+    val finished = proc.waitFor(10, _root_.java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      proc.toHandle.descendants().iterator().asScala
+        .foreach(_.destroyForcibly())
+      proc.destroyForcibly()
+      proc.waitFor(30, _root_.java.util.concurrent.TimeUnit.SECONDS)
+      fail("ChaosKillMain did not exit within 10 minutes " +
+        "(process tree force-killed to avoid orphaned executor JVMs " +
+        "polluting later measurements); output tail:\n" +
         out.synchronized(out.toString)
           .linesIterator.toSeq.takeRight(30).mkString("\n"))
     }
+    gobbler.join(10000)
     val exit = proc.exitValue()
     val text = out.synchronized(out.toString)
     val verdict = text.linesIterator.find(_.startsWith("CHAOSKILL "))
