@@ -229,13 +229,32 @@ object Sketches {
 
   /** The bloom's k bit positions for an already-idHash'd key column —
     * the same universal-hash perm family the CMS/MinHash layers use, so
-    * the DuckDB oracle computes the identical filter. */
-  private def bloomPositions(h: org.apache.spark.sql.Column) =
+    * the DuckDB oracle computes the identical filter. `m` is the bit
+    * width (fixed [[BloomBits]] for the membership CONFUSION gate,
+    * dim-adaptive for the filtered JOIN). */
+  private def bloomPositions(h: org.apache.spark.sql.Column,
+      m: Long = BloomBits) =
     array((0 until BloomHashes).map { d =>
       val a = graft.functions.HashKernels.permA(d)
       val b = graft.functions.HashKernels.permB(d)
-      ((lit(a) * h + lit(b)) % P) % BloomBits
+      ((lit(a) * h + lit(b)) % P) % m
     }: _*)
+
+  /** Adaptive bloom width for the filtered join: m = max([[BloomBits]],
+    * 2^(⌊log₂ n⌋+5)) — at least 16·n bits for any dim cardinality n, so
+    * the fill ratio stays ≤ ~0.1 and the FP tax bounded at every SF.
+    * The fixed 8192-bit width SATURATED at sf10 (210k March-1995
+    * orders: fill → 1.0, every probe row passed, and the "filtered"
+    * side was the whole 60M-row fact table — measured 5.5× per 3.33×
+    * isolated). Cross-engine exact (the adaptiveBits LSH discipline):
+    * floor-log2 is bit arithmetic here and FLOOR(LOG2(n)) in the
+    * oracle — exact at powers of two, safely non-integral elsewhere.
+    * Gate SFs sit below the 8192 floor, so gate values are
+    * byte-identical to the fixed-width ones. */
+  private def adaptiveBloomBits(n: Long): Long = {
+    val fl = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    math.max(BloomBits, 1L << (fl + 5))
+  }
 
   /** Bloom-filter membership pre-filter — the join-pruning sketch: build
     * a deterministic m=8192-bit / k=3 bloom over the custkeys that
@@ -327,17 +346,14 @@ object Sketches {
 
   // ------------------------------------------------- bloom-filtered join
 
-  /** The bloom as a packed bit vector: BloomBits/32 words. 32 bits per
-    * long (not 64): DuckDB range-checks `1::BIGINT << 63` as overflow
-    * while Spark wraps, so the portable mask keeps shifts ≤ 31. */
-  private val BloomWords = (BloomBits / 32L).toInt
-
   /** Bloom-filtered fact⋈dim join — the runtime-filter composition that
     * [[bloomMembership]] only measures: build the bloom over the DIM
-    * side's join keys, pack it into a [[BloomWords]]-long bit VECTOR
-    * (not bit rows), broadcast the single-row vector, and drop probe
-    * rows with pure row-local shift/mask arithmetic BEFORE the join's
-    * exchange. This is the semi-join reduction Spark's own
+    * side's join keys, pack it into an (m/32)-long bit VECTOR
+    * (not bit rows; 32 bits per long, not 64 — DuckDB range-checks
+    * `1::BIGINT << 63` as overflow while Spark wraps, so the portable
+    * mask keeps shifts ≤ 31), broadcast the single-row vector, and drop
+    * probe rows with pure row-local shift/mask arithmetic BEFORE the
+    * join's exchange. This is the semi-join reduction Spark's own
     * `runtime.bloomFilter.enabled` rewrite injects — built explicitly
     * here so the pruning is a composable, measurable operator.
     *
@@ -348,28 +364,34 @@ object Sketches {
     * making the pruning ratio (passed/probe ≈ member fraction + FP
     * rate) part of the hash, not a prose claim.
     *
-    * Scale shape: the vector is FIXED 2 KiB regardless of SF (vs m bit
-    * rows joined per probe in the membership gate) — the probe is one
-    * broadcast nested-loop against a 1-row frame + codegen'd mask
-    * checks, so the exchange into the join carries only the surviving
-    * ~12% of the fact side. At 100 TB this is the difference between
-    * shuffling the whole fact table and shuffling the matching slice;
-    * sizing m for the dim cardinality keeps the FP tax bounded. */
+    * Scale shape: the vector is [[adaptiveBloomBits]]-wide — ≥16 bits
+    * per dim key, so broadcast size is dim-proportional (512 KiB at
+    * sf10's 210k keys, a constant-per-executor ship at any SF) and the
+    * exchange into the join carries only the surviving member fraction
+    * (~1.5%) + a ≤1% FP tax of the fact side. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * the matching slice. (Round 14: the width was a fixed 8192 bits,
+    * which saturated at sf10 and let the whole fact side through.) */
   def bloomFilteredJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate").between(lit("1995-03-01").cast("date"),
         lit("1995-03-31").cast("date")))
       .select(col("o_orderkey"), col("o_orderpriority"))
       .localCheckpoint() // feeds both the bloom build and the final join
+    // Plan-time dim cardinality (one count on the checkpointed dim)
+    // sizes the filter; the oracle recomputes the identical integer m
+    // from its own COUNT(*) — see [[adaptiveBloomBits]].
+    val mBits = adaptiveBloomBits(dim.count())
+    val mWords = mBits / 32L
     // bit rows → (word, mask) → bit_or per word → DENSE ordered array
     // (absent words must be present zeros, or probe indexing shifts).
     val words = dim
-      .select(explode(bloomPositions(Hashing.idHash(col("o_orderkey"))))
-        .as("bit"))
+      .select(explode(bloomPositions(Hashing.idHash(col("o_orderkey")),
+        mBits)).as("bit"))
       .select((col("bit") / lit(32L)).cast("long").as("w"),
         expr("shiftleft(1L, CAST(bit % 32 AS INT))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
-    val bv = spark.range(BloomWords.toLong).select(col("id").as("w"))
+    val bv = spark.range(mWords).select(col("id").as("w"))
       .join(words, Seq("w"), "left")
       .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
       .agg(expr("transform(array_sort(collect_list(struct(w, bits)))," +
@@ -377,7 +399,8 @@ object Sketches {
     val probe = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val passed = probe
-      .withColumn("bp", bloomPositions(Hashing.idHash(col("l_orderkey"))))
+      .withColumn("bp", bloomPositions(Hashing.idHash(col("l_orderkey")),
+        mBits))
       .crossJoin(broadcast(bv))
       .filter((0 until BloomHashes).map { d =>
         expr(s"(shiftright(element_at(bv, CAST(bp[$d] / 32 AS INT) + 1)," +
@@ -398,23 +421,31 @@ object Sketches {
 
   val bloomFilteredJoinSql: String = {
     val h = Hashing.idHashSql("l_orderkey")
+    // The oracle recomputes the SAME adaptive width from its own dim
+    // count (see adaptiveBloomBits): FLOOR(LOG2(n)) is exact at powers
+    // of two and safely non-integral elsewhere, so the integer m is
+    // engine-identical.
+    val m = "(SELECT m FROM mb)"
     val conds = (0 until BloomHashes).map { d =>
       val a = graft.functions.HashKernels.permA(d)
       val b = graft.functions.HashKernels.permB(d)
-      val p = s"((($a * $h + $b) % $P) % $BloomBits)"
+      val p = s"((($a * $h + $b) % $P) % $m)"
       s"((bv[CAST($p // 32 AS INTEGER) + 1] >> CAST($p % 32 AS INTEGER)) & 1) = 1"
     }.mkString(" AND ")
     s"""WITH dim AS (SELECT o_orderkey, o_orderpriority FROM orders
        |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'),
+       |mb AS (SELECT GREATEST($BloomBits, 1::BIGINT <<
+       |    (CAST(FLOOR(LOG2(GREATEST(COUNT(*), 1))) AS INTEGER) + 5)) AS m
+       |  FROM dim),
        |bbits AS (SELECT DISTINCT
-       |    ((a * ${Hashing.idHashSql("o_orderkey")} + b) % $P) % $BloomBits AS bit
+       |    ((a * ${Hashing.idHashSql("o_orderkey")} + b) % $P) % $m AS bit
        |  FROM dim, (VALUES ${(0 until BloomHashes).map(d =>
              s"(${graft.functions.HashKernels.permA(d)}, ${graft.functions.HashKernels.permB(d)})")
              .mkString(", ")}) perms(a, b)),
        |words AS (SELECT bit // 32 AS w,
        |    bit_or(1::BIGINT << CAST(bit % 32 AS INTEGER)) AS bits
        |  FROM bbits GROUP BY 1),
-       |spine AS (SELECT unnest(range(0, $BloomWords)) AS w),
+       |spine AS (SELECT unnest(range(0, $m // 32)) AS w),
        |bvt AS (SELECT list(COALESCE(words.bits, 0) ORDER BY spine.w) AS bv
        |  FROM spine LEFT JOIN words ON spine.w = words.w),
        |probe AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem),

@@ -27,10 +27,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q5: all four dims broadcast") {
+  test("q5: region-pruned supplier dim broadcast into lineitem BEFORE the fact shuffle") {
     val p = plan(ext.Relational.q5RegionVolume(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
     assert(!p.contains("CartesianProduct"))
+    // The folded region→nation→supplier dim joins lineitem BELOW the
+    // l⋈o join: the region filter's selectivity prunes the fact side
+    // before the fact join (and before its exchange at SFs where l⋈o
+    // shuffles), not after it (round-14 semi-join reduction; Catalyst
+    // cannot reorder this without CBO stats). Children print below
+    // parents, so "deeper" = larger index.
+    val oJoin = p.indexOf("Join [l_orderkey")
+    val sJoin = p.indexOf("Join [l_suppkey")
+    assert(oJoin >= 0 && sJoin >= 0, p)
+    assert(sJoin > oJoin, p)
   }
 
   test("q7: both fact sides nation-filtered before the only fact⋈fact shuffle") {
