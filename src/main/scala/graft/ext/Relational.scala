@@ -820,28 +820,61 @@ object Relational {
       .stripMargin
 
   /** TPC-H Q21-shaped: suppliers who kept waiting multi-supplier
-    * orders — the fact SELF semi+anti join shape. A line is "blamed"
-    * when some OTHER supplier participated in the order (left-semi)
-    * and nobody else shipped at-or-after it (left-anti ⇒ this supplier
-    * was strictly last; the reference blames via receipt/commit dates,
-    * this schema via ship dates). All three self-join legs plus the
-    * finished-orders probe hash on l_orderkey/o_orderkey — one
-    * co-partitioned exchange family, no inequality blow-up (the date
-    * comparison rides the equi-join). Top-20 with s_name tiebreak. */
+    * orders — a line is "blamed" when some OTHER supplier participated
+    * in the order (EXISTS) and nobody else shipped at-or-after it
+    * (NOT EXISTS ⇒ this supplier was strictly last; the reference
+    * blames via receipt/commit dates, this schema via ship dates).
+    *
+    * Shape (round 14): the textbook form — lineitem left-semi l2 then
+    * left-anti l3 — exchanges AND sort-merges the 60M-row fact three
+    * times, and at a fixed partition count those three spilling sorts
+    * made the key the round's one isolated super-linear TPC-H shape at
+    * sf10 (3.8 → 19.0 s, 5.0× per 3.33×). But the blame predicate is a
+    * per-ORDER decision: only the order's UNIQUE-latest supplier can
+    * be blamed (any other supplier s has some s'≠s whose max date ≥
+    * its own max ≥ its every line), and its blamed lines are exactly
+    * those shipping strictly after m2 = the latest OTHER supplier's
+    * max. So: one codegen'd hash agg to per-(order, supplier) max,
+    * one window (row_number + lead over smax DESC — m2 IS the lead,
+    * and a tie at the top makes lead = smax, failing the strict
+    * filter, which also encodes the EXISTS leg: a lone supplier's
+    * lead is NULL) to pick each order's blame candidate, one equi-join
+    * back to lineitem carrying the date comparison as a residual.
+    * Two slim fact exchanges and one fact sort instead of three of
+    * each, no per-group anti scan, everything whole-stage-codegen
+    * (a first cut used collect_list + array HOFs — interpreted, 6×
+    * SLOWER at sf3 than the textbook form; HOF algebra over per-order
+    * arrays is not a hot-path tool). Semantics proven equal:
+    * blame(line of s) ⇔ max_{s'≠s} d' < d ⇔ (s uniquely latest) ∧
+    * (d > m2); the DuckDB oracle still runs the textbook
+    * EXISTS/NOT-EXISTS form, so the gate hash pins the equivalence.
+    * Top-20 with s_name tiebreak. */
   def q21LateSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val l1 = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    import org.apache.spark.sql.expressions.Window
     val finished = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    val l2 = l1.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    val l3 = l1.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
-      col("l_shipdate").as("d3"))
-    l1.join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(l2, col("o2") === col("l_orderkey") &&
-        col("s2") =!= col("l_suppkey"), "left_semi")
-      .join(l3, col("o3") === col("l_orderkey") &&
-        col("s3") =!= col("l_suppkey") &&
-        col("d3") >= col("l_shipdate"), "left_anti")
+    // One explicit orderkey exchange feeds BOTH consumers (the agg→
+    // window chain and the join-back probe) — the identical subtree is
+    // ReuseExchange'd, so the fact is shuffled once, aggregated and
+    // windowed in place, and the final join is co-partitioned.
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
+    val perSup = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("smax").desc, col("l_suppkey"))
+    val top = perSup
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m2", lead(col("smax"), 1).over(w))
+      // NULL m2 (lone supplier) and tied m2 (= smax) both fail here.
+      .filter(col("rn") === 1 && col("m2") < col("smax"))
+      .select(col("l_orderkey").as("b_orderkey"),
+        col("l_suppkey").as("b_suppkey"), col("m2"))
+    l.join(top, col("l_orderkey") === col("b_orderkey") &&
+        col("l_suppkey") === col("b_suppkey") &&
+        col("l_shipdate") > col("m2"))
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(Tables.supplier(spark, sfDir)
         .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

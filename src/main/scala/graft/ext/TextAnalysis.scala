@@ -248,7 +248,15 @@ object TextAnalysis {
     * the profile is a fixed-size broadcast (hinted — #langs×M is
     * SF-independent); scoring is a tri-keyed join + (doc, lang) count
     * + per-doc argmax window. Accuracy is MEASURED by the companion
-    * confusion gate, not assumed. */
+    * confusion gate, not assumed.
+    *
+    * The lineage cut sits on the NORMALIZED DOC frame (serialized, ~the
+    * input text's size), never on the exploded trigram rows: one
+    * trigram row per corpus CHARACTER is the largest frame the whole
+    * pipeline touches (~3 GB/GB of text deserialized — a round-14 sf10
+    * isolated run OOM'd a 32 GB JVM on exactly that checkpoint), and
+    * re-running the codegen'd explode+hash per consumer is one cheap
+    * scan of the cut. */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
     // Session-memoized ([[Frames.sessionMemo]]): the per-doc prediction
     // frame (a 4-column label map, tiny next to the text it derives
@@ -264,11 +272,12 @@ object TextAnalysis {
       graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern), " ")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), norm.as("norm"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tris = docs
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.GraftFunctions.charTrigramHashes(col("norm")))
           .as("tri"))
-      .localCheckpoint()
     val profile = tris.groupBy(col("lang"), col("tri"))
       .agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(
