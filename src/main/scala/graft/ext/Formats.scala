@@ -124,15 +124,26 @@ object Formats {
     val oTbl = s"graft_b_orders_$sfTag"
     val lTbl = s"graft_b_lineitem_$sfTag"
     val dir = scratch(sfDir, "bucketed")
+    // Bucket count sized from the FACT side (round 14): a fixed count
+    // is the layout lever that silently stops scaling — per-bucket
+    // volume (and the write-side sort) grows linearly while read
+    // parallelism stays flat, exactly the shape a 100× scale-up breaks
+    // on. ~2M lines per bucket keeps each bucket one healthy task;
+    // both tables MUST share the count or the co-located zip is lost.
+    // Gate SFs sit at the floor (8), so gate values and the committed
+    // small-SF numbers are unchanged; values are layout-invariant
+    // anyway (the oracle joins the raw parquet).
+    val nBuckets = math.max(8L,
+      Tables.lineitem(spark, sfDir).count() / 2000000L).toInt
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite").option("path", s"$dir/orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(oTbl)
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .write.mode("overwrite").option("path", s"$dir/lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(lTbl)
     spark.table(lTbl).hint("merge")
       .join(spark.table(oTbl), col("l_orderkey") === col("o_orderkey"))
