@@ -30,13 +30,20 @@ import graft.Tables
   * `1000 − 1000·Σcnt² div n²` and the inverse `n² div Σcnt²` (effective
   * alphabet size) are exact Longs.
   *
-  * Scale shape: one char-explode (the tokenize volume) → (doc, char)
-  * count — map-side combinable, a doc's repeats collapse before the
-  * exchange — then two CONSTANT-size broadcast joins against the log
-  * table and a per-doc agg. The table is sized to the max doc length
-  * ([[TabMax]] = 2048 covers the fixture's 577-char max 3.5×; a corpus
-  * of million-char docs ships a 2^20-row table — still a constant-size
-  * broadcast, the dial is memory-free).
+  * Scale shape: ONE compiled pass per doc builds the character
+  * histogram ([[graft.functions.HashKernels.charCounts]] — counts
+  * only, the math is symmetric in the characters), exploding
+  * ~|alphabet| count rows per doc instead of one row per corpus
+  * CHARACTER (round 14: the original `regexp_extract_all` + explode +
+  * (doc, char) groupBy paid a regex match and an exploded row per
+  * character — ~700M rows and an extra exchange at sf10 — for rows
+  * whose char column the query then DROPPED). Then two CONSTANT-size
+  * broadcast joins against the log table and one per-doc agg. The
+  * table is sized to the max doc length ([[TabMax]] = 2048 covers the
+  * fixture's 577-char max 3.5×; a corpus of million-char docs ships a
+  * 2^20-row table — still a constant-size broadcast, the dial is
+  * memory-free). The DuckDB oracle keeps the per-character
+  * formulation, so the gate hash pins the kernel's equivalence.
   */
 object CharEntropy {
 
@@ -57,10 +64,8 @@ object CharEntropy {
     val tab = table.toDF("k", "lb")
     val counts = docs
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
-          .as("ch"))
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
+        explode(graft.functions.GraftFunctions.charCounts(col("text")))
+          .as("cnt"))
     counts
       .join(broadcast(tab), col("cnt") === col("k"))
       .groupBy(col("doc_id"))

@@ -119,6 +119,30 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** Per-document character histogram, COUNTS ONLY: the multiset of
+    * per-distinct-code-point occurrence counts, ascending. The
+    * entropy/Simpson math downstream is symmetric in the characters —
+    * it never looks at WHICH code point a count belongs to — so the
+    * kernel never ships the characters: one compiled pass replaces a
+    * per-character `regexp_extract_all` + explode (one row per corpus
+    * CHARACTER — ~700M rows at sf10) + a (doc, char) exchange with a
+    * ~|alphabet|-element array per doc. Code-point segmentation
+    * (String.codePointAt) matches the Java-regex `[\s\S]` per-match
+    * semantics of the formulation it replaces. */
+  def charCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      m.update(cp.toLong, m.getOrElse(cp.toLong, 0L) + 1L)
+      i += Character.charCount(cp)
+    }
+    val out = m.values.toArray
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Positional character-trigram hashes over the raw byte string:
     * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
     * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.

@@ -116,6 +116,35 @@ class HashParitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("charCounts kernel == regexp_extract_all+groupBy formulation") {
+    // The per-character regex path this kernel replaced (round 14):
+    // the count MULTISET must match exactly — on the corpus and on
+    // adversarial strings (unicode incl. an astral code point, empty,
+    // single char, all-same) — since entropy/Simpson are functions of
+    // the sorted count vector alone.
+    val kern = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.charCounts(col("text")).as("kc"))
+    val ref = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0)))
+          .as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("cnt"))).as("rc"))
+    val joined = kern.join(ref, Seq("doc_id"))
+    assert(joined.count() == docs.count())
+    assert(joined.filter(not(col("kc") === col("rc"))).count() == 0)
+    for (s <- Seq("", "a", "aaaa", "héllo wörld", "a\nb\tc a",
+        "😀x😀", "  ", "ab" * 500)) {
+      val got = HashKernels
+        .charCounts(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq
+      val ref = s.codePoints().toArray.groupBy(identity).values
+        .map(_.length.toLong).toSeq.sorted
+      assert(got == ref, s"input: '$s'")
+    }
+  }
+
   test("hyperplaneBuckets matches a direct reimplementation") {
     val qv = Array.tabulate(64)(d => ((d * 37) % 101 - 50).toLong)
     val got = HashKernels.hyperplaneBuckets(
