@@ -50,6 +50,30 @@ object Tables {
     }
   }
 
+  /** Exact row count from parquet footer metadata — no data scan, no
+    * Spark job. Layout-sizing decisions (e.g. bucket counts) need the
+    * table's cardinality but must not pay a full fact-table pass for
+    * it: at 100 TB a footer walk is a metadata-only driver read
+    * (one ~KB footer per file), while a `count()` is a cluster scan.
+    * Handles both a single parquet file and a directory of part files. */
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+          .flatMap(s => files(s.getPath))
+      else Seq(p)
+    }
+    files(root).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 

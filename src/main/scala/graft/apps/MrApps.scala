@@ -98,6 +98,51 @@ object MrApps {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(graft.Tables.documents(s, dir))
 
+  /** The GENERIC-reduce twins (round 15): the same three reference
+    * reduces, but run through the [[graft.engine.GenericReduce]]
+    * Aggregator — the reference's whole `Reduce(key, values) string`
+    * application API (`src/main/mrworker.go:32-49`) — resolved via SQL
+    * (`expr("mr_reduce_*(…)")`), so the driver's DuckDB gate pins the
+    * collect-then-finish façade itself, not only the declarative
+    * pipelines above. Group buffers materialize the group's values BY
+    * CONTRACT (non-monoid reduces; SURVEY §2.9): per-group memory is the
+    * key's value multiplicity, so the token-fan-out twins run on a
+    * deterministic 1-in-20 doc subset (`doc_id % 20`, the same
+    * workload-predicate idiom as the knn keys) to bound the hottest
+    * word's buffer at any SF; the declarative twins above are the
+    * unbounded-scale path. */
+  private def withGenericReduce(spark: SparkSession): Unit =
+    graft.engine.GenericReduce.register(spark)
+
+  private def docSubset(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 20 === 0)
+
+  def reduceWordCount(spark: SparkSession, dir: String): DataFrame = {
+    withGenericReduce(spark)
+    docSubset(graft.Tables.documents(spark, dir))
+      .select(Tokenizer.words(col("text")).as("key"))
+      .groupBy("key")
+      .agg(expr("mr_reduce_count(key, '1')").as("cnt"))
+  }
+
+  def reduceSortedConcat(spark: SparkSession, dir: String): DataFrame = {
+    withGenericReduce(spark)
+    graft.Tables.documents(spark, dir)
+      .select(col("lang").as("key"), col("doc_id").cast("string").as("v"))
+      .groupBy("key")
+      .agg(expr("mr_reduce_sorted_concat(key, v)").as("vals"))
+  }
+
+  def reduceIndexer(spark: SparkSession, dir: String): DataFrame = {
+    withGenericReduce(spark)
+    docSubset(graft.Tables.documents(spark, dir))
+      .select(col("doc_id").cast("string").as("doc"),
+        Tokenizer.words(col("text")).as("key"))
+      .distinct()
+      .groupBy("key")
+      .agg(expr("mr_reduce_indexer(key, doc)").as("entry"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> onDocs(wordCount),
     "mr_inverted_index" -> onDocs(invertedIndex),
@@ -105,12 +150,20 @@ object MrApps {
     "mr_file_count" -> onDocs(fileCount),
     "mr_fanout" -> onDocs(fanout),
     "mr_constant_tuples" -> onDocs(constantTuples),
-    "mr_golden_lines" -> onDocs(goldenLines))
+    "mr_golden_lines" -> onDocs(goldenLines),
+    "mr_reduce_count" -> (reduceWordCount _),
+    "mr_reduce_sorted_concat" -> (reduceSortedConcat _),
+    "mr_reduce_indexer" -> (reduceIndexer _))
 
   private val tokenSubquery =
     """SELECT CAST(doc_id AS VARCHAR) AS doc,
       |    unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
       |  FROM documents""".stripMargin
+
+  private val tokenSubquery2 =
+    """SELECT CAST(doc_id AS VARCHAR) AS doc,
+      |    unnest(regexp_split_to_array(text, '[^a-zA-Z]+')) AS word
+      |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -140,5 +193,19 @@ object MrApps {
     "mr_golden_lines" ->
       s"""SELECT word || ' ' || CAST(cnt AS VARCHAR) AS line FROM (
          |  SELECT word, COUNT(*) AS cnt FROM ($tokenSubquery)
-         |  WHERE word <> '' GROUP BY word)""".stripMargin)
+         |  WHERE word <> '' GROUP BY word)""".stripMargin,
+    // Generic-reduce twins: all-STRING outputs (the reference reduces
+    // return strings) over the 1-in-20 doc subset where fan-out applies.
+    "mr_reduce_count" ->
+      s"""SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS cnt
+         |FROM ($tokenSubquery2) WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_reduce_sorted_concat" ->
+      """SELECT lang AS key,
+        |  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY CAST(doc_id AS VARCHAR)) AS vals
+        |FROM documents GROUP BY lang""".stripMargin,
+    "mr_reduce_indexer" ->
+      s"""SELECT word AS key,
+         |  CAST(COUNT(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS entry
+         |FROM (SELECT DISTINCT doc, word FROM ($tokenSubquery2) WHERE word <> '')
+         |GROUP BY word""".stripMargin)
 }

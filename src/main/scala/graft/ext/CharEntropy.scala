@@ -62,7 +62,16 @@ object CharEntropy {
     val spark = docs.sparkSession
     import spark.implicits._
     val tab = table.toDF("k", "lb")
-    val counts = docs
+    // TabMax guard (round-15 advisory): a doc of length >= TabMax would
+    // silently VANISH at the inner lookup joins below (its n — and
+    // possibly a char count — has no table row). Fail loudly instead:
+    // assert_true sits inside a filter so column pruning cannot drop it,
+    // and length() is codegen'd row-local work on a scan we do anyway.
+    val guarded = docs.filter(
+      assert_true(length(col("text")) < lit(TabMax),
+        lit(s"CharEntropy: doc length >= TabMax ($TabMax); " +
+          "raise TabMax for this corpus")).isNull)
+    val counts = guarded
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.charCounts(col("text")))
           .as("cnt"))

@@ -132,9 +132,11 @@ object Formats {
     // both tables MUST share the count or the co-located zip is lost.
     // Gate SFs sit at the floor (8), so gate values and the committed
     // small-SF numbers are unchanged; values are layout-invariant
-    // anyway (the oracle joins the raw parquet).
+    // anyway (the oracle joins the raw parquet). Cardinality comes from
+    // the parquet footers (round 15) — sizing the layout must not cost
+    // an extra fact-table scan per run.
     val nBuckets = math.max(8L,
-      Tables.lineitem(spark, sfDir).count() / 2000000L).toInt
+      Tables.parquetRowCount(spark, sfDir, "lineitem") / 2000000L).toInt
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite").option("path", s"$dir/orders")
