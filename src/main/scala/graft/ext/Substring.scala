@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -390,11 +390,207 @@ object Substring {
        |  CAST(n_bp_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS bp_frac
        |FROM bcov""".stripMargin
 
+  // ------------------------------------------------ exact longest duplicate
+
+  /** Anchor granularity for the longest-duplicate pass: any duplicated
+    * run of ≥ [[AnchorK]] words starts at a position whose AnchorK-span
+    * is itself duplicated, so the anchor set (one LINEAR widened-hash
+    * pass, the [[spanCoverage]] shape) contains every candidate start —
+    * completeness is structural, not sampled. */
+  private[graft] val AnchorK = 8
+
+  /** Reporting cap in words = 2·256 − 1 (the largest length the
+    * [[Levels]] pair-probe can express). A maximal duplicated run longer
+    * than this reports as CapM (none exists in the gate corpora; a
+    * production corpus with >500-word verbatim blocks excises at the 64
+    * tier first — [[exciseReport]]). Bounds per-anchor probe fan-out. */
+  private[graft] val CapM = 511
+
+  /** Power-of-two span-hash tiers for the pair probe: a span of length
+    * m is identified by (m, H(j)(p), H(j)(p+m−2^j)) with 2^j = msb(m) —
+    * the two overlapping power-of-two sub-spans COVER the span, so two
+    * positions agree on the key iff their m-spans are equal (same
+    * widened-hash confidence as every span gate). O(1) per probed
+    * length from 6 per-doc arrays, instead of O(m) string slicing. */
+  private[graft] val Levels = Seq(8, 16, 32, 64, 128, 256)
+
+  /** Variable-length planted templates: 13 length classes, class c =
+    * the first 9 + 7·c words of one shared word list (so shorter
+    * templates are PREFIXES of longer ones — a lone doc in a sparse
+    * class still matches every longer-class doc at its own length,
+    * which keeps the gate non-vacuous at sf0.001's ~4 planted docs).
+    * Letter-only words: the word kernels tokenize `[a-z]+`, so a
+    * digit-suffixed scheme would collapse every template word to one
+    * token. */
+  private[graft] val TmplClasses = 13
+  private[graft] def tmplLen(c: Int): Int = 9 + 7 * c
+  private[graft] def template(c: Int): String =
+    (0 until tmplLen(c)).map(i =>
+      s"ldw${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+
+  /** Docs with doc_id ≡ 5 (mod 11) carry template class (doc_id/11) mod
+    * 13 — 11 coprime to the 20-source cycle, classes striped across the
+    * corpus. */
+  private[graft] def withVarTemplates(docs: DataFrame): DataFrame = {
+    val tmpls = array((0 until TmplClasses).map(c => lit(template(c))): _*)
+    docs.withColumn("aug",
+      when(col("doc_id") % 11 === 5,
+        concat(col("text"), lit(" "),
+          element_at(tmpls, (expr("doc_id div 11") % TmplClasses + 1).cast("int"))))
+        .otherwise(col("text")))
+  }
+
+  /** EXACT longest cross-document duplicated word run per document —
+    * the true maximal-span reporting of Lee et al. 2022's suffix-array
+    * pass, replacing the fixed 5/16/64 grid's length quantization
+    * (round-15 verdict #2). Two stages:
+    *
+    *  1. ANCHOR (linear): one corpus scan → widened [[AnchorK]]-span
+    *     hashes → the cross-doc duplicated positions. Every duplicated
+    *     run of length ≥ AnchorK starts at an anchor (its leading
+    *     AnchorK words are duplicated wherever the run is), so no
+    *     maximal run is missed.
+    *  2. PROBE (sparse, exact): each anchor emits every length
+    *     m ∈ [AnchorK, min(CapM, words remaining)], keyed by the
+    *     [[Levels]] pair hash — (m, prefix 2^j-span hash, suffix
+    *     2^j-span hash), 2^j = msb(m), the binary-lifting overlap
+    *     identity — so each probed length costs O(1) array lookups from
+    *     6 per-anchor-doc span-hash arrays (a first cut sliced the
+    *     actual word strings per m: O(m) build + ~300 B/row shuffle;
+    *     the pair key is 3 longs and took the sf0.1 key from 5.7 s to
+    *     the sibling band). A (m, pair) groupBy keeps the cross-doc
+    *     duplicated lengths; per doc the max fired m is the exact
+    *     longest.
+    *
+    * Scale shape: stage 1 is the proven [[spanCoverage]] shape. Stage 2
+    * costs Σ per-anchor run lengths rows (quadratic only in individual
+    * duplicated-RUN length, never in corpus size) — the anchor set is
+    * the corpus's cross-doc duplicate positions (organically sparse;
+    * the fixtures' word-salted replicas keep it so at every SF), and a
+    * crawl-scale corpus with DENSE duplication would insert the 64-tier
+    * excision ([[exciseReport]]) before this pass, exactly as Lee et
+    * al. dedup before analysis. Probe keys shuffle once.
+    *
+    * The synthetic corpus has no organic ≥ AnchorK repeats, so the gate
+    * plants VARIABLE-length templates ([[withVarTemplates]]) — 13
+    * distinct maximal lengths the report must land exactly, in both
+    * engines. */
+  def longestDupReport(spark: SparkSession, sfDir: String): DataFrame =
+    longestDupOf(withVarTemplates(Tables.documents(spark, sfDir)))
+
+  /** [[longestDupReport]] over an explicit (doc_id, aug) frame — the
+    * spec's seam for constructed variable-length cases. */
+  private[graft] def longestDupOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // "≥ 2 distinct docs share h" ⟺ min(doc) ≠ max(doc) over the h
+    // partition: ONE exchange of the span frame (window) instead of the
+    // groupBy(h) + join-back shape, whose second leg re-shuffles the
+    // whole span frame — and with a single consumer the span frame
+    // needs no lineage cut.
+    val wh = Window.partitionBy(col("h"))
+    val anchors = docs.select(col("doc_id"),
+      posexplode(spanHashes64(wordHashes(col("aug")),
+        wordHashes37(col("aug")), AnchorK)).as(Seq("pos", "h")))
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos")).localCheckpoint()
+    // Level span-hash arrays only for anchor docs (the probe side
+    // re-scans the pruned corpus rather than checkpointing fat arrays
+    // through stage 1).
+    val lv = docs
+      .join(anchors.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), wordHashes(col("aug")).as("w1"),
+        wordHashes37(col("aug")).as("w2"))
+      .select(Seq(col("doc_id"), size(col("w1")).cast("long").as("nw")) ++
+        Levels.map(k => spanHashes64(col("w1"), col("w2"), k).as(s"a$k")): _*)
+    // msb(m) tier selection as a when-chain (codegen'd); idx is 1-based.
+    def tierAt(m: Column, idx: Column): Column =
+      Levels.init.zip(Levels.tail).foldRight(
+        element_at(col(s"a${Levels.last}"), idx.cast("int"))) {
+        case ((k, nxt), rest) =>
+          when(m < nxt, element_at(col(s"a$k"), idx.cast("int"))).otherwise(rest)
+      }
+    def tierOf(m: Column): Column =
+      Levels.init.zip(Levels.tail).foldRight(lit(Levels.last.toLong)) {
+        case ((k, nxt), rest) => when(m < nxt, lit(k.toLong)).otherwise(rest)
+      }
+    // Generate + project stay in ONE WholeStageCodegen stage: the level
+    // arrays are row references, not per-probe copies, and the
+    // when-chains are codegen'd (a transform(...) lambda here ran
+    // interpreted per probe row).
+    val wp = Window.partitionBy(col("m"), col("ha"), col("hb"))
+    val fired = anchors.join(lv, Seq("doc_id"))
+      .select(Seq(col("doc_id"), col("pos"),
+        explode(sequence(lit(AnchorK.toLong),
+          least(lit(CapM.toLong), col("nw") - col("pos")))).as("m")) ++
+        Levels.map(k => col(s"a$k")): _*)
+      .select(col("doc_id"), col("m"),
+        tierAt(col("m"), col("pos") + 1).as("ha"),
+        tierAt(col("m"), col("pos") + col("m") - tierOf(col("m")) + 1).as("hb"))
+      .withColumn("mn", min(col("doc_id")).over(wp))
+      .withColumn("mx", max(col("doc_id")).over(wp))
+      .filter(col("mn") =!= col("mx"))
+      .groupBy(col("doc_id")).agg(max(col("m")).as("longest"))
+    anchors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchor_pos"))
+      .join(fired, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_anchor_pos"),
+        coalesce(col("longest"), lit(0L)).as("longest_dup_words"))
+  }
+
+  /** msb-tier CASE over the per-level arrays: `idx(k)` is the 1-based
+    * element index for tier k (prefix sub-span: `pos`; suffix:
+    * `pos + m - k`). */
+  private def tierCaseSql(idx: Int => String): String =
+    Levels.init.zip(Levels.tail).map { case (k, nxt) =>
+      s"WHEN m < $nxt THEN a$k[${idx(k)}]"
+    }.mkString("CASE ", " ", s" ELSE a${Levels.last}[${idx(Levels.last)}] END")
+
+  val longestDupSql: String = {
+    val tmplVals = (0 until TmplClasses)
+      .map(c => s"($c, '${template(c)}')").mkString(", ")
+    s"""WITH tm(cls, tp) AS (VALUES $tmplVals),
+       |lt AS (SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 11 = 5 THEN d.text || ' ' || tm.tp
+       |       ELSE d.text END AS aug
+       |  FROM documents d LEFT JOIN tm ON tm.cls = (d.doc_id // 11) % $TmplClasses),
+       |lw AS (SELECT doc_id, ${wordHashesSql("aug")} AS w1,
+       |  ${wordHashes37Sql("aug")} AS w2 FROM lt),
+       |lsp AS (SELECT doc_id,
+       |  unnest(${spanHashes64Sql("w1", "w2", AnchorK)}) AS h,
+       |  generate_subscripts(${spanHashes64Sql("w1", "w2", AnchorK)}, 1) AS pos
+       |  FROM lw),
+       |ldup AS (SELECT h FROM lsp GROUP BY h
+       |  HAVING MIN(doc_id) <> MAX(doc_id)),
+       |lanc AS (SELECT lsp.doc_id, lsp.pos FROM lsp JOIN ldup USING (h)),
+       |llv AS (SELECT lw.doc_id, len(w1) AS nw,
+       |  ${Levels.map(k => s"${spanHashes64Sql("w1", "w2", k)} AS a$k").mkString(",\n       |  ")}
+       |  FROM lw JOIN (SELECT DISTINCT doc_id FROM lanc) ad USING (doc_id)),
+       |lprobe AS (SELECT doc_id, pos, nw, ${Levels.map(k => s"a$k").mkString(", ")},
+       |  unnest(range($AnchorK, least($CapM, nw - pos + 1) + 1)) AS m
+       |  FROM lanc JOIN llv USING (doc_id)),
+       |lps AS (SELECT doc_id, m,
+       |  ${tierCaseSql(_ => "pos")} AS ha,
+       |  ${tierCaseSql(k => s"pos + m - $k")} AS hb
+       |  FROM lprobe),
+       |ldups AS (SELECT m, ha, hb FROM lps GROUP BY m, ha, hb
+       |  HAVING MIN(doc_id) <> MAX(doc_id)),
+       |lfired AS (SELECT doc_id, CAST(MAX(m) AS BIGINT) AS longest
+       |  FROM lps JOIN ldups USING (m, ha, hb) GROUP BY doc_id),
+       |lna AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_anchor_pos
+       |  FROM lanc GROUP BY doc_id)
+       |SELECT lna.doc_id, n_anchor_pos,
+       |  COALESCE(lfired.longest, 0) AS longest_dup_words
+       |FROM lna LEFT JOIN lfired USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_spans" -> (duplicatedSpans _),
     "dedup_substring_coverage" -> (spanCoverage _),
     "dedup_substring_multiscale" -> (multiscaleCoverage _),
     "dedup_substring_excise" -> (exciseReport _),
+    "dedup_substring_longest" -> (longestDupReport _),
     "quality_boilerplate" -> (boilerplate _))
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +598,6 @@ object Substring {
     "dedup_substring_coverage" -> spanCoverageSql,
     "dedup_substring_multiscale" -> multiscaleCoverageSql,
     "dedup_substring_excise" -> exciseReportSql,
+    "dedup_substring_longest" -> Hashing.materializeCtes(longestDupSql),
     "quality_boilerplate" -> boilerplateSql)
 }
