@@ -119,6 +119,7 @@ object SparkEntry {
     ("ext.Components", ext.Components.queries, ext.Components.oracles),
     ("ext.Packing", ext.Packing.queries, ext.Packing.oracles),
     ("ext.Incremental", ext.Incremental.queries, ext.Incremental.oracles),
+    ("ext.IncrementalAnn", ext.IncrementalAnn.queries, ext.IncrementalAnn.oracles),
     ("ext.Quality", ext.Quality.queries, ext.Quality.oracles),
     ("ext.Substring", ext.Substring.queries, ext.Substring.oracles),
     ("ext.Clustering", ext.Clustering.queries, ext.Clustering.oracles),

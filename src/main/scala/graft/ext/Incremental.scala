@@ -37,7 +37,7 @@ object Incremental {
   private[ext] val BatchMod = 4L
 
   /** Deterministic batch membership: ~1/BatchMod of docs at any SF. */
-  private[ext] def isNew(id: Column): Column =
+  private[graft] def isNew(id: Column): Column =
     Hashing.idHash(id) % BatchMod === 0L
 
   private[ext] def isNewSql(e: String): String =

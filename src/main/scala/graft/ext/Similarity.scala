@@ -35,7 +35,7 @@ object Similarity {
   /** (vec_id, qv: array<long>, nrm: long). Shared with the clustering /
     * semantic-dedup layer ([[Clustering]]) — one quantization rule for
     * every embedding consumer. */
-  private[ext] def quantized(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def quantized(spark: SparkSession, sfDir: String): DataFrame = {
     val qv = transform(col("embedding"),
       x => round(x.cast("double") * 10000).cast("long"))
     Tables.embeddings(spark, sfDir)
@@ -47,7 +47,7 @@ object Similarity {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
       |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM e)""".stripMargin
 
-  private def cosCol = {
+  private[ext] def cosCol = {
     val dot = GraftFunctions.dotLong(col("qa"), col("qb"))
     dot.cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double"))
   }
@@ -338,11 +338,11 @@ object Similarity {
     * quantizer must stay broadcast-able at any SF, and cells must get
     * MORE selective as the corpus grows — both break if the centroid set
     * scales with the data. */
-  private val IvfNumCentroids = 64
+  private[ext] val IvfNumCentroids = 64
 
   /** Queries probe their top-`IvfNprobe` cells (multi-probe recovers the
     * recall a fixed quantizer loses near cell boundaries). */
-  private val IvfNprobe = 2
+  private[ext] val IvfNprobe = 2
 
   /** IVF (inverted-file) ANN: the coarse quantizer is a deterministic
     * FIXED-SIZE corpus sample (the 64 vectors of smallest idHash —
@@ -553,6 +553,8 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), lit("lsh_adaptive").as("method")))
       .unionAll(ivfTop3(spark, sfDir, forSample)
         .select(col("vec_a"), col("vec_b"), lit("ivf").as("method")))
+      .unionAll(IncrementalAnn.auditTop3(spark, sfDir, forSample)
+        .select(col("vec_a"), col("vec_b"), lit("ivf_incr").as("method")))
       .unionAll(ProductQuant.ivfPqTop3(spark, sfDir, forSample)
         .select(col("vec_a"), col("vec_b"), lit("ivfpq").as("method")))
     val hits = exact.join(ann, Seq("vec_a", "vec_b"))
@@ -561,7 +563,8 @@ object Similarity {
       countDistinct(col("vec_a")).as("n_queries"))
     // Left join from the method list: a method with ZERO hits (a
     // too-sparse dial) must still report its row, not vanish.
-    Seq("lsh", "lsh_dense", "lsh_adaptive", "ivf", "ivfpq").toDF("method")
+    Seq("lsh", "lsh_dense", "lsh_adaptive", "ivf", "ivf_incr", "ivfpq")
+      .toDF("method")
       .join(hits, Seq("method"), "left")
       .withColumn("n_hits", coalesce(col("h"), lit(0L)))
       .crossJoin(ex)
@@ -578,6 +581,7 @@ object Similarity {
        |lshd AS (SELECT vec_a, vec_b FROM (${knnLshSqlFor(samplePred, DenseLshTables, DenseLshBits, Some(DenseBucketCap))})),
        |lsha AS (SELECT vec_a, vec_b FROM (${knnLshAdaptiveSqlFor(samplePred)})),
        |ivf AS (SELECT vec_a, vec_b FROM (${knnIvfSqlFor(samplePred)})),
+       |ivfi AS (SELECT vec_a, vec_b FROM (${IncrementalAnn.auditSqlFor(samplePred)})),
        |ivfpq AS (SELECT vec_a, vec_b FROM (${ProductQuant.knnIvfPqSqlFor(samplePred)})),
        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
        |  CAST(COUNT(DISTINCT vec_a) AS BIGINT) AS n_queries FROM exact),
@@ -589,6 +593,8 @@ object Similarity {
        |  FROM exact JOIN lsha USING (vec_a, vec_b)),
        |ih AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
        |  FROM exact JOIN ivf USING (vec_a, vec_b)),
+       |iih AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact JOIN ivfi USING (vec_a, vec_b)),
        |iph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
        |  FROM exact JOIN ivfpq USING (vec_a, vec_b))
        |SELECT 'lsh' AS method, n_queries, n_exact, lh.n_hits,
@@ -606,6 +612,10 @@ object Similarity {
        |SELECT 'ivf', n_queries, n_exact, ih.n_hits,
        |  CASE WHEN n_exact = 0 THEN 0 ELSE ih.n_hits * 10000 // n_exact END AS recall_bp
        |FROM ex, ih
+       |UNION ALL
+       |SELECT 'ivf_incr', n_queries, n_exact, iih.n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0 ELSE iih.n_hits * 10000 // n_exact END AS recall_bp
+       |FROM ex, iih
        |UNION ALL
        |SELECT 'ivfpq', n_queries, n_exact, iph.n_hits,
        |  CASE WHEN n_exact = 0 THEN 0 ELSE iph.n_hits * 10000 // n_exact END AS recall_bp
