@@ -1,0 +1,64 @@
+package graft.engine
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Dataset
+
+/** Runtime-pluggable applications — the reference engine loads its
+  * Map/Reduce pair from a shared object at run time
+  * (`/root/reference/src/main/mrworker.go:32-49`: `plugin.Open` +
+  * `Lookup("Map")`/`Lookup("Reduce")`); the JVM equivalent is a jar on
+  * a path, loaded through a URLClassLoader. [[MrPlugin]] is the ABI
+  * (Java-friendly so plugin jars can be authored in any JVM language
+  * with no Scala toolchain), [[MapReduce.runJobFromJar]] the entry
+  * point.
+  *
+  * Distribution contract: the job closures capture only the (jarPath,
+  * className) STRINGS — each executor JVM instantiates the plugin
+  * lazily from the path through [[PluginLoader]]'s per-JVM cache, so
+  * the closure stays serializable and the plugin class never needs to
+  * be on the application classpath. On a cluster the jar must be
+  * executor-visible (shared storage, or `spark.jars`/`addJar`, which
+  * places it on the executor classloader fetch list) — the same "ship
+  * the .so to every worker" requirement the reference has. */
+trait MrPlugin {
+
+  /** `Map(filename, contents) []KeyValue` — one [key, value] pair per
+    * array element. */
+  def map(file: String, contents: String): java.util.List[Array[String]]
+
+  /** `Reduce(key, values) string`. */
+  def reduce(key: String, values: java.util.List[String]): String
+}
+
+/** Per-JVM plugin instance cache. One classloader per jar path: repeated
+  * task invocations reuse the loaded class instead of re-opening the
+  * jar per row. */
+object PluginLoader {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), MrPlugin]()
+
+  def load(jarPath: String, className: String): MrPlugin =
+    cache.computeIfAbsent((jarPath, className), { case (jar, cls) =>
+      val loader = new java.net.URLClassLoader(
+        Array(new java.io.File(jar).toURI.toURL),
+        classOf[MrPlugin].getClassLoader)
+      loader.loadClass(cls).getDeclaredConstructor()
+        .newInstance().asInstanceOf[MrPlugin]
+    })
+}
+
+object Plugins {
+
+  /** [[MapReduce.runJob]] with the application pair loaded from an
+    * external jar at run time. */
+  def runJobFromJar(input: Dataset[KV], jarPath: String, className: String,
+      nReduce: Int = 10): Dataset[KV] = {
+    val mapF: MapReduce.MapF = (file, contents) =>
+      PluginLoader.load(jarPath, className).map(file, contents)
+        .asScala.toSeq.map(a => KV(a(0), a(1)))
+    val reduceF: MapReduce.ReduceF = (key, values) =>
+      PluginLoader.load(jarPath, className).reduce(key, values.asJava)
+    MapReduce.runJob(input, mapF, reduceF, nReduce)
+  }
+}
