@@ -853,32 +853,42 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val finished = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    // One explicit orderkey exchange feeds BOTH consumers (the agg→
-    // window chain and the join-back probe) — the identical subtree is
-    // ReuseExchange'd, so the fact is shuffled once, aggregated and
-    // windowed in place, and the final join is co-partitioned.
-    val l = Tables.lineitem(spark, sfDir)
+    // ONE fact exchange, structurally (round 15): a previous form
+    // repartitioned the fact and joined it back to the windowed blame
+    // frame, counting on ReuseExchange to share the shuffle — but the
+    // self-join re-aliases one subtree's exprIds, so the rule never
+    // matched and the fact shuffled TWICE (caught by the round-14
+    // advisory; confirmed with ShuffleQueryStage ids at sf0.1). Instead
+    // each (order, supplier) group now CARRIES its ship dates through
+    // the one agg exchange (collect_list — a handful of lines per
+    // group), and the blamed-line count is an array filter against m2
+    // after the window: no join back, no reuse reliance. PlanSpec pins
+    // the single fact exchange.
+    // Explicit orderkey exchange: partitioning on the SUBSET key serves
+    // both the (orderkey, suppkey) agg and the orderkey window, so the
+    // fact crosses the wire once. (Map-side combine is no loss here —
+    // collect_list carries every date through the shuffle either way.)
+    val perSup = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .repartition(col("l_orderkey"))
-    val perSup = l.groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(col("l_shipdate")).as("smax"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"),
+        collect_list(col("l_shipdate")).as("dates"))
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("smax").desc, col("l_suppkey"))
-    val top = perSup
+    perSup
       .withColumn("rn", row_number().over(w))
       .withColumn("m2", lead(col("smax"), 1).over(w))
       // NULL m2 (lone supplier) and tied m2 (= smax) both fail here.
       .filter(col("rn") === 1 && col("m2") < col("smax"))
-      .select(col("l_orderkey").as("b_orderkey"),
-        col("l_suppkey").as("b_suppkey"), col("m2"))
-    l.join(top, col("l_orderkey") === col("b_orderkey") &&
-        col("l_suppkey") === col("b_suppkey") &&
-        col("l_shipdate") > col("m2"))
       .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_suppkey"),
+        size(filter(col("dates"), d => d > col("m2")))
+          .cast("long").as("n_late"))
       .join(Tables.supplier(spark, sfDir)
         .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21: the fact crosses the wire exactly once (no join-back, no reuse reliance)") {
+    // Round-15 advisory: the old join-back form counted on ReuseExchange
+    // to share the fact shuffle, but self-join re-aliasing meant the
+    // rule never matched and the fact shuffled twice. The rewrite has no
+    // second fact consumer at all; pin the property in the FINAL
+    // adaptive plan (the section before "== Initial Plan ==").
+    val df = ext.Relational.q21LateSuppliers(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(l_orderkey"
+      .r.findAllIn(p).size == 1, p)
+    // Lineitem is scanned once: no probe-side second scan.
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible
