@@ -10,6 +10,14 @@ import graft.ext.CharEntropy
 class CharEntropySpec extends SparkSpec {
   import spark.implicits._
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Constructed frames bypass Tables' lazy registration — without
+    // this the suite only passed when run after a suite that had
+    // already registered the kernels on the shared session.
+    graft.functions.GraftFunctions.register(spark)
+  }
+
   test("log table is exactly floor(100*log2 k)") {
     // Powers of two are the exact lattice points; off-lattice values
     // bound-checked against the neighbors.
@@ -54,5 +62,23 @@ class CharEntropySpec extends SparkSpec {
       val b = CharEntropy.entropy(spark, sf)
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("doc length >= TabMax fails loudly instead of vanishing") {
+    // Round-15 advisory: oversized docs used to silently drop at the
+    // inner lookup joins. The guard must raise, not filter.
+    val docs = Seq((1L, "ab" * 1024), (2L, "fine short doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CharEntropy.entropyOf(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("TabMax")), e.getMessage)
+    // In-bounds corpus still computes (the guard passes rows through).
+    val ok = CharEntropy.entropyOf(
+      Seq((1L, "abab"), (2L, "cd")).toDF("doc_id", "text")).collect()
+    assert(ok.length == 2)
   }
 }
