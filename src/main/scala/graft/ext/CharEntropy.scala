@@ -30,64 +30,52 @@ import graft.Tables
   * `1000 − 1000·Σcnt² div n²` and the inverse `n² div Σcnt²` (effective
   * alphabet size) are exact Longs.
   *
-  * Scale shape: ONE compiled pass per doc builds the character
-  * histogram ([[graft.functions.HashKernels.charCounts]] — counts
-  * only, the math is symmetric in the characters), exploding
-  * ~|alphabet| count rows per doc instead of one row per corpus
-  * CHARACTER (round 14: the original `regexp_extract_all` + explode +
-  * (doc, char) groupBy paid a regex match and an exploded row per
-  * character — ~700M rows and an extra exchange at sf10 — for rows
-  * whose char column the query then DROPPED). Then two CONSTANT-size
-  * broadcast joins against the log table and one per-doc agg. The
+  * Scale shape (round 15): ZERO-shuffle — one compiled pass per doc
+  * ([[graft.functions.HashKernels.charEntropyStats]]) builds the
+  * histogram AND folds all four moments against a static in-kernel
+  * ⌊100·log2 k⌋ table, so the whole key is row-local map work on the
+  * corpus scan. (History: the original regexp explode paid one row per
+  * corpus CHARACTER — ~700M rows at sf10; round 14's charCounts +
+  * explode + two broadcast table joins + per-doc agg cut that to one
+  * row per (doc, distinct char) but still exchanged ~100M rows and sat
+  * top-5 at sf10 (35.7 s) for what is per-row arithmetic — the fused
+  * kernel removes the explode, the joins, and the agg entirely.) The
   * table is sized to the max doc length ([[TabMax]] = 2048 covers the
-  * fixture's 577-char max 3.5×; a corpus of million-char docs ships a
-  * 2^20-row table — still a constant-size broadcast, the dial is
-  * memory-free). The DuckDB oracle keeps the per-character
+  * fixture's 577-char max 3.5×; a corpus of million-char docs sizes it
+  * up — a 2^20-entry static long array, still memory-free). Docs at or
+  * above the bound RAISE (round-15 advisory: they used to vanish at
+  * the lookup joins). The DuckDB oracle keeps the per-character
   * formulation, so the gate hash pins the kernel's equivalence.
   */
 object CharEntropy {
 
-  /** Table bound: counts and doc lengths must be < TabMax. */
-  private val TabMax = 2048
+  /** Table bound: counts and doc lengths must be < TabMax (the kernel's
+    * static table size; oversized docs throw there). */
+  private val TabMax = graft.functions.HashKernels.EntropyTabMax
 
-  /** ⌊100·log2 k⌋ exactly: bitLength(k^100) − 1. No floating point. */
+  /** ⌊100·log2 k⌋ exactly: bitLength(k^100) − 1. No floating point.
+    * (Spec-facing twin of the kernel's static table.) */
   private[graft] def log2Centibits(k: Int): Long =
     BigInt(k).pow(100).bitLength - 1L
 
   private lazy val table: IndexedSeq[(Long, Long)] =
     (1 until TabMax).map(k => (k.toLong, log2Centibits(k)))
 
-  /** Per-doc char-quality frame over any (doc_id, text) frame. */
+  /** Per-doc char-quality frame over any (doc_id, text) frame. Empty
+    * docs are absent (as in the explode formulation, which emitted no
+    * rows for them); oversized docs raise in the kernel. */
   private[graft] def entropyOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tab = table.toDF("k", "lb")
-    // TabMax guard (round-15 advisory): a doc of length >= TabMax would
-    // silently VANISH at the inner lookup joins below (its n — and
-    // possibly a char count — has no table row). Fail loudly instead:
-    // assert_true sits inside a filter so column pruning cannot drop it,
-    // and length() is codegen'd row-local work on a scan we do anyway.
-    val guarded = docs.filter(
-      assert_true(length(col("text")) < lit(TabMax),
-        lit(s"CharEntropy: doc length >= TabMax ($TabMax); " +
-          "raise TabMax for this corpus")).isNull)
-    val counts = guarded
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.charCounts(col("text")))
-          .as("cnt"))
-    counts
-      .join(broadcast(tab), col("cnt") === col("k"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("cnt") * col("lb")).as("sum_clb"),
-        sum(col("cnt") * col("cnt")).as("sum_c2"))
-      .join(broadcast(tab.select(col("k").as("nk"), col("lb").as("ln"))),
-        col("n") === col("nk"))
-      .select(col("doc_id"), col("n"), col("n_distinct"),
-        expr("(n * ln - sum_clb) div n").as("entropy_cb"),
-        expr("1000 - (1000 * sum_c2) div (n * n)").as("simpson_pm"),
-        expr("(n * n) div sum_c2").as("eff_chars"))
+        graft.functions.GraftFunctions.charEntropyStats(col("text")).as("st"))
+      .filter(size(col("st")) > 0)
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n"),
+        element_at(col("st"), 2).as("n_distinct"),
+        element_at(col("st"), 3).as("entropy_cb"),
+        element_at(col("st"), 4).as("simpson_pm"),
+        element_at(col("st"), 5).as("eff_chars"))
   }
 
   def entropy(spark: SparkSession, sfDir: String): DataFrame =

@@ -83,6 +83,18 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class CharEntropyStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def prettyName: String = "graft_char_entropy_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.charEntropyStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropyStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharTrigramHashes(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -288,6 +300,7 @@ object GraftExpressions {
     "graft_word_hashes37" -> (args => WordHashes37(args.head)),
     "graft_char_trigram_hashes" -> (args => CharTrigramHashes(args.head)),
     "graft_char_counts" -> (args => CharCounts(args.head)),
+    "graft_char_entropy_stats" -> (args => CharEntropyStats(args.head)),
     "graft_span_hashes64" ->
       (args => SpanHashes64(args.head, args(1), intLit(args(2), "k"))),
     "graft_minhash_sig" -> (args => MinHashSig(args.head)),
@@ -349,6 +362,8 @@ object GraftFunctions {
   def charTrigramHashes(c: Column): Column =
     call_function("graft_char_trigram_hashes", c)
   def charCounts(c: Column): Column = call_function("graft_char_counts", c)
+  def charEntropyStats(c: Column): Column =
+    call_function("graft_char_entropy_stats", c)
   def spanHashes64(whs1: Column, whs2: Column, k: Int): Column =
     call_function("graft_span_hashes64", whs1, whs2, lit(k))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)

@@ -143,6 +143,63 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Bound for [[charEntropyStats]]: doc length (and so every per-char
+    * count) must be < this for the static log table to cover it. */
+  val EntropyTabMax = 2048
+
+  /** ⌊100·log2 k⌋ exactly, no floating point: bitLength(k^100) − 1.
+    * Computed once per JVM (2047 BigInt pows, milliseconds). */
+  private lazy val log2cb: Array[Long] = {
+    val a = new Array[Long](EntropyTabMax)
+    var k = 1
+    while (k < EntropyTabMax) {
+      a(k) = BigInt(k).pow(100).bitLength - 1L
+      k += 1
+    }
+    a
+  }
+
+  /** One-pass per-doc character-quality stats:
+    * [n, n_distinct, entropy_cb, simpson_pm, eff_chars] (the
+    * quality_char_entropy columns), all exact integer arithmetic
+    * against the static ⌊100·log2 k⌋ table — the fused form of
+    * charCounts → explode → two broadcast table joins → agg, which
+    * shuffled one row per (doc, distinct char) and was a top-5 sf10
+    * key for what is row-local map work. Empty docs return an EMPTY
+    * array (the explode form emitted no rows for them — callers filter
+    * on size); docs of length ≥ [[EntropyTabMax]] throw (the round-15
+    * loud-failure contract). */
+  def charEntropyStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val m = new scala.collection.mutable.LongMap[Long]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      m.update(cp.toLong, m.getOrElse(cp.toLong, 0L) + 1L)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (n >= EntropyTabMax)
+      throw new IllegalArgumentException(
+        s"CharEntropy: doc length >= TabMax ($EntropyTabMax); " +
+          "raise TabMax for this corpus")
+    var nd = 0L
+    var sumClb = 0L
+    var sumC2 = 0L
+    m.foreachValue { c =>
+      nd += 1
+      sumClb += c * log2cb(c.toInt)
+      sumC2 += c * c
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(
+      n, nd,
+      (n * log2cb(n.toInt) - sumClb) / n,
+      1000L - (1000L * sumC2) / (n * n),
+      (n * n) / sumC2))
+  }
+
   /** Positional character-trigram hashes over the raw byte string:
     * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
     * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.
