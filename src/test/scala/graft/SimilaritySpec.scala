@@ -94,7 +94,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.knnRecallAudit(spark, sf)
       .select($"method", $"n_queries", $"n_exact", $"n_hits", $"recall_bp")
       .as[(String, Long, Long, Long, Long)].collect()
-    assert(rows.map(_._1).toSet == Set("lsh", "lsh_dense", "lsh_adaptive", "ivf", "ivfpq"),
+    assert(rows.map(_._1).toSet ==
+      Set("lsh", "lsh_dense", "lsh_adaptive", "ivf", "ivf_incr", "ivfpq"),
       "one row per method")
     rows.foreach { case (m, nq, ne, nh, bp) =>
       assert(nq > 0 && nq <= 32 && ne <= 3 * nq, s"$m: bad totals ($nq, $ne)")
