@@ -95,10 +95,19 @@ def main():
     #   hash falls under 1000/sqrt(i+1) permille; new types per replica
     #   ≈ V0/sqrt(i+1), total vocab ≈ V0·2·sqrt(R) — Heaps β ≈ 0.5, the
     #   realistic growth for vocab-bounded operators (BPE, tokenize,
-    #   edit-distance, heaps_law). Cross-replica shingle sharing stays
-    #   negligible for dedup ((1-p)³ of 3-word shingles survive
-    #   unsalted: ≤ 2.5% at replica 1, Jaccard far below every gate
-    #   threshold), so dedup workload remains linear in BOTH modes.
+    #   edit-distance, heaps_law). Cross-replica shingle sharing is
+    #   negligible for SMALL i ((1-p)³ of 3-word shingles survive
+    #   unsalted: ≤ 2.5% at replica 1) but NOT for large i — at i ≈ 300
+    #   only ~6% of types are salted, ~84% of shingles survive, and late
+    #   replicas are genuine ≥0.8-Jaccard near-copies of their base doc.
+    #   So above R ≈ 25 heaps mode builds a DUP-DENSE corpus: pair-
+    #   reporting dedup gates' OUTPUT grows ∝ density² by construction
+    #   (measured in BASELINE's round-15 sf30 audit: minhash pairs 50×
+    #   per 3× data while wall time grew only 4.3×). Per-doc-output
+    #   tiers (admission/keepers) stay linear. This is a property of
+    #   replicating the SAME base docs under a shrinking salt rate —
+    #   disclosed, and useful: it is the crawl-density regime the
+    #   excision/admission operators exist for.
     if heaps:
         import math
         parts = [f"SELECT * FROM '{SRC}/documents.parquet'"]
