@@ -23,12 +23,20 @@ import graft.Tables
   * float RAKE only inside sub-milli ties). Top [[TopK]] phrases by
   * (score DESC, phrase) total order.
   *
-  * Scale shape: tokenization + island ids are per-doc window work on
-  * the doc_id clustering; word stats are map-side-combinable aggs on
-  * the word key (vocabulary-sized); the phrase table aggregates by
-  * phrase text (bounded by distinct phrases). The stopword list is
-  * the English kernel list — a compile-time constant both engines
-  * embed. */
+  * Scale shape: candidate phrases come straight out of the fused
+  * [[graft.functions.HashKernels.phraseRuns]] kernel — one codegen'd
+  * pass per document, zero shuffle — instead of the
+  * posexplode + per-doc-window island-id + collect_list
+  * reconstruction, which exchanged one row per corpus TOKEN (the
+  * dominant sf10 cost of this key). Word stats are
+  * map-side-combinable aggs on the word key (vocabulary-sized); the
+  * phrase score is computed once per DISTINCT phrase text (every
+  * occurrence of a text scores identically), so the word-score join
+  * touches the distinct-phrase table, not the occurrence table. The
+  * stopword list is the English kernel list — a compile-time
+  * constant both engines embed. The DuckDB oracle keeps the
+  * independent gaps-and-islands window formulation, so the gate
+  * cross-checks the kernel against a from-first-principles rewrite. */
 object Rake {
 
   val TopK = 50
@@ -39,52 +47,31 @@ object Rake {
   private lazy val stopsEn: Seq[String] =
     TextAnalysis.stopwords.toMap.apply("en")
 
-  /** (doc_id, phrase_id, word) exploded candidate-phrase frame. */
-  private def phraseWords(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopsArr = array(stopsEn.map(lit): _*)
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(expr(
-        "regexp_extract_all(lower(text), '[a-z]+', 0)"))
-        .as(Seq("pos", "word")))
-      .withColumn("is_stop", array_contains(stopsArr, col("word")))
-      .withColumn("brk", when(col("is_stop"), 1L).otherwise(0L))
-      .withColumn("phrase_id",
-        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .filter(!col("is_stop"))
-      .select(col("doc_id"), col("phrase_id"), col("pos"), col("word"))
-  }
-
   def keyphrases(spark: SparkSession, sfDir: String): DataFrame = {
-    val pw = phraseWords(spark, sfDir).localCheckpoint() // 3 consumers
-    // Phrase text must be position-ordered deterministically:
-    // sort_array over (pos, word) structs, then project the words.
-    val phraseText = pw
-      .groupBy(col("doc_id"), col("phrase_id"))
-      .agg(array_join(expr("transform(sort_array(collect_list(" +
-        "struct(pos, word))), s -> s.word)"), " ").as("phrase"),
-        count(lit(1)).as("plen"))
+    // One phrase-occurrence row per kernel-emitted run; the kernel
+    // already lowercases, tokenizes [a-z]+, splits at stopwords and
+    // space-joins — no token rows, no island window.
+    val occ = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.GraftFunctions.phraseRuns(
+        col("text"), stopsEn)).as("phrase"))
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
       .filter(col("plen") <= MaxPhraseLen)
-      .localCheckpoint() // word-stats join + phrase aggregation
-    val wordStats = pw
-      .join(phraseText.select(col("doc_id"), col("phrase_id"), col("plen")),
-        Seq("doc_id", "phrase_id"))
+      .localCheckpoint() // word-stats pass + occurrence-count pass
+    val wordStats = occ
+      .select(explode(split(col("phrase"), " ")).as("word"), col("plen"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("score_milli", expr("(1000 * deg) div freq"))
-    val scored = pw
-      .join(phraseText.select(col("doc_id"), col("phrase_id"),
-        col("phrase"), col("plen")), Seq("doc_id", "phrase_id"))
+    // Every occurrence of a phrase text scores identically (same words
+    // -> same word scores), so score once per DISTINCT text: count
+    // occurrences first, then explode only the distinct-phrase words
+    // into the vocabulary join.
+    val scored = occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("word", explode(split(col("phrase"), " ")))
       .join(wordStats.select(col("word"), col("score_milli")), "word")
-      .groupBy(col("doc_id"), col("phrase_id"), col("phrase"))
+      .groupBy(col("phrase"), col("n_occurrences"))
       .agg(sum(col("score_milli")).as("score_milli"))
-      .groupBy(col("phrase"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        // every occurrence of a phrase text scores identically (same
-        // words -> same word scores), so MIN is just a deterministic
-        // pick of that shared value
-        min(col("score_milli")).as("score_milli"))
     // TakeOrdered top-K first (distributed), THEN the rank window over
     // the K-row result — never a global window on the full phrase table.
     val top = scored.orderBy(col("score_milli").desc, col("phrase"))

@@ -83,6 +83,30 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class PhraseRuns(child: Expression, stops: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_phrase_runs"
+    // One set per expression INSTANCE (plan-compile time), shared by
+    // every row in both the interpreted and codegen paths.
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stops.foreach(s.add)
+      s
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.phraseRuns(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("stopSet", stopSet,
+        "java.util.HashSet<String>")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashKernels.phraseRuns($c, $setRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharEntropyStats(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -289,6 +313,22 @@ object GraftExpressions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArrayLit(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"$what must be an array of string literals, got element $other")
+      }
+    case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(StringType, _)) =>
+      a.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string-array literal, got $other")
+  }
+
   /** Function-registry builders: name -> Seq[Expression] => Expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_poly_hash" -> (args => PolyHash(args.head)),
@@ -301,6 +341,8 @@ object GraftExpressions {
     "graft_char_trigram_hashes" -> (args => CharTrigramHashes(args.head)),
     "graft_char_counts" -> (args => CharCounts(args.head)),
     "graft_char_entropy_stats" -> (args => CharEntropyStats(args.head)),
+    "graft_phrase_runs" ->
+      (args => PhraseRuns(args.head, stringArrayLit(args(1), "stops"))),
     "graft_span_hashes64" ->
       (args => SpanHashes64(args.head, args(1), intLit(args(2), "k"))),
     "graft_minhash_sig" -> (args => MinHashSig(args.head)),
@@ -364,6 +406,9 @@ object GraftFunctions {
   def charCounts(c: Column): Column = call_function("graft_char_counts", c)
   def charEntropyStats(c: Column): Column =
     call_function("graft_char_entropy_stats", c)
+  def phraseRuns(c: Column, stops: Seq[String]): Column =
+    call_function("graft_phrase_runs", c,
+      org.apache.spark.sql.functions.array(stops.map(lit): _*))
   def spanHashes64(whs1: Column, whs2: Column, k: Int): Column =
     call_function("graft_span_hashes64", whs1, whs2, lit(k))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)

@@ -200,6 +200,43 @@ object HashKernels {
       (n * n) / sumC2))
   }
 
+  /** Stopword-delimited content-word runs (RAKE candidate phrases):
+    * lowercase `[a-z]+` tokens (the [[wordHashes]] tokenization), split
+    * into maximal runs at stopwords, each run joined with single
+    * spaces. One pass per doc — the fused form of posexplode(token) +
+    * per-doc window island-ids + collect_list/sort reconstruction,
+    * which shuffled one row per corpus TOKEN (the sf10 cost of the
+    * RAKE key). `stops` must be a lowercase set. */
+  def phraseRuns(s: UTF8String, stops: java.util.HashSet[String]): ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    val run = new java.lang.StringBuilder()
+    val word = new java.lang.StringBuilder()
+    def endWord(): Unit = if (word.length > 0) {
+      val w = word.toString
+      word.setLength(0)
+      if (stops.contains(w)) {
+        if (run.length > 0) {
+          out.add(UTF8String.fromString(run.toString)); run.setLength(0)
+        }
+      } else {
+        if (run.length > 0) run.append(' ')
+        run.append(w)
+      }
+    }
+    var i = 0
+    while (i < bytes.length) {
+      var c = bytes(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') word.append(c.toChar) else endWord()
+      i += 1
+    }
+    endWord()
+    if (run.length > 0) out.add(UTF8String.fromString(run.toString))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Positional character-trigram hashes over the raw byte string:
     * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
     * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.

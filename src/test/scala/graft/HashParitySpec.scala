@@ -145,6 +145,66 @@ class HashParitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("phraseRuns kernel == window-island formulation on the corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val stops = graft.ext.TextAnalysis.stopwords.toMap.apply("en")
+    val stopsArr = array(stops.map(lit): _*)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // The pre-kernel RAKE formulation: token explode, island ids at
+    // stopword breaks, per-island position-ordered reconstruction,
+    // then document-ordered phrase arrays keyed by island start.
+    val ref = docs
+      .select(col("doc_id"), posexplode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as(Seq("pos", "word")))
+      .withColumn("is_stop", array_contains(stopsArr, col("word")))
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .filter(!col("is_stop"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(array_join(expr("transform(sort_array(collect_list(" +
+        "struct(pos, word))), s -> s.word)"), " ").as("phrase"),
+        min(col("pos")).as("start"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(start, phrase)))," +
+        " s -> s.phrase)").as("b"))
+    val joined = docs
+      .select(col("doc_id"),
+        GraftFunctions.phraseRuns(col("text"), stops).as("a"))
+      .join(ref, Seq("doc_id"), "left")
+      .withColumn("b", coalesce(col("b"), array().cast("array<string>")))
+    assert(joined.count() == docs.count())
+    assert(joined.filter(not(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("phraseRuns property: kernel == JVM reference on ASCII-ish strings") {
+    val stops = Set("the", "of", "a", "and")
+    val stopSet = new java.util.HashSet[String]()
+    stops.foreach(stopSet.add)
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("the", "of", "a", "and", "cat", "sat", "mat", "And", "THE"),
+      Gen.oneOf(" ", ".", ", ", "7", "\n", "-")))
+      .map(_.mkString(" "))
+    for (_ <- 1 to 300) {
+      val s = gen.sample.getOrElse("")
+      val words = s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val ref = scala.collection.mutable.ArrayBuffer.empty[String]
+      val run = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (w <- words) {
+        if (stops(w)) { if (run.nonEmpty) { ref += run.mkString(" "); run.clear() } }
+        else run += w
+      }
+      if (run.nonEmpty) ref += run.mkString(" ")
+      val got = HashKernels.phraseRuns(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), stopSet)
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == ref.toSeq, s"input: '$s'")
+    }
+  }
+
   test("hyperplaneBuckets matches a direct reimplementation") {
     val qv = Array.tabulate(64)(d => ((d * 37) % 101 - 50).toLong)
     val got = HashKernels.hyperplaneBuckets(
