@@ -51,33 +51,58 @@ object SparseSim {
   private val PostingCap = 256
   private val Threshold = 0.8
 
-  /** (doc_id, word, w): top-[[TopK]] integer tf-idf features per doc. */
-  private[graft] def featuresOf(docs: DataFrame): DataFrame = {
-    val tf = docs
+  /** (doc_id, fv, n2): each doc's top-[[TopK]] integer tf-idf feature
+    * vector as an array of (word, w) structs, plus its exact squared
+    * norm n2 = Σw² — computed array-side on the same row, no per-doc
+    * re-aggregation. tf comes from the fused
+    * [[graft.functions.HashKernels.wordTfPairs]] kernel (zero shuffle),
+    * df is broadcast back, and the top-[[TopK]] selection is the
+    * bounded `graft_top_k_smallest` aggregate — the exchange carries
+    * [[TopK]] entries per doc, not every scored (doc, word) row. */
+  private[graft] def featureVectors(docs: DataFrame): DataFrame = {
+    val wtf = docs
       .select(col("doc_id"),
-        explode(graft.engine.Tokenizer.tokens(lower(col("text")),
-          TextAnalysis.LowerWordPattern)).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("word"))
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
+      // two consumers (df agg + score/top-k pass) but NO lineage cut:
+      // the tf stage is shuffle-free, so re-running scan+kernel beats
+      // materializing the corpus-sized frame (see tfidfTopTerms).
+    val df = wtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    wtf.join(broadcast(df), Seq("word"))
       .withColumn("score", expr("(tf * 1000000L) div df"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("word"))))
-      .filter(col("rnk") <= TopK)
-      .withColumn("w", expr("score div 1000"))
-      .filter(col("w") > 0)
-      .select(col("doc_id"), col("word"), col("w"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.topKSmallest(
+        struct((-col("score")).as("ns"), col("word")), TopK).as("top"))
+      .withColumn("fv", expr(
+        "filter(transform(top, s -> struct(s.word AS word," +
+          " (-s.ns) div 1000 AS w)), s -> s.w > 0)"))
+      .withColumn("n2", expr(
+        "aggregate(fv, CAST(0 AS BIGINT), (acc, s) -> acc + s.w * s.w)"))
+      .select(col("doc_id"), col("fv"), col("n2"))
   }
+
+  /** (doc_id, word, w): the exploded row form of [[featureVectors]]. */
+  private[graft] def featuresOf(docs: DataFrame): DataFrame =
+    featureVectors(docs)
+      .select(col("doc_id"), explode(col("fv")).as("s"))
+      .select(col("doc_id"), col("s.word"), col("s.w"))
 
   /** All pairs with cosine ≥ [[Threshold]] over the feature vectors. */
   def similarPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = featuresOf(Tables.documents(spark, sfDir)).localCheckpoint()
-    val norms = feats.groupBy(col("doc_id"))
-      .agg(sum(col("w") * col("w")).as("n2"))
-    val capped = feats
+    // Lineage cut on the per-doc ARRAY frame (one compact row per doc):
+    // the norms side and the posting side both read it. The posting
+    // rows deliberately do NOT carry n2 — the posting self-join fans
+    // out to Σ C(p_w, 2) partial rows, and every byte on them is paid
+    // C(cap, 2) times per word; norms join back AFTER the (da, db)
+    // aggregation, against the far smaller pairs frame (measured 25%
+    // faster at sf10 than riding n2 through the fan-out).
+    val fvs = featureVectors(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val norms = fvs.select(col("doc_id"), col("n2"))
+    val capped = fvs
+      .select(col("doc_id"), explode(col("fv")).as("s"))
+      .select(col("doc_id"), col("s.word"), col("s.w"))
       .withColumn("prnk", row_number().over(
         Window.partitionBy(col("word"))
           .orderBy(col("w").desc, col("doc_id"))))

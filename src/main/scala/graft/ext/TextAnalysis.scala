@@ -387,32 +387,36 @@ object TextAnalysis {
     * scale-stable plan). Top-5 per doc is a bounded rank filter —
     * TopKPerKeyExec's territory, never a global sort.
     *
-    * tf fans out to TWO consumers (df and the join), and the optimizer's
-    * column pruning makes the two tf subtrees DIFFER (the df branch drops
-    * the count), so ReuseExchange cannot collapse them — without a
-    * lineage cut the corpus is scanned + tokenized + shuffled twice
-    * (observed in the executed plan, round 6). localCheckpoint
-    * materializes tf once; it is the largest frame this query touches
-    * (one row per doc×word — the combined output of the first shuffle),
-    * but storing that beats re-running scan+explode+shuffle at 100 TB. */
+    * tf comes out of the fused [[graft.functions.HashKernels.wordTfPairs]]
+    * kernel — one codegen'd pass per document, zero shuffle — instead of
+    * explode + groupBy(doc, word), which exchanged one row per corpus
+    * (doc, word) pair. tf fans out to TWO consumers (df and the score
+    * join), and deliberately WITHOUT a lineage cut: rescanning parquet
+    * and re-running the codegen kernel is cheaper than materializing
+    * the corpus-sized (doc, word, tf) frame (round 6 cut a
+    * shuffle-producing tf; this tf has no shuffle to save, and the df
+    * branch prunes to the word column at the scan). df
+    * (vocabulary-sized) is broadcast back, and the per-doc top-5 runs
+    * as the bounded `graft_top_k_smallest` aggregate, whose map-side
+    * partial state is a 5-element heap per doc — the exchange carries
+    * five rows per document where the old rank-window shape exchanged
+    * every scored (doc, word) row. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(spark, sfDir)
+    val wtf = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern))
-          .as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("word"))
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
+    val df = wtf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    wtf.join(broadcast(df), Seq("word"))
       .withColumn("score", expr("(tf * 1000000L) div df"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("word"))))
-      .filter(col("rnk") <= 5)
-      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("df"),
-        col("score"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.topKSmallest(
+        struct((-col("score")).as("ns"), col("word"), col("tf"), col("df"),
+          col("score")), 5).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("doc_id"), (col("i") + 1).as("rnk"), col("s.word"),
+        col("s.tf"), col("s.df"), col("s.score"))
   }
 
   val tfidfTopTermsSql: String =
@@ -612,9 +616,10 @@ object TextAnalysis {
     * (constant result, broadcast); the posting join filters the
     * (doc, word) tf table to query terms BEFORE anything widens — at
     * 100 TB the exchanges carry only docs containing a query term;
-    * dl/S/N ride the same tokenize pass (lineage-cut, 3 consumers);
-    * top-k per term is a window over [[Bm25QueryTerms]] partitions of
-    * candidate hits, the standard distributed top-k. */
+    * tf and dl come out of the fused wordTfPairs kernel row-locally
+    * (zero shuffle — see bm25Hits); top-k per term is a window over
+    * [[Bm25QueryTerms]] partitions of candidate hits, the standard
+    * distributed top-k. */
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     bm25Hits(spark, sfDir)
@@ -631,13 +636,25 @@ object TextAnalysis {
     * matching doc) with its exact-integer statistics, BEFORE the top-k
     * cut. The seam [[searchRrf]] fuses other rankers over. */
   private def bm25Hits(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // 3 consumers: dl, df, posting join
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint() // 2 consumers: totals, hit join
-    val totals = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("n"))
+    // Per-doc (word, tf) pairs from the fused wordTfPairs kernel, with
+    // dl = Σtf computed ROW-LOCALLY on the same kernel array — the old
+    // shape exchanged one row per corpus (doc, word) for tf, exchanged
+    // again for the dl table, and joined dl back onto the hits; all
+    // three of those corpus-sized movements are gone. Docs with zero
+    // tokens never enter tf/dl in either shape. No lineage cuts: every
+    // reread is a scan + codegen kernel pass, cheaper than
+    // materializing a corpus-sized frame.
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.wordTfPairs(col("text")).as("wtf"))
+      .filter(size(col("wtf")) > 0)
+      .withColumn("dl",
+        expr("aggregate(wtf, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)"))
+    val tf = pairs
+      .select(col("doc_id"), col("dl"), explode(col("wtf")).as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"),
+        col("dl"))
+    val totals = pairs.agg(sum(col("dl")).as("s"), count(lit(1)).as("n"))
     val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val terms = dfTab
       .orderBy(col("df"), col("word")).limit(Bm25QueryTerms)
@@ -647,7 +664,6 @@ object TextAnalysis {
           .cast("long").as("idf_bits"),
         col("s"), col("n"))
     tf.join(broadcast(terms), tf("word") === terms("term"))
-      .join(dl, Seq("doc_id"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
         col("idf_bits"),
         expr("(1000 * 22 * tf * s) div (10 * s * tf + 3 * s + 9 * dl * n)")
@@ -713,10 +729,13 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rnk") <= PrfSeedDocs)
       .select(col("term"), col("doc_id"))
-    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // consumers: feedback-pool join + df table
+    // Fused-kernel tf (see bm25Hits): zero-shuffle, rereads beat a
+    // corpus-sized checkpoint for the two consumers.
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
     val dfTab = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val pool = tf.join(broadcast(seeds), Seq("doc_id"))
       .filter(col("word") =!= col("term"))
@@ -956,10 +975,13 @@ object TextAnalysis {
     * name the same documents. Output is long form (doc_id, term, tf),
     * two rows per hit, no pivot. */
   def postingsAnd(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tokenize.wordsOf(Tables.documents(spark, sfDir))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // consumers: df table, posting probe
+    // Fused-kernel tf (see bm25Hits): zero-shuffle, rereads beat a
+    // corpus-sized checkpoint for the two consumers.
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordTfPairs(col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
     val terms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .orderBy(col("df"), col("word")).limit(2)
       .select(col("word"))

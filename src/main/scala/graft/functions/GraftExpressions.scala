@@ -107,6 +107,21 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class WordTfPairs(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_word_tf_pairs"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.wordTfPairs(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordTfPairs($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharEntropyStats(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -343,6 +358,18 @@ object GraftExpressions {
     "graft_char_entropy_stats" -> (args => CharEntropyStats(args.head)),
     "graft_phrase_runs" ->
       (args => PhraseRuns(args.head, stringArrayLit(args(1), "stops"))),
+    "graft_word_tf_pairs" -> (args => WordTfPairs(args.head)),
+    // Bounded top-k aggregate: the k SMALLEST inputs under the input
+    // type's natural ordering, as a sorted-ascending array. Spark's own
+    // CollectTopK (the nsmallest/nlargest engine) — a
+    // TypedImperativeAggregate whose partial state is a k-bounded heap,
+    // so a groupBy(key).agg(topK(...)) exchanges k rows per key where
+    // Filter(row_number()<=k) over a Window exchanges EVERY row to the
+    // key's reducer first. Encode descending fields by negation
+    // (struct(-score, word) = score DESC, word ASC).
+    "graft_top_k_smallest" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        args.head, intLit(args(1), "k"), true)),
     "graft_span_hashes64" ->
       (args => SpanHashes64(args.head, args(1), intLit(args(2), "k"))),
     "graft_minhash_sig" -> (args => MinHashSig(args.head)),
@@ -409,6 +436,10 @@ object GraftFunctions {
   def phraseRuns(c: Column, stops: Seq[String]): Column =
     call_function("graft_phrase_runs", c,
       org.apache.spark.sql.functions.array(stops.map(lit): _*))
+  def wordTfPairs(c: Column): Column = call_function("graft_word_tf_pairs", c)
+  /** k smallest values of `c` per group, sorted ascending. */
+  def topKSmallest(c: Column, k: Int): Column =
+    call_function("graft_top_k_smallest", c, lit(k))
   def spanHashes64(whs1: Column, whs2: Column, k: Int): Column =
     call_function("graft_span_hashes64", whs1, whs2, lit(k))
   def minhashSig(sh: Column): Column = call_function("graft_minhash_sig", sh)

@@ -237,6 +237,42 @@ object HashKernels {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** Per-document term frequencies: (word, tf) structs for the
+    * lowercase `[a-z]+` tokens (the [[wordHashes]] tokenization),
+    * sorted by word — the one-pass, shuffle-free twin of
+    * explode(tokens) + groupBy(doc_id, word).count(), which exchanged
+    * one row per corpus (doc, word) pair (the tf stage every tf-idf
+    * consumer paid at sf10). */
+  def wordTfPairs(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new java.util.TreeMap[String, java.lang.Long]()
+    val word = new java.lang.StringBuilder()
+    def endWord(): Unit = if (word.length > 0) {
+      val w = word.toString
+      word.setLength(0)
+      val prev = counts.get(w)
+      counts.put(w, if (prev == null) 1L else prev.longValue + 1L)
+    }
+    var i = 0
+    while (i < bytes.length) {
+      var c = bytes(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') word.append(c.toChar) else endWord()
+      i += 1
+    }
+    endWord()
+    val out = new Array[AnyRef](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.longValue))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Positional character-trigram hashes over the raw byte string:
     * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
     * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.

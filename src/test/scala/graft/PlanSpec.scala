@@ -208,17 +208,27 @@ class PlanSpec extends SparkSpec {
       "both consumers must read the checkpointed rev frame:\n" + p)
   }
 
-  test("tfidf: documents scanned once (tf materialized) and rnk<=5 on TopKPerKeyExec") {
-    // Without the tf lineage cut the optimizer's column pruning makes the
-    // two tf subtrees differ (df's drops the count), ReuseExchange cannot
-    // fire, and the corpus is scanned+tokenized+shuffled TWICE.
+  test("tfidf: fused tf kernel, broadcast df, bounded top-k agg") {
+    // The round-15 shape: tf comes from the zero-shuffle wordTfPairs
+    // kernel (re-run per consumer — cheaper than materializing the
+    // corpus-sized frame), df broadcasts back, and the per-doc top-5 is
+    // the bounded CollectTopK aggregate. The only hash exchanges left
+    // are the vocabulary-sized df agg and the 5-rows-per-doc top-k
+    // partials; the old shape exchanged every corpus (doc, word) row
+    // three times (tf groupBy, tf-df join, rank window).
     val df = ext.TextAnalysis.tfidfTopTerms(spark, sf)
     df.collect()
     val p = plan(df)
-    assert(!p.contains("FileScan"),
-      "documents must come from the one materialized tf frame:\n" + p)
-    assert(p.contains("TopKPerKey"),
-      "rnk<=5 over window must ride TopKPerKeyExec (O(k) per key):\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary-sized df table must broadcast back onto tf:\n" + p)
+    // The executed-plan string repeats the tree under "== Initial Plan =="
+    // once AQE finalizes; count exchanges in the final section only.
+    val finalP = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalP).size == 2,
+      "only the df agg and the k-per-doc top-k partials may exchange:\n" + p)
+    assert(p.toLowerCase.contains("collect_top_k") ||
+      p.contains("graft_top_k_smallest"),
+      "per-doc top-5 must ride the bounded CollectTopK aggregate:\n" + p)
   }
 
   test("dedup_phash: band equi-join bounds candidates — no all-pairs") {

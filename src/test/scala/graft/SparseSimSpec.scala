@@ -16,6 +16,9 @@ class SparseSimSpec extends SparkSpec {
       (2L, "alpha beta gamma alpha"),
       (3L, "delta epsilon zeta eta theta")
     ).toDF("doc_id", "text")
+    // Kernel registration normally rides on the first Tables load; this
+    // test builds its frame from literals, so register explicitly.
+    graft.functions.GraftFunctions.register(spark)
     // Run the full pipeline on a tiny corpus by dropping it through the
     // feature seam + the same pairing logic at the gate threshold.
     val feats = SparseSim.featuresOf(docs)
@@ -33,6 +36,7 @@ class SparseSimSpec extends SparkSpec {
 
   test("dot product over partials equals the direct sparse dot (fixture)") {
     val feats = SparseSim.featuresOf(Tables.documents(spark, sf))
+      .select("doc_id", "word", "w")
       .localCheckpoint()
     // Direct verification on a handful of pairs: reconstruct the dot
     // from a pivoted local map and compare to the partial-sum path.
