@@ -43,63 +43,50 @@ object Quality {
 
   /** Per-doc token/2-gram frequency stats — the shared base of both
     * gated queries: (doc_id, n_tokens, n_distinct, top_tf, n_2grams,
-    * n_distinct_2g, sum_word_len).
-    *
-    * The words frame is localCheckpoint'd: it feeds THREE consumers
-    * (unigram branch, 2-gram branch, per-doc word-length sums) whose
-    * pruned subtrees differ, so without the cut the scan+tokenize would
-    * run three times. */
+    * n_distinct_2g, sum_word_len). */
   private def statsFrame(spark: SparkSession, sfDir: String): DataFrame =
     statsOf(Tables.documents(spark, sfDir))
 
   /** [[statsFrame]] over an explicit (doc_id, text) frame — the planted-
-    * document seam QualitySpec drives. */
+    * document seam QualitySpec drives.
+    *
+    * Every statistic here is a function of ONE document, so the whole
+    * frame is a single row-local pass: unigram stats fold over the fused
+    * wordTfPairs kernel's (word, tf) array (n_tokens = Σtf, n_distinct =
+    * its size, top_tf = max tf), 2-gram stats over the adjacent-pair
+    * array (array_distinct for the distinct count). The previous shape
+    * exploded the corpus twice and exchanged one row per (doc, word) and
+    * per (doc, gram) to re-group what was already doc-local, then joined
+    * the branches back — four exchanges, two joins and a corpus-sized
+    * checkpoint for a per-doc map stage. Docs with 0 tokens / 1 token
+    * get zero counts directly (the old left-join-and-coalesce case). */
   private[graft] def statsOf(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
     // Planted frames arrive without going through Tables (which is what
     // normally registers the kernel functions) — idempotent re-register.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val ws = docs
+    docs
       .select(col("doc_id"),
         graft.engine.Tokenizer.tokens(lower(col("text")),
           TextAnalysis.LowerWordPattern).as("ws"),
+        wordTfPairs(col("text")).as("wtf"),
         letterCount(col("text")).as("sum_word_len"))
-      .localCheckpoint()
-    val uni = ws.select(col("doc_id"), explode(col("ws")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("tf")).as("top_tf"))
-    // 2-grams of adjacent words; every corpus doc has >= 10 words so the
-    // size guard only protects degenerate inputs from a descending
-    // sequence(1, 0) fan-out.
-    val grams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat(element_at(col("ws"), i), lit(" "),
-          element_at(col("ws"), i + 1))))
-      .otherwise(array())
-    val bi = ws.select(col("doc_id"), explode(grams).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_2grams"),
-        count(lit(1)).as("n_distinct_2g"))
-    // Drive from the per-doc frame and LEFT-join both gram branches:
-    // explode drops empty arrays, so a 0-token doc has no unigram rows
-    // and a 1-token doc no 2-gram rows — an inner join would silently
-    // omit exactly the documents the MinWords rule exists to reject.
-    // Zeroed counts flow to rulesOf as keep=false instead.
-    ws.select(col("doc_id"), col("sum_word_len"))
-      .join(uni, Seq("doc_id"), "left")
-      .join(bi, Seq("doc_id"), "left")
+      // 2-grams of adjacent words; every corpus doc has >= 10 words so
+      // the size guard only protects degenerate inputs from a descending
+      // sequence(1, 0) fan-out.
+      .withColumn("grams", when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>")))
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        coalesce(col("top_tf"), lit(0L)).as("top_tf"),
-        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
-        coalesce(col("n_distinct_2g"), lit(0L)).as("n_distinct_2g"),
+        expr("aggregate(wtf, CAST(0 AS BIGINT), (acc, p) -> acc + p.tf)")
+          .as("n_tokens"),
+        size(col("wtf")).cast("long").as("n_distinct"),
+        expr("aggregate(wtf, CAST(0 AS BIGINT)," +
+          " (acc, p) -> greatest(acc, p.tf))").as("top_tf"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_2g"),
         col("sum_word_len"))
   }
 

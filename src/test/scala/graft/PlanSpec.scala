@@ -238,15 +238,19 @@ class PlanSpec extends SparkSpec {
       "phash candidates must come from the band equi-join:\n" + p)
   }
 
-  test("quality stats: corpus tokenized once (ws materialized)") {
-    // The token frame feeds three consumers (unigram, 2-gram, word-length)
-    // whose pruned subtrees differ; without the lineage cut the scan+
-    // tokenize would run three times — the tfidf lesson.
+  test("quality stats: fully row-local — one scan, zero exchange") {
+    // Every per-doc statistic folds over the doc's own token/tf/gram
+    // arrays (round 15): the plan must be a single corpus scan with NO
+    // exchange — the old shape exploded the corpus twice and exchanged
+    // one row per (doc, word) and per (doc, gram) to re-group doc-local
+    // data.
     val df = ext.Quality.repetition(spark, sf)
     df.collect()
     val p = plan(df)
-    assert(!p.contains("FileScan"),
-      "documents must come from the one materialized ws frame:\n" + p)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "per-doc stats must read the corpus exactly once:\n" + p)
+    assert(!p.contains("Exchange"),
+      "per-doc stats must not shuffle at all:\n" + p)
   }
 
   test("substring coverage: span frame materialized once, spans scan single") {
