@@ -1019,23 +1019,41 @@ object TextAnalysis {
     * doc_id-keyed agg over matching positions only. Overlapping
     * occurrences count per starting position in both engines. */
   def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val bg = Tables.documents(spark, sfDir)
+    // Per-doc adjacent-bigram arrays, rebuilt per consumer — re-running
+    // scan+tokenize is cheaper than pinning the corpus-sized bigram
+    // frame (the old localCheckpoint materialized one string row per
+    // corpus bigram).
+    def grams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"),
         graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern)
           .as("ws"))
-      .select(col("doc_id"), explode(expr(
+      .withColumn("grams", expr(
         """if(size(ws) >= 2,
           |  transform(sequence(1, size(ws) - 1),
           |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))),
-          |  cast(array() as array<string>))""".stripMargin)).as("bg"))
-      .localCheckpoint() // consumers: top-phrase agg, probe
-    val top = bg.groupBy(col("bg")).agg(count(lit(1)).as("total"))
+          |  cast(array() as array<string>))""".stripMargin))
+    val docs = Tables.documents(spark, sfDir)
+    // explode_OUTER + null-filter, deliberately: a plain explode gets an
+    // inferred `size(grams) > 0` filter that predicate pushdown rewrites
+    // below the projects by SUBSTITUTING the ws alias into the lambda's
+    // element_at calls — re-tokenizing the whole document once per
+    // bigram element, O(len²) per doc at the scan (measured 6.5 → 137 s
+    // at sf10). The outer generate infers nothing; the null filter on
+    // the OUTPUT column cannot be pushed below its own generate.
+    val top = grams(docs)
+      .select(explode_outer(col("grams")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("bg")).agg(count(lit(1)).as("total"))
       .orderBy(col("total").desc, col("bg")).limit(1)
       .select(col("bg"))
-    bg.join(broadcast(top), Seq("bg"))
-      .groupBy(col("doc_id"), col("bg").as("phrase"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(col("doc_id"), col("phrase"), col("n_hits"))
+    // The probe is ROW-LOCAL: count the broadcast phrase's occurrences
+    // inside each doc's own bigram array — no probe-side explode, no
+    // (doc, phrase) re-grouping exchange.
+    grams(docs).crossJoin(broadcast(top))
+      .withColumn("n_hits",
+        size(expr("filter(grams, g -> g = bg)")).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("bg").as("phrase"), col("n_hits"))
   }
 
   val phraseSearchSql: String =
@@ -1062,36 +1080,47 @@ object TextAnalysis {
     * deterministic), so the three search gates form a strictness ladder
     * over one query: AND ⊇ NEAR/8 ⊇ phrase.
     *
-    * Scale shape: positional postings (doc, word, pos) filtered by the
-    * 2-term broadcast BEFORE any exchange (cost scales with matching
-    * postings, not corpus — the BM25 discipline); the per-doc position
-    * pairing is keyed on doc_id and bounded by tf₁·tf₂ of the RAREST
-    * terms (rare by construction; a frequent-term NEAR would ride the
-    * phrase gate's adjacency encoding instead). Per doc: pair count
-    * within the window and the exact minimum distance. */
+    * Scale shape: the df ranking rides the fused wordTfPairs kernel
+    * (one entry per distinct (doc, word) — a plain COUNT per word IS
+    * the document frequency, no 150M-row countDistinct expansion); the
+    * position pairing is ROW-LOCAL — each doc extracts both terms'
+    * positions from its own token array against the 1-row broadcast
+    * query and pairs them in place (bounded by tf₁·tf₂ of the RAREST
+    * terms — rare by construction; a frequent-term NEAR would ride the
+    * phrase gate's adjacency encoding instead). No positional-posting
+    * explode, no per-doc pairing join, no re-grouping exchange: the
+    * only exchange left is the vocabulary-sized df agg. Per doc: pair
+    * count within the window and the exact minimum distance. */
   def proximitySearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(graft.engine.Tokenizer.tokens(lower(col("text")),
-          LowerWordPattern)))
-      .toDF("doc_id", "pos", "word")
-      .localCheckpoint() // consumers: df ranking, both term probes
-    val terms = pos.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs
+      .select(explode(graft.functions.GraftFunctions.wordTfPairs(col("text")))
+        .as("p"))
+      .select(col("p.word").as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
       .orderBy(col("df"), col("word")).limit(2)
       .withColumn("tid", row_number().over(
         Window.orderBy(col("df"), col("word"))))
-    val hits = pos.join(broadcast(terms), Seq("word"))
-    val a = hits.filter(col("tid") === 1)
-      .select(col("doc_id"), col("word").as("term_a"), col("pos").as("pa"))
-    val b = hits.filter(col("tid") === 2)
-      .select(col("doc_id"), col("word").as("term_b"), col("pos").as("pb"))
-    a.join(b, Seq("doc_id"))
-      .withColumn("dist", abs(col("pa") - col("pb")))
-      .filter(col("dist") <= ProxWindow)
-      .groupBy(col("doc_id"), col("term_a"), col("term_b"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("dist")).cast("long").as("min_dist"))
+    val query = terms.agg(
+      max(when(col("tid") === 1, col("word"))).as("term_a"),
+      max(when(col("tid") === 2, col("word"))).as("term_b"))
+    docs
+      .select(col("doc_id"),
+        graft.engine.Tokenizer.tokens(lower(col("text")), LowerWordPattern)
+          .as("ws"))
+      .crossJoin(broadcast(query))
+      .withColumn("pa", expr(
+        "filter(transform(ws, (w, i) -> IF(w = term_a, i, -1)), x -> x >= 0)"))
+      .withColumn("pb", expr(
+        "filter(transform(ws, (w, i) -> IF(w = term_b, i, -1)), x -> x >= 0)"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .withColumn("within", expr(
+        s"filter(flatten(transform(pa, x -> transform(pb, y -> abs(x - y))))," +
+          s" d -> d <= $ProxWindow)"))
+      .filter(size(col("within")) > 0)
+      .select(col("doc_id"), col("term_a"), col("term_b"),
+        size(col("within")).cast("long").as("n_pairs"),
+        expr("array_min(within)").cast("long").as("min_dist"))
   }
 
   val proximitySearchSql: String =
