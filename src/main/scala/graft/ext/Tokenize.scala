@@ -59,18 +59,29 @@ object Tokenize {
       explode(graft.engine.Tokenizer.tokens(lower(col("text")),
         TextAnalysis.LowerWordPattern)).as("word"))
 
+  /** (doc_id, word, tf) via the fused wordTfPairs kernel — one
+    * codegen'd pass per document, zero shuffle (the explode + groupBy
+    * shape this replaces exchanged one row per corpus token). */
+  private def wtfOf(docs: DataFrame): DataFrame = {
+    GF.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(GF.wordTfPairs(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.word").as("word"), col("p.tf").as("tf"))
+  }
+
   /** 1-row frame: the sorted top-K vocab as an array<string> column —
-    * the constant-size broadcast every tokenization joins against. */
-  private[graft] def vocabRowOf(words: DataFrame, k: Int): DataFrame =
-    words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    * the constant-size broadcast every tokenization joins against.
+    * Takes the kernel tf frame: corpus word counts are Σtf. */
+  private[graft] def vocabRowOf(wtf: DataFrame, k: Int): DataFrame =
+    wtf.groupBy(col("word")).agg(sum(col("tf")).as("c"))
       .orderBy(col("c").desc, col("word"))
       .limit(k)
       .agg(sort_array(collect_list(col("word"))).as("vocab"))
 
   /** (word, n_pieces, n_vocab_pieces) over the DISTINCT words of the
     * corpus — the tokenized vocabulary. */
-  private def pieceTable(words: DataFrame, vocabRow: DataFrame): DataFrame =
-    words.select(col("word")).distinct()
+  private def pieceTable(wtf: DataFrame, vocabRow: DataFrame): DataFrame =
+    wtf.select(col("word")).distinct()
       .crossJoin(broadcast(vocabRow))
       .select(col("word"), GF.greedyPieces(col("word"), col("vocab")).as("pc"))
       .select(col("word"),
@@ -81,26 +92,30 @@ object Tokenize {
     * corpus — the STATIC side the streaming twin joins against (the
     * frozen-tokenizer deployment shape: derive once, enrich forever). */
   private[graft] def pieceFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    GF.register(spark)
-    val words = wordsOf(Tables.documents(spark, sfDir)).localCheckpoint()
-    pieceTable(words, vocabRowOf(words, VocabK))
+    val wtf = wtfOf(Tables.documents(spark, sfDir))
+    pieceTable(wtf, vocabRowOf(wtf, VocabK))
   }
 
   /** Per-doc exact token accounting over an explicit (doc_id, text)
     * frame with an explicit vocab row — TokenizeSpec's seam. Drives from
     * the documents frame with LEFT joins so 0-word docs surface with
-    * zeroed counts (the Quality short-doc lesson, applied from day 1). */
+    * zeroed counts (the Quality short-doc lesson, applied from day 1).
+    *
+    * Scale shape (r15): the kernel tf frame never shuffles; the piece
+    * table (distinct words × greedy-piece counts, vocabulary-sized)
+    * BROADCASTS back onto it, so the per-doc rollup's partial
+    * aggregation runs where the doc's rows already live — the old shape
+    * checkpointed one row per corpus token, sort-merge-joined 150M rows
+    * by word, and re-grouped them by doc. */
   private[graft] def tokenStatsOf(docs: DataFrame,
       vocabRow: DataFrame): DataFrame = {
-    GF.register(docs.sparkSession)
-    // words feeds the distinct-word table AND the per-doc rollup —
-    // lineage-cut so the scan + tokenize runs once (q15/tfidf lesson).
-    val words = wordsOf(docs).localCheckpoint()
-    val perDoc = words.join(pieceTable(words, vocabRow), Seq("word"))
+    val wtf = wtfOf(docs)
+    val perDoc = wtf
+      .join(broadcast(pieceTable(wtf, vocabRow)), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_pieces")).as("n_tokens"),
-        sum(col("n_vocab_pieces")).as("n_vocab_tokens"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("n_pieces")).as("n_tokens"),
+        sum(col("tf") * col("n_vocab_pieces")).as("n_vocab_tokens"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -112,12 +127,12 @@ object Tokenize {
   /** Gated: per-doc exact token counts under the corpus-derived vocab. */
   def corpusTokenize(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // The vocab derivation re-tokenizes (its own words frame) — one
+    // The vocab derivation re-tokenizes (its own kernel pass) — one
     // extra scan over the corpus, but the vocab row must be computable
-    // WITHOUT the checkpointed stats words frame so callers can also
-    // supply a fixed external vocab (the production deployment shape:
-    // vocab frozen once, reused across ingests).
-    tokenStatsOf(docs, vocabRowOf(wordsOf(docs), VocabK))
+    // WITHOUT the stats frame so callers can also supply a fixed
+    // external vocab (the production deployment shape: vocab frozen
+    // once, reused across ingests).
+    tokenStatsOf(docs, vocabRowOf(wtfOf(docs), VocabK))
   }
 
   /** Shared oracle CTEs: words → counts → vocab → distinct words →
@@ -339,7 +354,7 @@ object Tokenize {
   def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("ih", Hashing.idHash(col("doc_id")))
-    val snapVocab = vocabRowOf(wordsOf(docs.filter(col("ih") % 4 =!= 0)), VocabK)
+    val snapVocab = vocabRowOf(wtfOf(docs.filter(col("ih") % 4 =!= 0)), VocabK)
     tokenStatsOf(docs, snapVocab)
       .join(docs.select(col("doc_id"),
         when(col("ih") % 4 === 0, "batch").otherwise("snapshot").as("cohort")),

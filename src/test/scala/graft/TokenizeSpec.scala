@@ -47,9 +47,12 @@ class TokenizeSpec extends SparkSpec {
 
   test("word-boundary additivity: tokenize(a ++ ' ' ++ b) = tokenize(a) + tokenize(b)") {
     val vocab = Seq((1L, "the a quick brown the fox")).toDF("doc_id", "text")
+    // vocabRowOf takes the kernel-shaped (word, tf) frame since r15.
     val vocabRow = Tokenize.vocabRowOf(
       vocab.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("word")), 3)
+        explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf")), 3)
     val a = "the quick brown fox jumps"
     val b = "over the lazy dog again"
     val docs = Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("doc_id", "text")
@@ -63,7 +66,7 @@ class TokenizeSpec extends SparkSpec {
 
   test("zero-word docs surface with zeroed counts") {
     val vocabRow = Tokenize.vocabRowOf(
-      Seq((1L, "a")).toDF("doc_id", "word"), 4)
+      Seq((1L, "a", 1L)).toDF("doc_id", "word", "tf"), 4)
     val docs = Seq((1L, "some words here"), (2L, ""), (3L, "123 !!"))
       .toDF("doc_id", "text")
     val st = Tokenize.tokenStatsOf(docs, vocabRow).collect()
