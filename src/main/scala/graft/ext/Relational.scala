@@ -853,42 +853,44 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val finished = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    // ONE fact exchange, structurally (round 15): a previous form
-    // repartitioned the fact and joined it back to the windowed blame
-    // frame, counting on ReuseExchange to share the shuffle — but the
-    // self-join re-aliases one subtree's exprIds, so the rule never
-    // matched and the fact shuffled TWICE (caught by the round-14
-    // advisory; confirmed with ShuffleQueryStage ids at sf0.1). Instead
-    // each (order, supplier) group now CARRIES its ship dates through
-    // the one agg exchange (collect_list — a handful of lines per
-    // group), and the blamed-line count is an array filter against m2
-    // after the window: no join back, no reuse reliance. PlanSpec pins
-    // the single fact exchange.
-    // Explicit orderkey exchange: partitioning on the SUBSET key serves
-    // both the (orderkey, suppkey) agg and the orderkey window, so the
-    // fact crosses the wire once. (Map-side combine is no loss here —
-    // collect_list carries every date through the shuffle either way.)
-    val perSup = Tables.lineitem(spark, sfDir)
+    // Shape history (rounds 14-15): the round-15 first cut carried each
+    // group's ship dates through ONE fact exchange via collect_list and
+    // counted blamed lines with an array filter — fastest isolated
+    // (6.7 s at sf10) but collect_list is an OBJECT aggregate: it
+    // always falls back to sort-based aggregation (128-key threshold),
+    // and in the full 292-key session — where protected memo frames and
+    // checkpoint blocks squeeze execution memory — that object sort
+    // degraded 8× (54 s in-session vs 9.3 for the r14 shape; the
+    // full-session number is the one the driver grades). This form
+    // keeps every operator whole-stage-codegen and spill-graceful: a
+    // SLIM hash agg to per-(order, supplier) max (map-side combined),
+    // the order window picks each order's unique-latest blame candidate
+    // and its threshold m2 = lead(smax), and the fact joins back on
+    // (orderkey, suppkey) with the strict date comparison as a
+    // residual. Two explicit fact-keyed exchanges, no ReuseExchange
+    // reliance (the round-14 advisory), no object aggregation anywhere.
+    val fact = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .repartition(col("l_orderkey"))
+    val perSup = fact
       .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(col("l_shipdate")).as("smax"),
-        collect_list(col("l_shipdate")).as("dates"))
+      .agg(max(col("l_shipdate")).as("smax"))
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("smax").desc, col("l_suppkey"))
-    perSup
+    val blame = perSup
       .withColumn("rn", row_number().over(w))
       .withColumn("m2", lead(col("smax"), 1).over(w))
       // NULL m2 (lone supplier) and tied m2 (= smax) both fail here.
       .filter(col("rn") === 1 && col("m2") < col("smax"))
       .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .select(col("l_suppkey"),
-        size(filter(col("dates"), d => d > col("m2")))
-          .cast("long").as("n_late"))
+      .select(col("l_orderkey").as("b_orderkey"),
+        col("l_suppkey").as("b_suppkey"), col("m2"))
+    fact
+      .join(blame, col("l_orderkey") === col("b_orderkey") &&
+        col("l_suppkey") === col("b_suppkey") && col("l_shipdate") > col("m2"))
       .join(Tables.supplier(spark, sfDir)
         .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(sum(col("n_late")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
