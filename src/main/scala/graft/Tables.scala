@@ -60,12 +60,19 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = root.getFileSystem(conf)
+    // Recurse into every non-hidden subdirectory (partitioned layouts
+    // nest `key=v/` dirs whose names carry no .parquet suffix); the name
+    // filter applies only to regular FILES, skipping _SUCCESS/.crc and
+    // other sidecar metadata (round-15 advisory: filtering directories
+    // by suffix silently undercounted nested layouts).
     def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-          .flatMap(s => files(s.getPath))
-      else Seq(p)
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else fs.listStatus(p).toSeq.flatMap(s => files(s.getPath))
+      } else if (name.endsWith(".parquet")) Seq(p)
+      else Seq.empty
     }
     files(root).map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)

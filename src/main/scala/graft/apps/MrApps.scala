@@ -127,7 +127,14 @@ object MrApps {
 
   def reduceSortedConcat(spark: SparkSession, dir: String): DataFrame = {
     withGenericReduce(spark)
-    graft.Tables.documents(spark, dir)
+    // Same 1-in-20 subset bound as the other generic-reduce twins
+    // (round-15 advisory): grouping by lang over the FULL corpus would
+    // buffer every doc_id of a language in one in-memory List — the
+    // per-group multiplicity is corpus-linear, exactly the unbounded
+    // state the collect-then-finish contract must be capped under. The
+    // declarative mr_sorted_concat above stays full-corpus (sort_array
+    // over a columnar agg buffer — spillable, no object List).
+    docSubset(graft.Tables.documents(spark, dir))
       .select(col("lang").as("key"), col("doc_id").cast("string").as("v"))
       .groupBy("key")
       .agg(expr("mr_reduce_sorted_concat(key, v)").as("vals"))
@@ -202,7 +209,7 @@ object MrApps {
     "mr_reduce_sorted_concat" ->
       """SELECT lang AS key,
         |  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY CAST(doc_id AS VARCHAR)) AS vals
-        |FROM documents GROUP BY lang""".stripMargin,
+        |FROM documents WHERE doc_id % 20 = 0 GROUP BY lang""".stripMargin,
     "mr_reduce_indexer" ->
       s"""SELECT word AS key,
          |  CAST(COUNT(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS entry

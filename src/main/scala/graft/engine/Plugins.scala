@@ -31,21 +31,39 @@ trait MrPlugin {
   def reduce(key: String, values: java.util.List[String]): String
 }
 
-/** Per-JVM plugin instance cache. One classloader per jar path: repeated
-  * task invocations reuse the loaded class instead of re-opening the
-  * jar per row. */
+/** Per-JVM plugin instance cache. One classloader per (jar identity,
+  * class): repeated task invocations reuse the loaded class instead of
+  * re-opening the jar per row. Identity includes the jar's (mtime,
+  * length), so a jar REPLACED at the same path is reloaded on next use
+  * instead of serving the JVM's first version forever, and the
+  * superseded URLClassLoader is closed (releases the jar file handle —
+  * the fd would otherwise leak on a long-lived executor; classes the
+  * old plugin instance already loaded keep working, only new lazy
+  * loads from the closed loader stop, and its jar is gone anyway).
+  * Round-15 advisory. */
 object PluginLoader {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), MrPlugin]()
+  private final case class Entry(mtime: Long, length: Long,
+      loader: java.net.URLClassLoader, plugin: MrPlugin)
 
-  def load(jarPath: String, className: String): MrPlugin =
-    cache.computeIfAbsent((jarPath, className), { case (jar, cls) =>
-      val loader = new java.net.URLClassLoader(
-        Array(new java.io.File(jar).toURI.toURL),
-        classOf[MrPlugin].getClassLoader)
-      loader.loadClass(cls).getDeclaredConstructor()
-        .newInstance().asInstanceOf[MrPlugin]
-    })
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
+
+  def load(jarPath: String, className: String): MrPlugin = {
+    val f = new java.io.File(jarPath)
+    val (mt, len) = (f.lastModified(), f.length())
+    cache.compute((jarPath, className), { (key, prev) =>
+      if (prev != null && prev.mtime == mt && prev.length == len) prev
+      else {
+        if (prev != null)
+          try prev.loader.close() catch { case _: java.io.IOException => () }
+        val loader = new java.net.URLClassLoader(
+          Array(f.toURI.toURL), classOf[MrPlugin].getClassLoader)
+        Entry(mt, len, loader,
+          loader.loadClass(key._2).getDeclaredConstructor()
+            .newInstance().asInstanceOf[MrPlugin])
+      }
+    }).plugin
+  }
 }
 
 object Plugins {

@@ -59,7 +59,13 @@ object Quality {
     * per (doc, gram) to re-group what was already doc-local, then joined
     * the branches back — four exchanges, two joins and a corpus-sized
     * checkpoint for a per-doc map stage. Docs with 0 tokens / 1 token
-    * get zero counts directly (the old left-join-and-coalesce case). */
+    * get zero counts directly (the old left-join-and-coalesce case).
+    *
+    * ONE tokenizer per row (round-15 advisory): the 2-gram base `ws`
+    * comes from the wordTokens kernel — byte-for-byte the same ASCII
+    * `[a-z]+` rule as the wordTfPairs unigram kernel — not from a
+    * `lower()` + regex split, whose off-ASCII case mappings (U+212A →
+    * 'k') would make n_tokens and n_2grams disagree within a row. */
   private[graft] def statsOf(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions._
     // Planted frames arrive without going through Tables (which is what
@@ -67,8 +73,7 @@ object Quality {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        graft.engine.Tokenizer.tokens(lower(col("text")),
-          TextAnalysis.LowerWordPattern).as("ws"),
+        wordTokens(col("text")).as("ws"),
         wordTfPairs(col("text")).as("wtf"),
         letterCount(col("text")).as("sum_word_len"))
       // 2-grams of adjacent words; every corpus doc has >= 10 words so

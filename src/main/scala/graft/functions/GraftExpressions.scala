@@ -122,6 +122,19 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  case class WordTokens(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_tokens"
+    override protected def nullSafeEval(input: Any): Any =
+      HashKernels.wordTokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordTokens($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharEntropyStats(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = longArray
@@ -359,6 +372,7 @@ object GraftExpressions {
     "graft_phrase_runs" ->
       (args => PhraseRuns(args.head, stringArrayLit(args(1), "stops"))),
     "graft_word_tf_pairs" -> (args => WordTfPairs(args.head)),
+    "graft_word_tokens" -> (args => WordTokens(args.head)),
     // Bounded top-k aggregate: the k SMALLEST inputs under the input
     // type's natural ordering, as a sorted-ascending array. Spark's own
     // CollectTopK (the nsmallest/nlargest engine) — a
@@ -437,6 +451,10 @@ object GraftFunctions {
     call_function("graft_phrase_runs", c,
       org.apache.spark.sql.functions.array(stops.map(lit): _*))
   def wordTfPairs(c: Column): Column = call_function("graft_word_tf_pairs", c)
+  /** Ordered `[a-z]+` token array under the SAME byte-level ASCII rule
+    * as [[wordTfPairs]] — use when frequency and positional stats must
+    * share one tokenizer. */
+  def wordTokens(c: Column): Column = call_function("graft_word_tokens", c)
   /** k smallest values of `c` per group, sorted ascending. */
   def topKSmallest(c: Column, k: Int): Column =
     call_function("graft_top_k_smallest", c, lit(k))

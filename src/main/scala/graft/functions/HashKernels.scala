@@ -273,6 +273,36 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Ordered lowercase `[a-z]+` token array — the SAME byte-level ASCII
+    * tokenization as [[wordTfPairs]]/[[wordHashes]], emitting the tokens
+    * themselves in document order. Exists so consumers that need both
+    * frequency stats AND positional structure (adjacent n-grams) derive
+    * both from ONE tokenizer: the previous mix of this kernel's rule for
+    * unigrams with a `lower()` + regex split for 2-grams diverged on
+    * off-ASCII case mappings (U+212A KELVIN SIGN lowercases to ASCII
+    * 'k' under UTF-8 `lower()` but is a non-letter byte sequence here),
+    * making one row's n_tokens and n_2grams internally inconsistent
+    * (round-15 advisory). */
+  def wordTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    val word = new java.lang.StringBuilder()
+    def endWord(): Unit = if (word.length > 0) {
+      out.add(UTF8String.fromString(word.toString))
+      word.setLength(0)
+    }
+    var i = 0
+    while (i < bytes.length) {
+      var c = bytes(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if (c >= 'a' && c <= 'z') word.append(c.toChar) else endWord()
+      i += 1
+    }
+    endWord()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
   /** Positional character-trigram hashes over the raw byte string:
     * element i = ((b_i·31 + b_{i+1})·31 + b_{i+2}) mod P — the one-pass
     * twin of substring(s, i, 3) + polyHash, exact on the ASCII corpus.

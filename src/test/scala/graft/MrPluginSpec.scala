@@ -28,21 +28,22 @@ class MrPluginSpec extends SparkSpec {
       |}
       |""".stripMargin
 
-  private def buildPluginJar(): String = {
+  private def buildPluginJar(source: String = pluginSource,
+      className: String = "WcPlugin", at: String = null): String = {
     val dir = Files.createTempDirectory("graft-plugin-")
-    val src = dir.resolve("WcPlugin.java")
-    Files.writeString(src, pluginSource)
+    val src = dir.resolve(s"$className.java")
+    Files.writeString(src, source)
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
     assert(javac != null, "JDK compiler unavailable")
     val rc = javac.run(null, null, null,
       "-classpath", System.getProperty("java.class.path"),
       "-d", dir.toString, src.toString)
     assert(rc == 0, "plugin compilation failed")
-    val jar = dir.resolve("wcplugin.jar").toString
+    val jar = if (at == null) dir.resolve("wcplugin.jar").toString else at
     val out = new java.util.jar.JarOutputStream(
       Files.newOutputStream(Paths.get(jar)))
-    out.putNextEntry(new java.util.zip.ZipEntry("WcPlugin.class"))
-    out.write(Files.readAllBytes(dir.resolve("WcPlugin.class")))
+    out.putNextEntry(new java.util.zip.ZipEntry(s"$className.class"))
+    out.write(Files.readAllBytes(dir.resolve(s"$className.class")))
     out.closeEntry()
     out.close()
     jar
@@ -65,5 +66,27 @@ class MrPluginSpec extends SparkSpec {
       .collect().map(kv => kv.key -> kv.value).toMap
     assert(viaJar == builtIn)
     assert(viaJar("the") == "3" && viaJar("fox") == "3")
+  }
+
+  test("a jar replaced at the same path is reloaded, not served stale") {
+    // Round-15 advisory: the loader cache keyed on path alone would pin
+    // the JVM's FIRST version of a plugin forever. The cache keys on
+    // (path, mtime, length), so overwriting the jar in place must make
+    // the next load see the new code.
+    val jar = buildPluginJar()
+    val input = Seq(KV("f1", "a b a")).toDS()
+    val v1 = Plugins.runJobFromJar(input, jar, "WcPlugin", nReduce = 2)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(v1("a") == "2")
+    // v2 tags its reduce output — behaviorally distinct on the same input.
+    buildPluginJar(pluginSource.replace(
+      "return Integer.toString(values.size());",
+      "return \"v2:\" + Integer.toString(values.size());"), at = jar)
+    // mtime granularity can be 1s on some filesystems; force it forward
+    // so the identity check cannot alias (length may coincide).
+    new java.io.File(jar).setLastModified(System.currentTimeMillis() + 2000)
+    val v2 = Plugins.runJobFromJar(input, jar, "WcPlugin", nReduce = 2)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(v2("a") == "v2:2", v2)
   }
 }
