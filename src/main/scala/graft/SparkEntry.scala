@@ -107,6 +107,7 @@ object SparkEntry {
     ("apps.MrApps", apps.MrApps.queries, apps.MrApps.oracles),
     ("ext.TextAnalysis", ext.TextAnalysis.queries, ext.TextAnalysis.oracles),
     ("ext.Dedup", ext.Dedup.queries, ext.Dedup.oracles),
+    ("ext.DedupBounded", ext.DedupBounded.queries, ext.DedupBounded.oracles),
     ("ext.Similarity", ext.Similarity.queries, ext.Similarity.oracles),
     ("ext.Multimodal", ext.Multimodal.queries, ext.Multimodal.oracles),
     ("streaming.Streaming", streaming.Streaming.queries, streaming.Streaming.oracles),

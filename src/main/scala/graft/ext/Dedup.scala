@@ -117,7 +117,7 @@ object Dedup {
     * high-entropy low bits spreads every band below 0.62M (3× fewer
     * candidates overall). Each band covers each of the 62 bits exactly
     * once: (A0-7,B24-30), (A8-15,B16-23), (B0-7,A24-30), (B8-15,A16-23). */
-  private def simhashBandKeys(sim: Column): Column = array(
+  private[ext] def simhashBandKeys(sim: Column): Column = array(
     sim.bitwiseAND(255L) + shiftleft(shiftright(sim, 55).bitwiseAND(127L), 8),
     shiftright(sim, 8).bitwiseAND(255L) +
       shiftleft(shiftright(sim, 47).bitwiseAND(255L), 8),
@@ -328,6 +328,12 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     verifyJaccard(spark, sfDir, lshCandidates(spark, sfDir), threshold = 0.8)
 
+  /** [[minhashLsh]] over the [[BucketCap]]-capped candidate stage — the
+    * bounded-intermediates tier [[DedupBounded]] composes (same verify,
+    * same threshold; only the candidate generation is capped). */
+  private[ext] def minhashLshCapped(spark: SparkSession, sfDir: String): DataFrame =
+    verifyJaccard(spark, sfDir, lshCandidatesCapped(spark, sfDir), threshold = 0.8)
+
   /** Edit-distance near-dup verification over the SAME LSH candidates
     * (capped at [[BucketCap]] per band bucket — Levenshtein is the most
     * expensive verifier per pair, O(|a|·|b|) chars, so it is the one a
@@ -372,7 +378,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  private def shingledSqlCte: String =
+  private[ext] def shingledSqlCte: String =
     s"""sh0 AS (SELECT doc_id, ${wordHashesSql("text")} AS whs FROM documents),
        |sh AS (SELECT doc_id, ${shingleHashesSql("whs", 3)} AS sh FROM sh0)""".stripMargin
 
@@ -408,7 +414,7 @@ object Dedup {
   /** [[bandsSqlCtes]] plus the CAPPED candidate CTE — the verbatim
     * oracle twin of [[cappedBuckets]]: same window, same (idHash,
     * doc_id) order, same K. */
-  private lazy val cappedCandsSqlCtes: String =
+  private[ext] lazy val cappedCandsSqlCtes: String =
     s"""$bandsSqlCtes,
        |capped AS (
        |  SELECT doc_id, band, bh FROM (
@@ -620,7 +626,7 @@ object Dedup {
   // ---------------------------------------------- containment join
 
   /** Containment threshold |A∩B| / |A| ≥ 0.9, in permille. */
-  private val ContainTauPermille = 900L
+  private[ext] val ContainTauPermille = 900L
 
   /** EXACT one-sided containment self-join — the asymmetric case the
     * Jaccard paths structurally miss: a short document pasted inside a
@@ -697,7 +703,15 @@ object Dedup {
   private[graft] def containmentOf(shIn: DataFrame,
       tauPermille: Long): DataFrame = {
     val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
-    val cand = containCandidatesOf(sh, tauPermille)
+    containmentVerify(sh, containCandidatesOf(sh, tauPermille), tauPermille)
+  }
+
+  /** The exact-intersect verify leg of the containment join, over an
+    * arbitrary candidate set — shared by the full tier above and the
+    * capped-candidate bounded tier ([[DedupBounded]]). `sh` must
+    * already be size>0-filtered. */
+  private[ext] def containmentVerify(sh: DataFrame, cand: DataFrame,
+      tauPermille: Long): DataFrame = {
     val inter =
       graft.functions.GraftFunctions.sortedIntersectSize(col("sha"), col("shb"))
     cand

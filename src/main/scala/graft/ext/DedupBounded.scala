@@ -1,0 +1,299 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.topKSmallest
+
+/** Output-bounded reporting tiers for the pair-reporting dedup gates
+  * (round-15 verdict item 1).
+  *
+  * The full-pair forms ([[Dedup.containmentJoin]],
+  * [[Dedup.simhashHamming]], [[Dedup.methodAgreement]]) are COMPLIANCE
+  * tiers: their answer is every qualifying pair, and at saturated
+  * duplicate density that answer itself is quadratic — the round-15
+  * sf30-heaps audit measured exactly that (containment/agreement died
+  * on shuffle-spill disk, hamming read 24× per 3×) while every
+  * per-doc-bounded key stayed linear. A 100 TB pipeline never ships the
+  * all-pairs report; it ships per-doc decisions with bounded
+  * intermediates. These tiers apply the [[Dedup.cappedBuckets]] /
+  * posting-cap discipline end to end:
+  *
+  *  - candidate generation is CAPPED per key (band bucket / posting
+  *    list) at [[Dedup.BucketCap]] members in the deterministic
+  *    (idHash, doc_id) order — any one bucket contributes O(K²) pairs,
+  *    so total intermediates are corpus-LINEAR at any duplicate
+  *    density;
+  *  - the report is per-doc bounded: top-[[ReportTopK]] strongest
+  *    containers per contained doc (a bounded heap aggregate, k rows
+  *    per key exchanged), a neighbor-degree histogram (per-doc counts
+  *    collapse map-side), or per-doc method flags.
+  *
+  * Every cap is replicated VERBATIM in the DuckDB oracle (same window,
+  * same order, same K), so the gates stay hash-exact at every SF; the
+  * recall trade vs the compliance tiers is measured by
+  * DedupBoundedSpec on planted mega-clusters, not hand-waved.
+  */
+object DedupBounded {
+
+  /** Strongest-pairs report width (per contained doc). */
+  val ReportTopK = 3
+
+  /** Per-posting / per-bucket membership cap — shared with the LSH
+    * candidate cap so "bounded tier" means ONE discipline everywhere. */
+  private val Cap = Dedup.BucketCap
+
+  // ------------------------------------------------- containment top-k
+
+  /** Verified ≥0.9 containment pairs restricted to posting-capped
+    * candidates: the container-side inverted index keeps only the first
+    * [[Cap]] docs per token in (idHash, doc_id) order — computed as a
+    * bounded top-k heap aggregate (k rows per token exchanged map-side,
+    * never the full posting), NOT a row_number window over every
+    * posting row. Candidate volume is ≤ |prefix tokens| · Cap — linear
+    * in the corpus at ANY duplicate density, where the compliance
+    * tier's posting fan-out Σ_h pf(h)·df(h) detonates once the corpus
+    * saturates with near-identical docs. */
+  private[ext] def containmentCappedPairs(spark: SparkSession,
+      sfDir: String): DataFrame =
+    containmentCappedPairsOf(Dedup.shingled(spark, sfDir))
+
+  /** The capped pipeline over an arbitrary `(doc_id, sh)` frame — the
+    * seam DedupBoundedSpec drives with planted mega-posting families. */
+  private[graft] def containmentCappedPairsOf(shIn: DataFrame): DataFrame = {
+    // Planted spec frames bypass Tables (the usual registration point)
+    // — idempotent re-register, same as Quality.statsOf.
+    graft.functions.GraftFunctions.register(shIn.sparkSession)
+    val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
+    val prefix = Dedup.prefixTokensOf(sh, Dedup.ContainTauPermille)
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val inv = tok.groupBy(col("h"))
+      .agg(topKSmallest(struct(
+        Hashing.idHash(col("doc_id")).as("ih"), col("doc_id")), Cap).as("ds"))
+      .select(col("h"), explode(col("ds")).as("d"))
+      .select(col("h"), col("d.doc_id").as("doc_b"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(inv, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    Dedup.containmentVerify(sh, cands, Dedup.ContainTauPermille)
+  }
+
+  /** Gated: per contained doc, its [[ReportTopK]] STRONGEST containers
+    * (cont_permille desc, doc_b asc) from the capped candidate set —
+    * the bounded twin of [[Dedup.containmentJoin]]. The final report is
+    * a k-bounded heap per doc_a: the exchange after the verify carries
+    * ≤ k rows per contained doc no matter how many containers qualify. */
+  def containmentTopK(spark: SparkSession, sfDir: String): DataFrame =
+    containmentTopKOf(containmentCappedPairs(spark, sfDir))
+
+  /** The bounded report over any verified-pairs frame (spec seam). */
+  private[graft] def containmentTopKOf(pairs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    pairs
+      .groupBy(col("doc_a"))
+      .agg(topKSmallest(struct((-col("cont_permille")).as("nc"),
+        col("doc_b"), col("inter"), col("n_a"), col("n_b")),
+        ReportTopK).as("top"))
+      .select(col("doc_a"), explode(col("top")).as("t"))
+      .select(col("doc_a"), col("t.doc_b").as("doc_b"),
+        col("t.inter").as("inter"), col("t.n_a").as("n_a"),
+        col("t.n_b").as("n_b"), (-col("t.nc")).as("cont_permille"))
+  }
+
+  /** The capped verified pairs, as SQL (shared by both oracles below).
+    * Mirrors the Spark plan decision-for-decision: same df-asc prefix
+    * window, same (idHash, doc_id) posting cap, same exact intersect. */
+  private lazy val containmentCappedPairsSql: String =
+    s"""WITH ${Dedup.shingledSqlCte},
+       |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
+       |dft AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM u GROUP BY h),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz),
+       |pre AS (SELECT doc_id, h FROM (
+       |    SELECT u.doc_id, u.h, sz.n,
+       |      row_number() OVER (PARTITION BY u.doc_id ORDER BY dft.df, u.h)
+       |        AS rn
+       |    FROM u JOIN dft ON u.h = dft.h JOIN sz ON u.doc_id = sz.doc_id)
+       |  WHERE rn <= n - (${Dedup.ContainTauPermille} * n + 999) // 1000 + 1),
+       |inv AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY h
+       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM u)
+       |  WHERE rn <= ${Dedup.BucketCap}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN inv b ON a.h = b.h WHERE a.doc_id <> b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |  CAST(len(sa.sh) AS BIGINT) AS n_a, CAST(len(sb.sh) AS BIGINT) AS n_b,
+       |  (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000)
+       |    // CAST(len(sa.sh) AS BIGINT) AS cont_permille
+       |FROM cand JOIN shnz sa ON doc_a = sa.doc_id
+       |JOIN shnz sb ON doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000
+       |  >= ${Dedup.ContainTauPermille} * CAST(len(sa.sh) AS BIGINT)"""
+      .stripMargin
+
+  val containmentTopKSql: String =
+    s"""SELECT doc_a, doc_b, inter, n_a, n_b, cont_permille FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_a
+       |      ORDER BY cont_permille DESC, doc_b) AS rk
+       |  FROM ($containmentCappedPairsSql))
+       |WHERE rk <= $ReportTopK""".stripMargin
+
+  // -------------------------------------------- hamming degree histogram
+
+  /** Gated: neighbor-degree histogram of the [[Dedup.simhashHamming]]
+    * radius-3 graph over CAPPED band buckets — the bounded twin of the
+    * all-pairs hamming report. Each (band, key) bucket keeps its first
+    * [[Cap]] members (bounded heap, map-side), so a saturated corpus
+    * where most docs share one signature contributes O(buckets · Cap²)
+    * pairs instead of O(n²); the per-doc neighbor counts then collapse
+    * into a histogram whose size is bounded by the max degree
+    * (≤ 4·Cap), not the corpus. Degree-0 docs don't appear (they have
+    * no pairs) — the histogram reads "of docs with ≥1 capped-graph
+    * neighbor, how many have k". */
+  def hammingDegreeHist(spark: SparkSession, sfDir: String): DataFrame =
+    hammingDegreeHistOf(Dedup.simhash62(spark, sfDir))
+
+  /** The capped pipeline over an arbitrary `(doc_id, simhash)` frame —
+    * the seam DedupBoundedSpec drives with planted mega-buckets. */
+  private[graft] def hammingDegreeHistOf(sig: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sig.sparkSession)
+    val banded = sig
+      .select(col("doc_id"), col("simhash"),
+        posexplode(Dedup.simhashBandKeys(col("simhash"))))
+      .toDF("doc_id", "simhash", "band", "bv")
+    val capped = banded.groupBy(col("band"), col("bv"))
+      .agg(topKSmallest(struct(Hashing.idHash(col("doc_id")).as("ih"),
+        col("doc_id"), col("simhash")), Cap).as("ms"))
+      .select(col("band"), col("bv"), explode(col("ms")).as("m"))
+      .select(col("band"), col("bv"), col("m.doc_id").as("doc_id"),
+        col("m.simhash").as("simhash"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash)") <= Dedup.HammingRadius)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Verbatim banding + cap + degree count in DuckDB. The four band
+    * keys mirror [[Dedup.simhashBandKeys]] bit for bit (the signature
+    * is 62 bits, top bits zero, so BIGINT shifts never see a sign). */
+  val hammingDegreeHistSql: String = {
+    val bandRows = Seq(
+      "( (simhash & 255) + ((simhash >> 55) & 127) * 256 )",
+      "( ((simhash >> 8) & 255) + ((simhash >> 47) & 255) * 256 )",
+      "( ((simhash >> 31) & 255) + ((simhash >> 24) & 127) * 256 )",
+      "( ((simhash >> 39) & 255) + ((simhash >> 16) & 255) * 256 )")
+      .zipWithIndex.map { case (e, b) =>
+        s"SELECT doc_id, simhash, $b AS band, $e AS bv FROM sig"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS (${Dedup.simhash62Sql}),
+       |b AS (
+       |  $bandRows),
+       |capped AS (SELECT doc_id, simhash, band, bv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, bv
+       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM b)
+       |  WHERE rn <= ${Dedup.BucketCap}),
+       |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= ${Dedup.HammingRadius}),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS doc_id FROM p
+       |    UNION ALL SELECT doc_b AS doc_id FROM p) GROUP BY doc_id)
+       |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY deg"""
+      .stripMargin
+  }
+
+  // ------------------------------------------- method agreement, capped
+
+  /** Gated: the [[Dedup.methodAgreement]] per-doc decision table with
+    * both PAIR-fed signals drawn from capped candidate stages — minhash
+    * flags from the [[Dedup.BucketCap]]-capped LSH join, contained
+    * flags from the posting-capped containment. The report was always
+    * per-doc (linear); what the cap bounds is the pair INTERMEDIATES
+    * feeding it, which is where the compliance tier died at saturated
+    * density. Exact/fingerprint legs are hash groupBys — already
+    * linear, shared verbatim. */
+  def methodAgreementCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def groupDocs(key: org.apache.spark.sql.Column, m: String) = {
+      val g = docs.groupBy(key.as("h")).agg(count(lit(1)).as("c"))
+      docs.select(col("doc_id"), key.as("h"))
+        .join(g, "h").filter(col("c") >= 2)
+        .select(col("doc_id"), lit(m).as("m"))
+    }
+    val mh = Dedup.minhashLshCapped(spark, sfDir)
+    val flags = groupDocs(md5(col("text")), "exact")
+      .unionAll(groupDocs(
+        md5(graft.functions.GraftFunctions.normalizeWs(col("text"))), "fp"))
+      .unionAll(mh.select(col("doc_a").as("doc_id"))
+        .unionAll(mh.select(col("doc_b").as("doc_id")))
+        .select(col("doc_id"), lit("minhash").as("m")))
+      .unionAll(containmentCappedPairs(spark, sfDir)
+        .select(col("doc_a").as("doc_id"), lit("contained").as("m")))
+      .distinct()
+    def flag(m: String) = max(when(col("m") === m, 1L).otherwise(0L))
+    flags.groupBy(col("doc_id"))
+      .agg(flag("exact").as("is_exact"), flag("fp").as("is_fingerprint"),
+        flag("minhash").as("is_minhash"), flag("contained").as("is_contained"))
+      .withColumn("n_methods",
+        col("is_exact") + col("is_fingerprint") + col("is_minhash") +
+          col("is_contained"))
+  }
+
+  /** [[Dedup.minhashLshSql]] over the capped candidate CTEs. */
+  private lazy val minhashLshCappedSql: String =
+    s"""WITH ${Dedup.cappedCandsSqlCtes}
+       |SELECT doc_a, doc_b
+       |FROM cands JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+       |      AS DOUBLE) >= 0.8""".stripMargin
+
+  lazy val methodAgreementCappedSql: String =
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM ($minhashLshCappedSql)),
+       |ct AS (SELECT doc_a FROM ($containmentCappedPairsSql)),
+       |exg AS (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1),
+       |fpg AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h,
+       |  COUNT(*) AS c FROM documents GROUP BY 1),
+       |flags AS (
+       |  SELECT d.doc_id, 'exact' AS m FROM documents d
+       |    JOIN exg ON md5(d.text) = exg.h WHERE exg.c >= 2
+       |  UNION
+       |  SELECT d.doc_id, 'fp' FROM documents d
+       |    JOIN fpg ON md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) = fpg.h
+       |    WHERE fpg.c >= 2
+       |  UNION
+       |  SELECT doc_a, 'minhash' FROM mh
+       |  UNION
+       |  SELECT doc_b, 'minhash' FROM mh
+       |  UNION
+       |  SELECT doc_a, 'contained' FROM ct)
+       |SELECT doc_id,
+       |  CAST(MAX(CASE WHEN m = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS is_exact,
+       |  CAST(MAX(CASE WHEN m = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS is_fingerprint,
+       |  CAST(MAX(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END) AS BIGINT) AS is_minhash,
+       |  CAST(MAX(CASE WHEN m = 'contained' THEN 1 ELSE 0 END) AS BIGINT) AS is_contained,
+       |  CAST(MAX(CASE WHEN m = 'exact' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'fp' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'minhash' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN m = 'contained' THEN 1 ELSE 0 END) AS BIGINT) AS n_methods
+       |FROM flags GROUP BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment_topk" -> (containmentTopK _),
+    "dedup_hamming_degree_hist" -> (hammingDegreeHist _),
+    "dedup_method_agreement_capped" -> (methodAgreementCapped _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_containment_topk" -> containmentTopKSql,
+    "dedup_hamming_degree_hist" -> hammingDegreeHistSql,
+    "dedup_method_agreement_capped" -> methodAgreementCappedSql)
+}
