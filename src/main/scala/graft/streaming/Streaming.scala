@@ -45,6 +45,21 @@ object Streaming {
   private def recordInit(s: Double): Unit =
     synchronized { initAccum += math.max(s, 0.0) }
 
+  /** Per-batch (batchId, inputRows, triggerExecution ms) spans of every
+    * stream the session has run since the last reset, keyed by the
+    * sink name [[runToParquet]] was given. The steady-state instrument
+    * ([[SteadyState]]) reads this to separate batch-0 cold cost
+    * (planning, codegen, state-store open) from the marginal micro-batch
+    * cost — the honest operating number for a deployed stream — for
+    * EVERY gated streaming key, not just a hand-picked one. */
+  @volatile private var batchLog =
+    Map.empty[String, Seq[(Long, Long, Long)]]
+  def resetBatchLog(): Unit = synchronized { batchLog = Map.empty }
+  def batchLogSnapshot: Map[String, Seq[(Long, Long, Long)]] = batchLog
+  private def recordBatches(name: String,
+      p: Seq[(Long, Long, Long)]): Unit =
+    synchronized { batchLog += name -> p }
+
   /** Run a streaming frame to completion through a parquet sink and
     * read the result back as a batch frame.
     *
@@ -114,6 +129,9 @@ object Streaming {
         if (d == null) 0L else d.longValue
       }.sum / 1000.0
       recordInit(wall - batchSecs)
+      recordBatches(name, q.recentProgress.toSeq.map(p => (p.batchId,
+        p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).fold(0L)(_.longValue))))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // A source with zero rows can legitimately produce zero batches —
     // the sink dir is then empty and read.parquet cannot infer a
