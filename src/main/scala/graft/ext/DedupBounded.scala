@@ -39,21 +39,45 @@ object DedupBounded {
   /** Strongest-pairs report width (per contained doc). */
   val ReportTopK = 3
 
+  /** Per-doc shortlist width for the exact-verify stage of the
+    * containment tier (stage 2 of the two-stage retrieval below):
+    * candidates are RANKED by the fixed-width signature estimate and
+    * only the best [[ShortlistC]] per contained doc reach the array
+    * intersect. > [[ReportTopK]] headroom absorbs estimator error;
+    * the recall trade vs exact ranking is measured in
+    * DedupBoundedSpec, not assumed. */
+  val ShortlistC = 8
+
   /** Per-posting / per-bucket membership cap — shared with the LSH
     * candidate cap so "bounded tier" means ONE discipline everywhere. */
   private val Cap = Dedup.BucketCap
 
   // ------------------------------------------------- containment top-k
 
-  /** Verified ≥0.9 containment pairs restricted to posting-capped
-    * candidates: the container-side inverted index keeps only the first
-    * [[Cap]] docs per token in (idHash, doc_id) order — computed as a
-    * bounded top-k heap aggregate (k rows per token exchanged map-side,
-    * never the full posting), NOT a row_number window over every
-    * posting row. Candidate volume is ≤ |prefix tokens| · Cap — linear
-    * in the corpus at ANY duplicate density, where the compliance
-    * tier's posting fan-out Σ_h pf(h)·df(h) detonates once the corpus
-    * saturates with near-identical docs. */
+  /** Verified ≥0.9 containment pairs with BOUNDED intermediates at
+    * every stage — a two-stage retrieval:
+    *
+    *  1. Candidates: prefix tokens ⨝ a posting-CAPPED inverted index
+    *     (first [[Cap]] docs per token in (idHash, doc_id) order,
+    *     computed as a bounded top-k heap aggregate — k rows per token
+    *     exchanged map-side, never the full posting). Candidate volume
+    *     ≤ |prefix tokens| · Cap — corpus-linear at ANY duplicate
+    *     density, where the compliance tier's Σ_h pf(h)·df(h) fan-out
+    *     detonates at saturation.
+    *  2. Rank-then-verify: candidate pairs are scored by the
+    *     fixed-width MinHash signature estimate (16 longs per side —
+    *     the pair shuffle carries ~150 bytes/row, NEVER the shingle
+    *     arrays; measured at sf30h the array-carrying verify join
+    *     moved ~100 GB and died on spill disk, the round-15 failure
+    *     shape reappearing one stage later), each doc keeps its best
+    *     [[ShortlistC]] by estimate (bounded heap), and only that
+    *     shortlist reaches the exact two-pointer intersect — ≤ C·n
+    *     array-carrying rows by construction.
+    *
+    * Estimate: m = slot matches of the 16-perm sigs, Ĵ = m/16, and
+    * inter = J·(n_a+n_b)/(1+J) gives the integer rank key
+    * m·(n_a+n_b)·1000 div ((16+m)·n_a) — exact integer arithmetic,
+    * replicated verbatim in the oracle, ties broken by doc_b. */
   private[ext] def containmentCappedPairs(spark: SparkSession,
       sfDir: String): DataFrame =
     containmentCappedPairsOf(Dedup.shingled(spark, sfDir))
@@ -61,6 +85,7 @@ object DedupBounded {
   /** The capped pipeline over an arbitrary `(doc_id, sh)` frame — the
     * seam DedupBoundedSpec drives with planted mega-posting families. */
   private[graft] def containmentCappedPairsOf(shIn: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashSig, sigMatchCount}
     // Planted spec frames bypass Tables (the usual registration point)
     // — idempotent re-register, same as Quality.statsOf.
     graft.functions.GraftFunctions.register(shIn.sparkSession)
@@ -76,7 +101,22 @@ object DedupBounded {
       .join(inv, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    Dedup.containmentVerify(sh, cands, Dedup.ContainTauPermille)
+    val meta = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n"), minhashSig(col("sh")).as("sig"))
+    val shortlist = cands
+      .join(meta.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("sig").as("sigb")), "doc_b")
+      .join(meta.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("sig").as("siga")), "doc_a")
+      .withColumn("m", sigMatchCount(col("siga"), col("sigb")))
+      .withColumn("est", expr(
+        "(m * (n_a + n_b) * 1000) div ((16 + m) * n_a)"))
+      .groupBy(col("doc_a"))
+      .agg(topKSmallest(struct((-col("est")).as("ne"), col("doc_b")),
+        ShortlistC).as("cs"))
+      .select(col("doc_a"), explode(col("cs")).as("c"))
+      .select(col("doc_a"), col("c.doc_b").as("doc_b"))
+    Dedup.containmentVerify(sh, shortlist, Dedup.ContainTauPermille)
   }
 
   /** Gated: per contained doc, its [[ReportTopK]] STRONGEST containers
@@ -103,8 +143,15 @@ object DedupBounded {
 
   /** The capped verified pairs, as SQL (shared by both oracles below).
     * Mirrors the Spark plan decision-for-decision: same df-asc prefix
-    * window, same (idHash, doc_id) posting cap, same exact intersect. */
-  private lazy val containmentCappedPairsSql: String =
+    * window, same (idHash, doc_id) posting cap, same 16-perm signature
+    * estimate and shortlist window, same exact intersect. */
+  private lazy val containmentCappedPairsSql: String = {
+    val minCols = (0 until Hashing.NumPerms)
+      .map(i => s"MIN((${Hashing.permA(i)}*h + ${Hashing.permB(i)}) " +
+        s"% ${Hashing.P}) AS s$i").mkString(",\n    ")
+    val m = (0 until Hashing.NumPerms)
+      .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH ${Dedup.shingledSqlCte},
        |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
        |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
@@ -121,17 +168,31 @@ object DedupBounded {
        |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM u)
        |  WHERE rn <= ${Dedup.BucketCap}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM pre a JOIN inv b ON a.h = b.h WHERE a.doc_id <> b.doc_id)
+       |  FROM pre a JOIN inv b ON a.h = b.h WHERE a.doc_id <> b.doc_id),
+       |sg AS (SELECT doc_id, $minCols
+       |  FROM u GROUP BY doc_id),
+       |scored AS (SELECT c.doc_a, c.doc_b, $m AS m,
+       |    sa.n AS n_a, sb.n AS n_b
+       |  FROM cand c JOIN sg a ON c.doc_a = a.doc_id
+       |  JOIN sg b ON c.doc_b = b.doc_id
+       |  JOIN sz sa ON c.doc_a = sa.doc_id
+       |  JOIN sz sb ON c.doc_b = sb.doc_id),
+       |short AS (SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, row_number() OVER (PARTITION BY doc_a
+       |      ORDER BY (m * (n_a + n_b) * 1000) // ((16 + m) * n_a) DESC,
+       |        doc_b) AS rs
+       |    FROM scored) WHERE rs <= $ShortlistC)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
        |  CAST(len(sa.sh) AS BIGINT) AS n_a, CAST(len(sb.sh) AS BIGINT) AS n_b,
        |  (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000)
        |    // CAST(len(sa.sh) AS BIGINT) AS cont_permille
-       |FROM cand JOIN shnz sa ON doc_a = sa.doc_id
+       |FROM short JOIN shnz sa ON doc_a = sa.doc_id
        |JOIN shnz sb ON doc_b = sb.doc_id
        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000
        |  >= ${Dedup.ContainTauPermille} * CAST(len(sa.sh) AS BIGINT)"""
       .stripMargin
+  }
 
   val containmentTopKSql: String =
     s"""SELECT doc_a, doc_b, inter, n_a, n_b, cont_permille FROM (

@@ -268,6 +268,21 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  case class SigMatchCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sig_match_count"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashKernels.sigMatchCount(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashKernels.sigMatchCount($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** One-pass ASCII text statistic (TextKernels method named by `stat`). */
   case class TextStat(child: Expression, stat: String)
       extends UnaryExpression {
@@ -395,6 +410,7 @@ object GraftExpressions {
     "graft_sorted_intersect_size" ->
       (args => SortedIntersectSize(args.head, args(1))),
     "graft_dot_long" -> (args => DotLong(args.head, args(1))),
+    "graft_sig_match_count" -> (args => SigMatchCount(args.head, args(1))),
     "graft_ws_token_count" -> (args => TextStat(args.head, "ws_token_count")),
     "graft_bpe_piece_count" -> (args => TextStat(args.head, "bpe_piece_count")),
     "graft_punct_count" -> (args => TextStat(args.head, "punct_count")),
@@ -470,6 +486,9 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_size", a, b)
   def dotLong(a: Column, b: Column): Column = call_function("graft_dot_long", a, b)
+  /** Slot-wise equality count of two aligned signature arrays. */
+  def sigMatchCount(a: Column, b: Column): Column =
+    call_function("graft_sig_match_count", a, b)
   def wsTokenCount(c: Column): Column = call_function("graft_ws_token_count", c)
   def bpePieceCount(c: Column): Column = call_function("graft_bpe_piece_count", c)
   def punctCount(c: Column): Column = call_function("graft_punct_count", c)

@@ -450,6 +450,19 @@ object HashKernels {
     acc
   }
 
+  /** Slot-wise equality count of two aligned long arrays — the MinHash
+    * collision estimator's inner loop (matches/NumPerms estimates
+    * Jaccard). One codegen'd pass; used to RANK candidate pairs by a
+    * fixed-width signature before any exact array verify, so the pair
+    * shuffle never carries full shingle sets. */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0L
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
   /** 31-bit SimHash of a word-hash array: bit i set iff
     * sum_w (2*bit_i(h(w)) - 1) > 0 — one pass over 31 counters. */
   def simHash(whs: ArrayData): Long = {

@@ -64,11 +64,11 @@ class DedupBoundedSpec extends SparkSpec {
   test("containment topk: report is ≤ K rows per doc and caps bound the candidates") {
     val sh = containedFamily(200)
     val pairs = DedupBounded.containmentCappedPairsOf(sh).localCheckpoint()
-    // Posting caps bound doc 0's verified containers far below the
-    // 200 the compliance tier reports (both its prefix tokens' capped
-    // postings hold the SAME 32 docs — same global order).
+    // The posting cap bounds candidates and the signature shortlist
+    // bounds what reaches the exact verify: doc 0's verified containers
+    // are ≤ ShortlistC where the compliance tier reports all 200.
     val aPairs = pairs.filter(col("doc_a") === 0L).count()
-    assert(aPairs > 0 && aPairs <= Dedup.BucketCap, aPairs)
+    assert(aPairs > 0 && aPairs <= DedupBounded.ShortlistC, aPairs)
     val fullA = Dedup.containmentOf(sh, 900L).filter(col("doc_a") === 0L).count()
     assert(fullA == 200L, fullA)
     // The report never exceeds K rows per contained doc, and doc 0's
