@@ -52,32 +52,68 @@ object Basket {
       copurchaseBuild(spark, sfDir).localCheckpoint()
     }
 
+  /** Reduce-side partition count for the PAIR aggregation, sized to
+    * DATA (one partition per ~1M fact rows, floor = the session
+    * setting) from the parquet footers — no scan. The pair frame is
+    * ~7× the fact row count before support filtering (avg basket 13 ⇒
+    * C(13,2)/13 ≈ 6 pairs per membership row) and part keys are
+    * replica-shifted, so distinct pair KEYS grow linearly with SF:
+    * at sf30-uniform that is ~1.2B keys, and a CPU-count exchange
+    * (32) hands each final-agg task ~39M keys — the round-16 sf30
+    * session's one failure (AGGREGATE_OUT_OF_MEMORY in the final agg,
+    * reproduced isolated at 16 AND 32 slots / 32 GB). A cluster sizes
+    * `spark.sql.shuffle.partitions` to data; a fact-scaled operator
+    * must not inherit a CPU-sized default for a fact-scaled exchange.
+    * sf0.1 (600k rows) stays at the session setting — gate plans and
+    * small-SF numbers unchanged. */
+  private def pairAggParts(spark: SparkSession, sfDir: String): Int = {
+    val base = spark.sessionState.conf.numShufflePartitions
+    val rows = Tables.parquetRowCount(spark, sfDir, "lineitem")
+    math.max(base, (rows / 500000L).toInt)
+  }
+
+  /** The (l_orderkey, l_partkey) basket membership frame with its
+    * distinct exchange sized to data (same footer-based sizing as the
+    * pair agg — the membership distinct is itself a fact-keyed
+    * aggregation whose key count grows with SF). */
+  private def membershipOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = pairAggParts(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(n, col("l_orderkey"), col("l_partkey"))
+      .distinct()
+  }
+
   /** The un-memoized build — the frame PlanSpec pins (the memoized
     * gate's executed plan is just a checkpoint scan). */
   private[graft] def copurchaseBuild(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    copurchaseOf(li, MaxBasket, MinSupport)
-  }
+      sfDir: String): DataFrame =
+    copurchaseOf(membershipOf(spark, sfDir), MaxBasket, MinSupport,
+      aggParts = Some(pairAggParts(spark, sfDir)))
 
   /** Pair counting over an explicit (l_orderkey, l_partkey) membership
     * frame — the seam BasketSpec drives with planted mega-baskets.
     *
     * The cap's row_number rides the same l_orderkey clustering the
-    * self-join shuffles on, so the guard costs no extra exchange. */
+    * self-join shuffles on, so the guard costs no extra exchange.
+    * `aggParts` (when given) sizes the pair-count exchange to data —
+    * the explicit repartition on the GROUP keys is absorbed as the
+    * aggregate's own exchange (partial agg below it, final above), so
+    * it changes the partition COUNT, never the plan shape. */
   private[graft] def copurchaseOf(li: DataFrame, maxBasket: Int,
-      minSupport: Long): DataFrame = {
+      minSupport: Long, aggParts: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
     val capped = li
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBasket)
       .select(col("l_orderkey"), col("l_partkey"))
-    capped.as("a").join(capped.as("b"),
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
+      .select(col("a.l_partkey").as("part_a"),
         col("b.l_partkey").as("part_b"))
+    aggParts.fold(pairs)(n => pairs.repartition(n, col("part_a"), col("part_b")))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
   }
@@ -177,8 +213,7 @@ object Basket {
       .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
         col("n_orders").as("n_ab"))
       .unionAll(pairs.select(col("part_b"), col("part_a"), col("n_orders")))
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = membershipOf(spark, sfDir)
       .localCheckpoint() // feeds item counts (joined twice) + the total
     val ic = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
