@@ -346,10 +346,16 @@ object Substring {
     * SubstringSpec's seam for per-source scoping cases. */
   private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // NO lineage cut here (round 16): the exploded span frame is
+    // corpus × spans/doc rows (~450M at sf30) — a MEMORY_AND_DISK
+    // checkpoint of it outgrows the storage pool past ~sf10 and the
+    // eviction churn read 46× per 3× in the sf30 session (178 s vs a
+    // 3.9 s sf10 spot). Recomputing the codegen'd span kernel for the
+    // two consumers is a cheap second scan at ANY scale; nothing
+    // corpus×fan-out-sized is ever materialized.
     val sp = docs.select(col("doc_id"), col("source"),
       explode(spanHashes64(wordHashes(col("aug")),
         wordHashes37(col("aug")), SpanK)).as("h"))
-      .localCheckpoint()
     val bp = sp.groupBy(col("source"), col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
