@@ -164,16 +164,32 @@ object Bench {
     val worst = if (spreads.isEmpty) ("none", 1.0) else spreads.maxBy(_._2)
     val sentinel =
       s""""spread_med":${r3(spreadMed)},"spread_max":${r3(worst._2)},"spread_max_q":"${worst._1}""""
+    // Calib-NORMALIZED medians (round-16 verdict #6): the breach rule
+    // (max(2×, +0.5 s) vs the prior round) compares raw medians, so a
+    // session that merely runs on a hot box produces nominal breaches
+    // that cost a manual triage every round. CalibRef is the round-16
+    // committed session's calib_sec; "queries_cal" rescales every
+    // median by CalibRef/calib_sec, i.e. to reference-box seconds.
+    // Raw medians stay the driver-graded numbers — the scaled map is
+    // the drift-free series for cross-session comparison
+    // (tools/breach_check.py consumes it).
+    val CalibRef = 0.591
+    val calScale = if (calib > 0) CalibRef / calib else 1.0
+    def rowCal(rs: Seq[(String, Double, Double, Int, Double)]) =
+      rs.map { case (k, med, _, _, _) =>
+        s"\"" + k + "\":" + r3(if (med >= 0) med * calScale else med) }
+        .mkString("{", ",", "}")
+    val calFields = s""""calib_ref":$CalibRef,"calib_scale":${r3(calScale)}"""
     // The short stdout line: guaranteed to fit the driver's tail window.
     // "queries" = the 12 slowest medians (regression-relevant heavy
     // hitters); the complete map is in "queries_file".
     val slow12 = results.filter(_._2 >= 0).sortBy(-_._2).take(12).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"stream_init_total":${r3(initTotal)},"calib_sec":${r3(calib)},$sentinel,"errors":$errors,"queries_file":"bench_last.json","queries":${row(slow12, _._2)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"stream_init_total":${r3(initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,"errors":$errors,"queries_file":"bench_last.json","queries":${row(slow12, _._2)},"sf":"$sfDir"}"""
     // Full, untruncated record for grading / local triage — every median
     // and per-query minimum. Resolved against the repo root (not the
     // process cwd) so it lands in a known place; a failed write warns
     // instead of vanishing silently.
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"queries_cal":${rowCal(results)},"sf":"$sfDir"}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
     try java.nio.file.Files.writeString(benchOut, fullLine + "\n")

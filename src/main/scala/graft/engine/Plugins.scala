@@ -35,12 +35,16 @@ trait MrPlugin {
   * class): repeated task invocations reuse the loaded class instead of
   * re-opening the jar per row. Identity includes the jar's (mtime,
   * length), so a jar REPLACED at the same path is reloaded on next use
-  * instead of serving the JVM's first version forever, and the
-  * superseded URLClassLoader is closed (releases the jar file handle —
-  * the fd would otherwise leak on a long-lived executor; classes the
-  * old plugin instance already loaded keep working, only new lazy
-  * loads from the closed loader stop, and its jar is gone anyway).
-  * Round-15 advisory. */
+  * instead of serving the JVM's first version forever. The superseded
+  * URLClassLoader is closed on a GRACE DELAY, not immediately: another
+  * task thread may still be mid-task with the old plugin instance, and
+  * a lazy classload (inner/anonymous class, resource) from an
+  * already-closed loader throws into that task (round-16 advisory).
+  * Stale loaders park in a queue and are closed on a later swap once
+  * older than [[CloseGraceNanos]] — far beyond any task's residence
+  * time in the old plugin's code; until then the only cost is one open
+  * fd per recent swap, bounded by swap frequency. Round-15/16
+  * advisories. */
 object PluginLoader {
   private final case class Entry(mtime: Long, length: Long,
       loader: java.net.URLClassLoader, plugin: MrPlugin)
@@ -48,14 +52,34 @@ object PluginLoader {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
 
+  /** How long a superseded loader stays open after its replacement. */
+  private val CloseGraceNanos = 5L * 60 * 1000 * 1000 * 1000
+
+  private val retired =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, java.net.URLClassLoader)]()
+
+  /** Close retired loaders whose grace period has passed (called on
+    * each swap — no timer thread; a loader lingering because no
+    * further swap ever happens is exactly one fd). */
+  private def drainRetired(now: Long): Unit = {
+    var head = retired.peek()
+    while (head != null && now - head._1 > CloseGraceNanos) {
+      if (retired.remove(head))
+        try head._2.close() catch { case _: java.io.IOException => () }
+      head = retired.peek()
+    }
+  }
+
   def load(jarPath: String, className: String): MrPlugin = {
     val f = new java.io.File(jarPath)
     val (mt, len) = (f.lastModified(), f.length())
     cache.compute((jarPath, className), { (key, prev) =>
       if (prev != null && prev.mtime == mt && prev.length == len) prev
       else {
-        if (prev != null)
-          try prev.loader.close() catch { case _: java.io.IOException => () }
+        val now = System.nanoTime()
+        if (prev != null) retired.add((now, prev.loader))
+        drainRetired(now)
         val loader = new java.net.URLClassLoader(
           Array(f.toURI.toURL), classOf[MrPlugin].getClassLoader)
         Entry(mt, len, loader,

@@ -96,10 +96,25 @@ object Basket {
     *
     * The cap's row_number rides the same l_orderkey clustering the
     * self-join shuffles on, so the guard costs no extra exchange.
-    * `aggParts` (when given) sizes the pair-count exchange to data —
-    * the explicit repartition on the GROUP keys is absorbed as the
-    * aggregate's own exchange (partial agg below it, final above), so
-    * it changes the partition COUNT, never the plan shape. */
+    * `aggParts` (when given) sizes the pair-count exchange to data.
+    * Plan shape, precisely (round-16 advisory corrected an earlier
+    * claim here): the explicit repartition on the group keys SATISFIES
+    * the aggregate's required distribution, so Spark plans BOTH
+    * HashAggregate(partial) and HashAggregate(final) above it — the
+    * exchange carries raw pair rows and the "partial" pass runs
+    * post-shuffle (no map-side combine). That trade is deliberate: a
+    * pair row is two longs (~16 B payload), pairs WITHIN an order are
+    * distinct by construction (a.partkey < b.partkey), so pre-shuffle
+    * combine could only merge cross-order duplicates that happen to
+    * colocate in a map partition — at sf30-uniform's ~6 avg global
+    * multiplicity spread over hundreds of input splits, near zero.
+    * The alternative (let the aggregate build its own exchange, sized
+    * via spark.sql.shuffle.partitions) keeps map-side combine but the
+    * conf is read at physical-planning time — which for a lazily-built
+    * DataFrame happens at the caller's action, outside this operator —
+    * so it cannot be set here deterministically. Measured: isolated
+    * sf30-uniform 170.7 s cold / 62.8 s warm with this shape; the
+    * partition COUNT, not combine, was the OOM variable. */
   private[graft] def copurchaseOf(li: DataFrame, maxBasket: Int,
       minSupport: Long, aggParts: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))

@@ -110,7 +110,7 @@ object DedupBounded {
         col("sig").as("siga")), "doc_a")
       .withColumn("m", sigMatchCount(col("siga"), col("sigb")))
       .withColumn("est", expr(
-        "(m * (n_a + n_b) * 1000) div ((16 + m) * n_a)"))
+        s"(m * (n_a + n_b) * 1000) div ((${Hashing.NumPerms} + m) * n_a)"))
       .groupBy(col("doc_a"))
       .agg(topKSmallest(struct((-col("est")).as("ne"), col("doc_b")),
         ShortlistC).as("cs"))
@@ -179,7 +179,8 @@ object DedupBounded {
        |  JOIN sz sb ON c.doc_b = sb.doc_id),
        |short AS (SELECT doc_a, doc_b FROM (
        |    SELECT doc_a, doc_b, row_number() OVER (PARTITION BY doc_a
-       |      ORDER BY (m * (n_a + n_b) * 1000) // ((16 + m) * n_a) DESC,
+       |      ORDER BY (m * (n_a + n_b) * 1000)
+       |          // ((${Hashing.NumPerms} + m) * n_a) DESC,
        |        doc_b) AS rs
        |    FROM scored) WHERE rs <= $ShortlistC)
        |SELECT doc_a, doc_b,

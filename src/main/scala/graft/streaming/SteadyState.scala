@@ -57,12 +57,20 @@ object SteadyState {
       }
       // Pool every stream the key started; drop zero-duration entries
       // (progress rows the engine emitted without a timed trigger).
-      val prog = Streaming.batchLogSnapshot.values.flatten.toSeq
-        .filter(_._3 > 0).sortBy(_._1)
+      // Batch 0 (planning/codegen/store-open) is cold PER STREAM: a
+      // key that starts two named streams has two cold batches, and
+      // pooling them under one global drop(1) would misclassify the
+      // second stream's batch 0 into the steady band (round-16
+      // advisory — no key does this today, but the classifier should
+      // not depend on that).
+      val perStream = Streaming.batchLogSnapshot.values.toSeq
+        .map(_.filter(_._3 > 0).sortBy(_._1))
+      val prog = perStream.flatten.sortBy(_._1)
       prog.foreach { case (b, r, ms) =>
         System.err.println(f"[steady] $key batch $b%3d rows $r%8d ${ms}%6d ms")
       }
-      val steady = prog.drop(1)
+      val cold = perStream.flatMap(_.headOption)
+      val steady = perStream.flatMap(_.drop(1)).sortBy(_._1)
       val (medMs, maxMs, usPerRow) =
         if (steady.isEmpty) (0L, 0L, 0L) // ≤1 batch: no steady regime
         else {
@@ -76,7 +84,7 @@ object SteadyState {
         "sf" -> ("\"" + sfDir.split('/').last + "\""),
         "batches" -> prog.size,
         "rows" -> prog.map(_._2).sum,
-        "batch0_ms" -> prog.headOption.fold(0L)(_._3),
+        "batch0_ms" -> cold.map(_._3).sum, // one cold batch per stream
         "steady_med_ms" -> medMs,
         "steady_max_ms" -> maxMs,
         "us_per_row" -> usPerRow)
