@@ -100,7 +100,9 @@ object Bench {
     // the warm state. SPARK_GRAFT_BENCH_WARMUP=0 disables (for a
     // maximally cheap smoke run); '1' is the measured default.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double, Int, Double) = {
       if (warmup)
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       // A rep that throws must NOT feed its time-to-failure into the
@@ -138,6 +140,23 @@ object Bench {
         if (good.isEmpty) -1.0 else good.map(_._1).min,
         failed, median(good.map(_._2).sorted).max(0.0))
     }
+    // In-session A/B probe (round-16 verdict #2): SPARK_GRAFT_BENCH_AB
+    // holds comma-separated key prefixes; matching keys are timed with
+    // the full warmup+reps machinery ONCE BEFORE the main sorted loop
+    // (fresh session) and ONCE AFTER it (after ~295 keys of session
+    // history), with box state held constant because it is one JVM and
+    // one wall-clock window. ab_last/ab_first >> 1 on a clean-spread
+    // session = in-session pressure accumulating against that family;
+    // ≈ 1 = the cross-session elevation was box state, not session
+    // state. Unset (the driver's gate) ⇒ identical behavior to r16.
+    val abPrefixes = sys.env.get("SPARK_GRAFT_BENCH_AB")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val allKeys = SparkEntry.queries.toSeq.sortBy(_._1)
+    val abKeys = allKeys.filter { case (k, _) =>
+      abPrefixes.exists(k.startsWith) }
+    val abFirst = abKeys.map { case (k, fn) => timeOne(k, fn) }
+    val results = allKeys.map { case (k, fn) => timeOne(k, fn) }
+    val abLast = abKeys.map { case (k, fn) => timeOne(k, fn) }
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def row(rs: Seq[(String, Double, Double, Int, Double)],
         sel: ((String, Double, Double, Int, Double)) => Double) =
@@ -189,7 +208,10 @@ object Bench {
     // and per-query minimum. Resolved against the repo root (not the
     // process cwd) so it lands in a known place; a failed write warns
     // instead of vanishing silently.
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"queries_cal":${rowCal(results)},"sf":"$sfDir"}"""
+    val abFields =
+      if (abKeys.isEmpty) ""
+      else s""""ab_first":${row(abFirst, _._2)},"ab_last":${row(abLast, _._2)},"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,$abFields"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"queries_cal":${rowCal(results)},"sf":"$sfDir"}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
     try java.nio.file.Files.writeString(benchOut, fullLine + "\n")

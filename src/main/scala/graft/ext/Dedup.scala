@@ -566,7 +566,7 @@ object Dedup {
   // ------------------------------------------------- prefix-filter join
 
   /** Jaccard threshold of the exact join, in permille (≥ 0.8). */
-  private val PrefixTauPermille = 800L
+  private[ext] val PrefixTauPermille = 800L
 
   /** EXACT set-similarity self-join via prefix filtering (the
     * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.

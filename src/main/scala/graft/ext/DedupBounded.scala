@@ -85,13 +85,27 @@ object DedupBounded {
   /** The capped pipeline over an arbitrary `(doc_id, sh)` frame — the
     * seam DedupBoundedSpec drives with planted mega-posting families. */
   private[graft] def containmentCappedPairsOf(shIn: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.{minhashSig, sigMatchCount}
     // Planted spec frames bypass Tables (the usual registration point)
     // — idempotent re-register, same as Quality.statsOf.
     graft.functions.GraftFunctions.register(shIn.sparkSession)
     val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
-    val prefix = Dedup.prefixTokensOf(sh, Dedup.ContainTauPermille)
-    val tok = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    containmentCappedPairsSides(sh, sh, sh)
+  }
+
+  /** The same two-stage capped retrieval with the CONTAINED (prefix)
+    * and CONTAINER (inverted-index) sides drawn from different frames —
+    * the incremental twin's seam. `shNew`/`shOld` must be size-filtered
+    * subsets of `shAll` with disjoint doc_ids (or all three the same
+    * frame for the self-join case); the df order driving the prefix is
+    * computed on `shNew` ALONE (the prefix principle holds under any
+    * fixed token order, so batch-local df loses pruning power, never
+    * recall — [[Incremental.incrementalContainment]]'s argument). */
+  private[graft] def containmentCappedPairsSides(shNew: DataFrame,
+      shOld: DataFrame, shAll: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashSig, sigMatchCount}
+    val sh = shAll
+    val prefix = Dedup.prefixTokensOf(shNew, Dedup.ContainTauPermille)
+    val tok = shOld.select(col("doc_id"), explode(col("sh")).as("h"))
     val inv = tok.groupBy(col("h"))
       .agg(topKSmallest(struct(
         Hashing.idHash(col("doc_id")).as("ih"), col("doc_id")), Cap).as("ds"))
@@ -141,11 +155,17 @@ object DedupBounded {
         col("t.n_b").as("n_b"), (-col("t.nc")).as("cont_permille"))
   }
 
-  /** The capped verified pairs, as SQL (shared by both oracles below).
+  /** The capped verified pairs, as SQL (shared by the oracles below).
     * Mirrors the Spark plan decision-for-decision: same df-asc prefix
     * window, same (idHash, doc_id) posting cap, same 16-perm signature
-    * estimate and shortlist window, same exact intersect. */
-  private lazy val containmentCappedPairsSql: String = {
+    * estimate and shortlist window, same exact intersect.
+    * `prefFilter`/`idxFilter` carve the contained (prefix) and
+    * container (inverted-index) sides out of the token frame — TRUE /
+    * TRUE is the self-join tier, the isNew split is the incremental
+    * tier (df for the prefix window computed on the prefix side ALONE,
+    * mirroring [[containmentCappedPairsSides]]). */
+  private def cappedPairsSqlSides(prefFilter: String,
+      idxFilter: String): String = {
     val minCols = (0 until Hashing.NumPerms)
       .map(i => s"MIN((${Hashing.permA(i)}*h + ${Hashing.permB(i)}) " +
         s"% ${Hashing.P}) AS s$i").mkString(",\n    ")
@@ -155,17 +175,19 @@ object DedupBounded {
     s"""WITH ${Dedup.shingledSqlCte},
        |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
        |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
-       |dft AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM u GROUP BY h),
+       |un AS (SELECT doc_id, h FROM u WHERE $prefFilter),
+       |dft AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM un GROUP BY h),
        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz),
        |pre AS (SELECT doc_id, h FROM (
-       |    SELECT u.doc_id, u.h, sz.n,
-       |      row_number() OVER (PARTITION BY u.doc_id ORDER BY dft.df, u.h)
+       |    SELECT un.doc_id, un.h, sz.n,
+       |      row_number() OVER (PARTITION BY un.doc_id ORDER BY dft.df, un.h)
        |        AS rn
-       |    FROM u JOIN dft ON u.h = dft.h JOIN sz ON u.doc_id = sz.doc_id)
+       |    FROM un JOIN dft ON un.h = dft.h JOIN sz ON un.doc_id = sz.doc_id)
        |  WHERE rn <= n - (${Dedup.ContainTauPermille} * n + 999) // 1000 + 1),
+       |iv AS (SELECT doc_id, h FROM u WHERE $idxFilter),
        |inv AS (SELECT doc_id, h FROM (
        |    SELECT doc_id, h, row_number() OVER (PARTITION BY h
-       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM u)
+       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM iv)
        |  WHERE rn <= ${Dedup.BucketCap}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pre a JOIN inv b ON a.h = b.h WHERE a.doc_id <> b.doc_id),
@@ -194,6 +216,9 @@ object DedupBounded {
        |  >= ${Dedup.ContainTauPermille} * CAST(len(sa.sh) AS BIGINT)"""
       .stripMargin
   }
+
+  private lazy val containmentCappedPairsSql: String =
+    cappedPairsSqlSides("TRUE", "TRUE")
 
   val containmentTopKSql: String =
     s"""SELECT doc_a, doc_b, inter, n_a, n_b, cont_permille FROM (
@@ -349,13 +374,180 @@ object DedupBounded {
        |    + MAX(CASE WHEN m = 'contained' THEN 1 ELSE 0 END) AS BIGINT) AS n_methods
        |FROM flags GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- jaccard top-k
+
+  /** Gated: per doc, its [[ReportTopK]] STRONGEST near-duplicate
+    * partners at Jaccard ≥ 0.8 — the bounded twin of
+    * [[Dedup.jaccardPrefixJoin]] (whose answer is every qualifying
+    * pair, 5.5× per 3× data at sf30-uniform because verified-pair
+    * volume outgrows the corpus). Same two-stage retrieval as the
+    * containment tier, symmetric:
+    *
+    *  1. Candidates: the df-asc prefix tokens with each token's prefix
+    *     POSTING capped at [[Dedup.BucketCap]] docs in (idHash,
+    *     doc_id) order — a token contributes ≤ C(Cap, 2) pairs, so
+    *     intermediates are corpus-linear at any duplicate density;
+    *     pairs are mirrored so the report covers both directions.
+    *  2. Rank-then-verify: candidates ranked per doc by the
+    *     fixed-width signature match count m (for symmetric Jaccard,
+    *     Ĵ = m/[[Hashing.NumPerms]] is monotone in m, so m itself is
+    *     the rank key — no arithmetic, ties by doc_b); best
+    *     [[ShortlistC]] per doc reach the exact intersect; the final
+    *     report keeps each doc's [[ReportTopK]] by exact jac_permille.
+    *
+    * The shuffles after candidate generation carry fixed-width
+    * signatures (~150 B/row), never shingle arrays; array-carrying
+    * rows are ≤ ShortlistC·n by construction. */
+  def jaccardTopK(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardTopKOf(Dedup.shingled(spark, sfDir))
+
+  /** The capped pipeline over an arbitrary `(doc_id, sh)` frame — the
+    * seam DedupBoundedSpec drives with planted mega-cluster families. */
+  private[graft] def jaccardTopKOf(shIn: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{minhashSig, sigMatchCount,
+      sortedIntersectSize}
+    graft.functions.GraftFunctions.register(shIn.sparkSession)
+    val sh = shIn.filter(size(col("sh")) > 0).localCheckpoint()
+    val prefix = Dedup.prefixTokensOf(sh, Dedup.PrefixTauPermille)
+    val capped = prefix.groupBy(col("h"))
+      .agg(topKSmallest(struct(
+        Hashing.idHash(col("doc_id")).as("ih"), col("doc_id")), Cap).as("ds"))
+      .select(col("h"), explode(col("ds")).as("d"))
+      .select(col("h"), col("d.doc_id").as("doc_id"))
+    val p0 = capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cands = p0.unionAll(
+      p0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val meta = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n"), minhashSig(col("sh")).as("sig"))
+    val shortlist = cands
+      .join(meta.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+        "doc_b")
+      .join(meta.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+        "doc_a")
+      .withColumn("m", sigMatchCount(col("siga"), col("sigb")))
+      .groupBy(col("doc_a"))
+      .agg(topKSmallest(struct((-col("m")).as("nm"), col("doc_b")),
+        ShortlistC).as("cs"))
+      .select(col("doc_a"), explode(col("cs")).as("c"))
+      .select(col("doc_a"), col("c.doc_b").as("doc_b"))
+    val inter = sortedIntersectSize(col("sha"), col("shb"))
+    val ver = shortlist
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)
+          .as("uni"))
+      .filter(col("inter") * 1000L >= lit(Dedup.PrefixTauPermille) * col("uni"))
+      .withColumn("jac_permille", expr("inter * 1000 div uni"))
+    ver.groupBy(col("doc_a"))
+      .agg(topKSmallest(struct((-col("jac_permille")).as("nj"), col("doc_b"),
+        col("inter"), col("uni")), ReportTopK).as("top"))
+      .select(col("doc_a"), explode(col("top")).as("t"))
+      .select(col("doc_a"), col("t.doc_b").as("doc_b"),
+        col("t.inter").as("inter"), col("t.uni").as("uni"),
+        (-col("t.nj")).as("jac_permille"))
+  }
+
+  /** Verbatim cap + shortlist + exact verify in DuckDB. */
+  val jaccardTopKSql: String = {
+    val minCols = (0 until Hashing.NumPerms)
+      .map(i => s"MIN((${Hashing.permA(i)}*h + ${Hashing.permB(i)}) " +
+        s"% ${Hashing.P}) AS s$i").mkString(",\n    ")
+    val m = (0 until Hashing.NumPerms)
+      .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${Dedup.shingledSqlCte},
+       |shnz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+       |u AS (SELECT doc_id, unnest(sh) AS h FROM shnz),
+       |dft AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM u GROUP BY h),
+       |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shnz),
+       |pre AS (SELECT doc_id, h FROM (
+       |    SELECT u.doc_id, u.h, sz.n,
+       |      row_number() OVER (PARTITION BY u.doc_id ORDER BY dft.df, u.h)
+       |        AS rn
+       |    FROM u JOIN dft ON u.h = dft.h JOIN sz ON u.doc_id = sz.doc_id)
+       |  WHERE rn <= n - (${Dedup.PrefixTauPermille} * n + 999) // 1000 + 1),
+       |cpre AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h, row_number() OVER (PARTITION BY h
+       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM pre)
+       |  WHERE rn <= ${Dedup.BucketCap}),
+       |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM cpre x JOIN cpre y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |cand AS (SELECT doc_a, doc_b FROM p0
+       |  UNION ALL SELECT doc_b, doc_a FROM p0),
+       |sg AS (SELECT doc_id, $minCols
+       |  FROM u GROUP BY doc_id),
+       |scored AS (SELECT c.doc_a, c.doc_b, $m AS m
+       |  FROM cand c JOIN sg a ON c.doc_a = a.doc_id
+       |  JOIN sg b ON c.doc_b = b.doc_id),
+       |short AS (SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, row_number() OVER (PARTITION BY doc_a
+       |      ORDER BY m DESC, doc_b) AS rs
+       |    FROM scored) WHERE rs <= $ShortlistC),
+       |ver AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) AS BIGINT) + CAST(len(sb.sh) AS BIGINT)
+       |      - CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+       |  FROM short JOIN shnz sa ON doc_a = sa.doc_id
+       |  JOIN shnz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000
+       |    >= ${Dedup.PrefixTauPermille} * (CAST(len(sa.sh) AS BIGINT)
+       |      + CAST(len(sb.sh) AS BIGINT)
+       |      - CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)))
+       |SELECT doc_a, doc_b, inter, uni, (inter * 1000) // uni AS jac_permille
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+       |    ORDER BY (inter * 1000) // uni DESC, doc_b) AS rk FROM ver)
+       |WHERE rk <= $ReportTopK""".stripMargin
+  }
+
+  // --------------------------------------- incremental containment top-k
+
+  /** Gated: the rolling-ingest quote detector with bounded
+    * intermediates — per ARRIVING doc, its [[ReportTopK]] strongest
+    * already-ingested containers; the bounded twin of
+    * [[Incremental.incrementalContainment]] (3.7× per 3× data at
+    * sf30-uniform — its candidate fan-out Σ_h pf(h)·df_old(h) tracks
+    * duplicate density). Identical discipline to [[containmentTopK]]
+    * with the sides split: batch prefixes (df computed on the batch
+    * alone — O(batch) state, the incremental point) against the
+    * snapshot's posting-CAPPED inverted index. */
+  def incrementalContainmentTopK(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Dedup.shingled(spark, sfDir)
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    val pairs = containmentCappedPairsSides(
+      sh.filter(Incremental.isNew(col("doc_id"))),
+      sh.filter(!Incremental.isNew(col("doc_id"))), sh)
+    containmentTopKOf(pairs)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+        col("inter"), col("n_a").as("n_new"), col("n_b").as("n_old"),
+        col("cont_permille"))
+  }
+
+  val incrementalContainmentTopKSql: String =
+    s"""SELECT doc_a AS doc_new, doc_b AS doc_old, inter,
+       |  n_a AS n_new, n_b AS n_old, cont_permille FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_a
+       |      ORDER BY cont_permille DESC, doc_b) AS rk
+       |  FROM (${cappedPairsSqlSides(Incremental.isNewSql("doc_id"),
+              "NOT " + Incremental.isNewSql("doc_id"))}))
+       |WHERE rk <= $ReportTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment_topk" -> (containmentTopK _),
     "dedup_hamming_degree_hist" -> (hammingDegreeHist _),
-    "dedup_method_agreement_capped" -> (methodAgreementCapped _))
+    "dedup_method_agreement_capped" -> (methodAgreementCapped _),
+    "dedup_jaccard_topk" -> (jaccardTopK _),
+    "dedup_incremental_containment_topk" -> (incrementalContainmentTopK _))
 
   val oracles: Map[String, String] = Map(
     "dedup_containment_topk" -> containmentTopKSql,
     "dedup_hamming_degree_hist" -> hammingDegreeHistSql,
-    "dedup_method_agreement_capped" -> methodAgreementCappedSql)
+    "dedup_method_agreement_capped" -> methodAgreementCappedSql,
+    "dedup_jaccard_topk" -> jaccardTopKSql,
+    "dedup_incremental_containment_topk" -> incrementalContainmentTopKSql)
 }

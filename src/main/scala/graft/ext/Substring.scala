@@ -88,20 +88,26 @@ object Substring {
     * signal: of a doc's spans, how many are duplicated ACROSS documents
     * (span hashes this doc shares with at least one other doc).
     *
-    * The span frame feeds two consumers (the duplicate-hash set and the
-    * coverage join) whose pruned subtrees differ, so it is lineage-cut to
-    * keep the corpus scan + span hashing single-pass (the q15/tfidf
-    * multi-consumer lesson). */
+    * Checkpoint-free single pass (round-17; previously checkpoint +
+    * groupBy(h) + join-back): "span hash in ≥ 2 distinct docs" ⟺
+    * min(doc_id) ≠ max(doc_id) over the h window — the [[longestDupOf]]
+    * trick — so the span frame is consumed ONCE through one window
+    * exchange and one (doc_id) aggregate. The old shape lineage-cut the
+    * span frame (~10× the corpus in bytes: a 24 B (doc_id, h) row per
+    * source word); the r16 sf30 audit showed exactly that
+    * MEMORY_AND_DISK class outgrowing the storage pool one decade past
+    * where it was tuned (quality_boilerplate, 46×) — never cache a
+    * frame whose bytes dwarf the corpus when the kernel that builds it
+    * is one codegen'd projection. */
   def spanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val sp = spans(spark, sfDir).localCheckpoint()
-    val dup = sp.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"), lit(1L).as("is_dup"))
-    sp.join(dup, Seq("h"), "left")
+    val wh = Window.partitionBy(col("h"))
+    spans(spark, sfDir)
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+        sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L))
+          .as("n_dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .as("dup_span_frac"))
@@ -138,9 +144,9 @@ object Substring {
     * Scale shape: ONE corpus scan (word-hash arrays projected once,
     * then all three spans arrays from the same in-stage arrays — the
     * concat-of-tagged-transforms trick keeps it a single codegen'd
-    * projection); one explode ≤ 3× the base span count; the (k, h)
-    * groupBy is map-side combinable and FINER-keyed than the single-K
-    * pass, so it shuffles proportionally and skews no worse. */
+    * projection); one explode ≤ 3× the base span count; then one (k, h)
+    * window exchange + one (doc_id, k) aggregate — two shuffles of the
+    * span frame total, no cache anywhere. */
   def multiscaleCoverage(spark: SparkSession, sfDir: String): DataFrame =
     multiscaleCoverageOf(Tables.documents(spark, sfDir))
 
@@ -154,18 +160,19 @@ object Substring {
       transform(spanHashes64(col("w1"), col("w2"), k),
         h => struct(lit(k.toLong).as("k"), h.as("h")))
     }
-    val sp = w
-      .select(col("doc_id"), explode(concat(tagged: _*)).as("kh"))
+    // Checkpoint-free (round-17): dup ⟺ min≠max doc_id over the (k, h)
+    // window — see [[spanCoverage]]. The 3-scale span frame was ~30× the
+    // corpus in bytes when lineage-cut; the sf30-uniform session read
+    // this key at 9.1× per 3× data from exactly that storage cliff.
+    val wkh = Window.partitionBy(col("k"), col("h"))
+    w.select(col("doc_id"), explode(concat(tagged: _*)).as("kh"))
       .select(col("doc_id"), col("kh.k").as("k"), col("kh.h").as("h"))
-      .localCheckpoint()
-    val dup = sp.groupBy(col("k"), col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("k"), col("h"), lit(1L).as("is_dup"))
-    sp.join(dup, Seq("k", "h"), "left")
+      .withColumn("mn", min(col("doc_id")).over(wkh))
+      .withColumn("mx", max(col("doc_id")).over(wkh))
       .groupBy(col("doc_id"), col("k"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+        sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L))
+          .as("n_dup_spans"))
       .select(col("doc_id"), col("k"), col("n_spans"), col("n_dup_spans"),
         (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .as("dup_span_frac"))
@@ -224,11 +231,11 @@ object Substring {
     * rule — the canonical copy keeps its own internal structure).
     *
     * Scale shape: one corpus scan (positional spans via posexplode of
-    * the same widened kernel), the (h) groupBy and join are the
-    * [[spanCoverage]] shapes, and the interval union is a
-    * doc-partitioned window over EXCISED spans only (far sparser than
-    * the span frame); n_words rides the span count (n_spans + K − 1),
-    * so no second scan. */
+    * the same widened kernel), one (h) window exchange for the
+    * dup/first-doc flags, one (doc_id, pos) window exchange for the
+    * interval union, one (doc_id) aggregate riding the second
+    * exchange's partitioning; n_words rides the span count
+    * (n_spans + K − 1), so no second scan and no cache. */
   def exciseReport(spark: SparkSession, sfDir: String): DataFrame =
     exciseOf(withLongFooter(Tables.documents(spark, sfDir)))
 
@@ -236,36 +243,41 @@ object Substring {
     * planted-template spec's seam. */
   private[graft] def exciseOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sp = docs
+    // Checkpoint-free (round-17): the positional span frame previously
+    // fed two consumers (first-doc/dup set + per-doc word counts)
+    // through a localCheckpoint — the storage-cliff class the r16 sf30
+    // audit flagged (see [[spanCoverage]]). Rewritten as one chain:
+    // "dup ∧ not first doc" is min≠max ∧ doc_id≠min over the h window;
+    // the interval union's "previous excised position" is a running
+    // conditional max over the (doc_id, pos) window (positions ascend,
+    // so max-of-preceding-excised-pos IS the previous excised pos); the
+    // final (doc_id) aggregate then reads spans ONCE for word counts
+    // and excision sums alike. Two exchanges of the span frame, no
+    // cache, and the third shuffle (the old join-back) is gone.
+    val wh = Window.partitionBy(col("h"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
       .select(col("doc_id"),
         posexplode(spanHashes64(wordHashes(col("aug")),
           wordHashes37(col("aug")), ExciseK)).as(Seq("pos", "h")))
-      .localCheckpoint()
-    val firstDoc = sp.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("first_doc"),
-        countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"), col("first_doc"))
-    val exc = sp.join(firstDoc, Seq("h"))
-      .filter(col("doc_id") =!= col("first_doc"))
-      .select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cov = exc
-      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("mn", min(col("doc_id")).over(wh))
+      .withColumn("mx", max(col("doc_id")).over(wh))
+      .withColumn("exc", col("mn") =!= col("mx") && col("doc_id") =!= col("mn"))
+      .withColumn("prev",
+        max(when(col("exc"), col("pos"))).over(wd))
       .withColumn("add",
-        when(col("prev").isNull, lit(ExciseK.toLong))
+        when(!col("exc"), lit(0L))
+          .when(col("prev").isNull, lit(ExciseK.toLong))
           .otherwise(least(lit(ExciseK.toLong),
             (col("pos") - col("prev")).cast("long"))))
       .groupBy(col("doc_id"))
-      .agg(sum(col("add")).as("n_excised_words"),
-        count(lit(1)).as("n_excised_spans"))
-    sp.groupBy(col("doc_id"))
-      .agg((count(lit(1)) + (ExciseK - 1)).as("n_words"))
-      .join(cov, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_excised_spans"), lit(0L)).as("n_excised_spans"),
-        coalesce(col("n_excised_words"), lit(0L)).as("n_excised_words"),
-        expr("(n_words - coalesce(n_excised_words, 0)) * 1000 div n_words")
+      .agg((count(lit(1)) + (ExciseK - 1)).as("n_words"),
+        sum(when(col("exc"), 1L).otherwise(0L)).as("n_excised_spans"),
+        sum(col("add")).as("n_excised_words"))
+      .select(col("doc_id"), col("n_words"), col("n_excised_spans"),
+        col("n_excised_words"),
+        expr("(n_words - n_excised_words) * 1000 div n_words")
           .cast("long").as("retained_pm"))
   }
 

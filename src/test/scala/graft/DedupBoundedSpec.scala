@@ -92,4 +92,72 @@ class DedupBoundedSpec extends SparkSpec {
     assert(capped == full)
     assert(capped.nonEmpty)
   }
+
+  /** `n` near-identical docs: 10 shared tokens plus one private token
+    * each — every pair intersects 10 of 11, J = 10/12 = 833‰ ≥ τ=800,
+    * and all docs share the same 3 rarest... actually all tokens have
+    * df=n except the private ones (df=1), so each doc's prefix is its
+    * private token + the 2 smallest shared hashes — private tokens
+    * never collide, the SHARED prefix tokens carry the mega postings
+    * the cap must bound. */
+  private def jacFamily(n: Int): DataFrame =
+    shFrame((1 to n).map(i => (i.toLong, (1L to 10L) :+ (1000L + i))))
+
+  test("jaccard topk: mega-cluster postings capped, report ≤ K per doc") {
+    val sh = jacFamily(150)
+    val top = DedupBounded.jaccardTopKOf(sh).localCheckpoint()
+    // Per-doc report bounded by K.
+    val perDoc = top.groupBy(col("doc_a")).agg(count(lit(1)).as("n"))
+    assert(perDoc.agg(max(col("n"))).collect()(0).getLong(0)
+      <= DedupBounded.ReportTopK)
+    // Only capped-posting members generate pairs as doc_a < doc_b
+    // seeds, but mirroring still reports both sides of each pair;
+    // total rows are far under the full tier's n·(n−1) mirrored pairs.
+    val rows = top.count()
+    assert(rows > 0 && rows <= 150L * DedupBounded.ReportTopK, rows)
+    val full = Dedup.jaccardPrefixOf(sh, 800L).count()
+    assert(full == 150L * 149L / 2, full)
+    // Every reported pair is a real ≥τ pair with the exact stats.
+    val bad = top.filter(col("jac_permille") =!= lit(833L)).count()
+    assert(bad == 0, s"unexpected jaccard values: $bad rows")
+  }
+
+  test("jaccard topk: below the caps, report == full tier's per-doc top-K") {
+    // Two clusters (3 + 2 docs), every posting under the cap, every
+    // doc with ≤ K qualifying partners: the bounded report must equal
+    // the full tier's pair set, mirrored.
+    val sh = shFrame(Seq(
+      (1L, (1L to 10L)), (2L, (1L to 9L) :+ 20L), (3L, (1L to 9L) :+ 21L),
+      (10L, (100L to 109L)), (11L, (100L to 108L) :+ 120L)))
+    val top = DedupBounded.jaccardTopKOf(sh)
+      .select("doc_a", "doc_b", "inter", "uni", "jac_permille")
+      .collect().map(_.toString).toSet
+    val p = Dedup.jaccardPrefixOf(sh, 800L)
+    val mirrored = p.unionAll(p.select(col("doc_b"), col("doc_a"),
+        col("inter"), col("uni"), col("jac_permille")))
+      .select("doc_a", "doc_b", "inter", "uni", "jac_permille")
+      .collect().map(_.toString).toSet
+    assert(top == mirrored)
+    assert(top.size == 8, top.size) // 3-cluster: 6 directed; 2-cluster: 2
+  }
+
+  test("incremental containment topk: split sides, caps engage, report ≤ K") {
+    // One arriving doc contained in 200 snapshot containers. The old
+    // side's postings are capped, the shortlist bounds the verify, the
+    // report keeps the K strongest (all 1000‰, ties by doc_b asc).
+    val newSh = shFrame(Seq((0L, (1L to 10L))))
+    val oldSh = shFrame((1 to 200).map(i =>
+      (i.toLong, (1L to 10L) :+ (1000L + i))))
+    val all = newSh.unionAll(oldSh)
+    val pairs = DedupBounded.containmentCappedPairsSides(newSh, oldSh, all)
+      .localCheckpoint()
+    // Direction discipline: doc_a is always the arriving side.
+    assert(pairs.filter(col("doc_a") =!= 0L).count() == 0)
+    val nPairs = pairs.count()
+    assert(nPairs > 0 && nPairs <= DedupBounded.ShortlistC, nPairs)
+    val top = DedupBounded.containmentTopKOf(pairs).orderBy(col("doc_b"))
+      .collect()
+    assert(top.length == DedupBounded.ReportTopK)
+    assert(top.forall(_.getAs[Long]("cont_permille") == 1000L))
+  }
 }

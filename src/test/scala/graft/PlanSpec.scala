@@ -255,12 +255,21 @@ class PlanSpec extends SparkSpec {
       "per-doc stats must not shuffle at all:\n" + p)
   }
 
-  test("substring coverage: span frame materialized once, spans scan single") {
+  test("substring coverage: single scan, window dup-flag, no join-back") {
+    // Round-17 shape: dup ⟺ min≠max over the h window — one corpus
+    // scan, one window exchange, one aggregate; no localCheckpoint (the
+    // old cached span frame was ~10× the corpus in bytes — the sf30
+    // storage-cliff class) and no join back onto the span frame.
     val cov = ext.Substring.spanCoverage(spark, sf)
     cov.collect()
-    val pc = plan(cov)
-    assert(!pc.contains("FileScan"),
-      "both consumers must read the checkpointed span frame:\n" + pc)
+    // After collect() the AQE dump prints the final AND initial plans;
+    // count scans in the final section only.
+    val pc = plan(cov).split("== Initial Plan ==")(0)
+    assert("FileScan".r.findAllIn(pc).size == 1,
+      "span coverage is ONE corpus scan through a window:\n" + pc)
+    assert("Window".r.findAllIn(pc).size >= 1, pc)
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("BroadcastHashJoin"),
+      "no join-back onto the span frame:\n" + pc)
     val ps = plan(ext.Substring.duplicatedSpans(spark, sf))
     assert("FileScan".r.findAllIn(ps).size == 1,
       "span table is one corpus scan + one keyed agg:\n" + ps)
