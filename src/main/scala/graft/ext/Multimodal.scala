@@ -987,6 +987,48 @@ object Multimodal {
   def dedupPhash(spark: SparkSession, sfDir: String): DataFrame =
     phashPairs(phashes2(imagesWithTwins(spark, sfDir)))
 
+  /** Gated: neighbor-degree histogram of the [[phashPairs]] radius-6
+    * graph over CAPPED band buckets — the bounded twin of the all-pairs
+    * phash report, and the image analog of
+    * [[DedupBounded.hammingDegreeHist]] (same cap, same (idHash,
+    * doc_id) bucket order, same per-doc degree collapse). Why it
+    * exists: at sf30-uniform every replicated image carries an
+    * IDENTICAL phash, so each band bucket holds the whole replica
+    * family and the compliance tier's pair volume is quadratic in
+    * duplicate density — the round-17 warm regime-pinned spot read it
+    * at 7× per 3× data with broadcasts pinned OFF, i.e. the growth is
+    * the answer itself, not a join flip. The capped tier bounds any one
+    * bucket to O(Cap²) pairs, corpus-linear at any density. */
+  def phashDegreeHist(spark: SparkSession, sfDir: String): DataFrame =
+    phashDegreeHistOf(phashes2(imagesWithTwins(spark, sfDir)))
+
+  /** The capped pipeline over an arbitrary `(doc_id, phash)` frame —
+    * the seam DedupBoundedSpec drives with planted mega-families. */
+  private[graft] def phashDegreeHistOf(ph: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.topKSmallest
+    graft.functions.GraftFunctions.register(ph.sparkSession)
+    val bands = ph.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("bv",
+        expr(s"(phash div shiftleft(1L, band * $PhashBandBits)) % ${1 << PhashBandBits}"))
+    val capped = bands.groupBy(col("band"), col("bv"))
+      .agg(topKSmallest(struct(Hashing.idHash(col("doc_id")).as("ih"),
+        col("doc_id"), col("phash")), Dedup.BucketCap).as("ms"))
+      .select(col("band"), col("bv"), explode(col("ms")).as("m"))
+      .select(col("band"), col("bv"), col("m.doc_id").as("doc_id"),
+        col("m.phash").as("phash"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.phash ^ y.phash)") <= PhashHammingMax)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_docs"))
+  }
+
   private def phashes2(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(r => PhashRow(r.doc_id, phashOf(r.payload)))).toDF()
@@ -1028,6 +1070,29 @@ object Multimodal {
        |FROM bands x JOIN bands y
        |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashHammingMax""".stripMargin
+
+  /** Verbatim banding + cap + degree count in DuckDB. */
+  val phashDegreeHistSql: String =
+    s"""WITH $imgsCtes,
+       |$twinsCtes,
+       |${phashCtesOver("allimgs")},
+       |bands AS (
+       |  SELECT doc_id, phash, b,
+       |    (phash // (1::BIGINT << CAST(b * $PhashBandBits AS INTEGER))) % ${1 << PhashBandBits} AS bv
+       |  FROM ph, (SELECT unnest(range(0, $PhashBands)) AS b)),
+       |capped AS (SELECT doc_id, phash, b, bv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY b, bv
+       |      ORDER BY ${Hashing.idHashSql("doc_id")}, doc_id) AS rn FROM bands)
+       |  WHERE rn <= ${Dedup.BucketCap}),
+       |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.phash, y.phash)) <= $PhashHammingMax),
+       |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS doc_id FROM p
+       |    UNION ALL SELECT doc_b AS doc_id FROM p) GROUP BY doc_id)
+       |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY deg"""
+      .stripMargin
 
   /** phashOf at its REAL semantics: the payload is rendered to an RGB
     * image, round-tripped through the real [[BmpCodec]], reduced to an
@@ -1174,6 +1239,7 @@ object Multimodal {
     "multimodal_phash" -> (phashes _),
     "multimodal_phash_luma" -> (phashLuma _),
     "dedup_phash" -> (dedupPhash _),
+    "dedup_phash_degree_hist" -> (phashDegreeHist _),
     "multimodal_decode_ppm" -> (decodePpm _),
     "multimodal_decode_bmp" -> (decodeBmp _),
     "multimodal_decode_png" -> (decodePng _),
@@ -1187,6 +1253,7 @@ object Multimodal {
     "multimodal_phash" -> phashesSql,
     "multimodal_phash_luma" -> phashLumaSql,
     "dedup_phash" -> dedupPhashSql,
+    "dedup_phash_degree_hist" -> phashDegreeHistSql,
     "multimodal_decode_ppm" -> decodePpmSql,
     "multimodal_decode_bmp" -> decodeBmpSql,
     "multimodal_decode_png" -> decodePngSql,

@@ -141,6 +141,27 @@ class DedupBoundedSpec extends SparkSpec {
     assert(top.size == 8, top.size) // 3-cluster: 6 directed; 2-cluster: 2
   }
 
+  test("phash hist: mega-family capped; below the cap == full tier") {
+    // 80 identical phashes: every band bucket holds all 80 — the
+    // sf30-uniform replica shape. Capped graph is K_32.
+    val mega = sigFrame((0L until 80L).map(i => (i, 0x155555555L)))
+      .withColumnRenamed("simhash", "phash")
+    val hist = ext.Multimodal.phashDegreeHistOf(mega)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(31L -> 32L), hist)
+    val full = degHistOfPairs(ext.Multimodal.phashPairs(mega))
+    assert(full == Map(79L -> 80L), full)
+    // Below the cap (two families of 6 and 4, far apart in every
+    // band), capped degree histogram == uncapped.
+    val small = sigFrame((0L until 6L).map(i => (i, 0L)) ++
+      (100L until 104L).map(i => (i, 0x7FFFFFFFFFFFFFFL)))
+      .withColumnRenamed("simhash", "phash")
+    val capped = ext.Multimodal.phashDegreeHistOf(small)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == degHistOfPairs(ext.Multimodal.phashPairs(small)))
+    assert(capped == Map(5L -> 6L, 3L -> 4L), capped)
+  }
+
   test("incremental containment topk: split sides, caps engage, report ≤ K") {
     // One arriving doc contained in 200 snapshot containers. The old
     // side's postings are capped, the shortlist bounds the verify, the

@@ -38,7 +38,9 @@ class ObjectAggSweepSpec extends SparkSpec {
     // per-group state is a K-bounded heap (K ≤ BucketCap=32) — the
     // bounded-exchange primitive itself.
     val heap = Seq("tfidf_top_terms", "dedup_containment_topk",
-      "dedup_hamming_degree_hist", "dedup_method_agreement_capped")
+      "dedup_hamming_degree_hist", "dedup_method_agreement_capped",
+      "dedup_jaccard_topk", "dedup_incremental_containment_topk",
+      "dedup_phash_degree_hist")
       .map(_ -> "graft_top_k_smallest: K-bounded heap per group")
     // Reference collect-then-finish semantics (SURVEY §2 A1/A3/A4): the
     // OUTPUT row is the per-key sorted value list, so group state equals
