@@ -122,4 +122,26 @@ class ClusteringSpec extends SparkSpec {
       assert(assignMap(r.getAs[Long]("vec_b")) == c)
     }
   }
+
+  test("clustering family shares one session centroid build (memo seam)") {
+    // r17 optimization: the Lloyd-updated centroids are computed once
+    // per session and shared by all six consumers. Another suite in the
+    // shared session may already have built the memo — assert existence
+    // + stability, not first-build (the copurchase test's discipline).
+    val before = graft.ext.Frames.buildsOf("kmeans_centroids")
+    Clustering.kmeans(spark, sf).count()
+    val afterFirst = graft.ext.Frames.buildsOf("kmeans_centroids")
+    assert(afterFirst >= 1 && afterFirst >= before)
+    Clustering.labelPurity(spark, sf).count()
+    Clustering.outliers(spark, sf).count()
+    Clustering.kmeans(spark, sf).count()
+    assert(graft.ext.Frames.buildsOf("kmeans_centroids") == afterFirst)
+    // The memoized frame must equal the direct (un-memoized) update.
+    val direct = Clustering.finalCentroidsBuild(spark, sf)
+      .select("cid", "cqv", "cnrm").collect().map(_.toString).sorted
+    val memoed = Clustering.finalCentroids(spark, sf)
+      .select("cid", "cqv", "cnrm").collect().map(_.toString).sorted
+    assert(memoed.sameElements(direct),
+      "memoized centroids diverge from the direct Lloyd update")
+  }
 }
