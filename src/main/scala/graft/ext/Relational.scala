@@ -882,8 +882,22 @@ object Relational {
     // explicit exchanges it replaces). Measured sf0.1 1.28 → 0.75 s,
     // sf10 isolated no worse (9.3 → 8.0 s warm), still zero object
     // aggregation — the in-session collapse fix is untouched.
+    // Round 17 correction: the single-shuffle claim held only while the
+    // join-back planned as broadcast — see the join-back note below for
+    // the sf30-measured failure mode and the okey-only join fix that
+    // makes the reuse hold at every scale.
     val fact = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      // Hoisted not-null guards (vacuous on this schema — no lineitem
+      // column is ever null): the join-back's residual conditions infer
+      // IsNotNull(l_suppkey)/IsNotNull(l_shipdate) and push them into
+      // ITS copy of the scan only, which makes the two fact subtrees
+      // canonically different and silently defeats exchange reuse.
+      // Stating the guards once on the shared frame makes both consumer
+      // subtrees byte-identical, so the planner reuses ONE fact
+      // scan + exchange (PlanSpec pins the reuse).
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull &&
+        col("l_shipdate").isNotNull)
       .repartition(col("l_orderkey"))
     val perSup = fact
       .groupBy(col("l_orderkey"), col("l_suppkey"))
@@ -899,8 +913,27 @@ object Relational {
       .select(col("l_orderkey").as("b_orderkey"),
         col("l_suppkey").as("b_suppkey"), col("m2"))
     fact
+      // Round 17: the join-back is keyed on l_orderkey ALONE, with the
+      // supplier match written as a residual range pair (>= AND <=)
+      // instead of an equality. Reason, measured at sf30-uniform: with
+      // (orderkey, suppkey) as the equi-keys, the optimizer STRENGTHENS
+      // the explicit fact repartition under the sort-merge join to
+      // hashpartitioning(l_orderkey, l_suppkey) — a different
+      // partitioning from the agg/window branch's hash(l_orderkey), so
+      // the shared-exchange reuse this shape exists for silently breaks
+      // exactly when the blame side outgrows broadcast: the fact was
+      // scanned AND shuffled TWICE plus fully sorted on two keys
+      // (SpotPlan capture, plans/r17/q21_late_suppliers_sf30_*.txt).
+      // Keyed on l_orderkey only, both fact consumers demand the SAME
+      // partitioning, the exchange is reused at any scale, and the
+      // blame side (already hash(l_orderkey) from the window) needs no
+      // exchange at all. The SMJ's per-order fan-out is lines-per-order
+      // × ≤1 blame row before the residual — bounded by the basket, as
+      // before. Values unchanged: a range pair on never-null keys IS
+      // the equality (the gate hash pins it).
       .join(blame, col("l_orderkey") === col("b_orderkey") &&
-        col("l_suppkey") === col("b_suppkey") && col("l_shipdate") > col("m2"))
+        col("l_suppkey") >= col("b_suppkey") &&
+        col("l_suppkey") <= col("b_suppkey") && col("l_shipdate") > col("m2"))
       .join(Tables.supplier(spark, sfDir)
         .select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))

@@ -103,6 +103,32 @@ class PlanSpec extends SparkSpec {
       "expected codegen partial+final hash aggregation:\n" + p)
   }
 
+  test("q21: every fact exchange is keyed on l_orderkey alone (reusable)") {
+    // Round-17 sf30 finding: with (orderkey, suppkey) as the join-back's
+    // equi-keys, the optimizer strengthened the explicit fact
+    // repartition to hashpartitioning(l_orderkey, l_suppkey) under the
+    // sort-merge join — a different partitioning from the agg/window
+    // branch, so the fact was scanned and shuffled twice at any SF
+    // where the blame side outgrows broadcast. The okey-only join (the
+    // supplier match is a residual range pair) must keep every
+    // lineitem-side exchange on the single l_orderkey key so the
+    // branches can share one exchange at every scale.
+    val df = ext.Relational.q21LateSuppliers(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val twoKey = "hashpartitioning\\(l_orderkey#\\d+L?, l_suppkey".r
+    assert(twoKey.findFirstIn(p).isEmpty,
+      "fact exchange widened to (l_orderkey, l_suppkey) — the shared-" +
+        "exchange design is broken:\n" + p)
+    // The hoisted not-null guards make both fact subtrees canonically
+    // identical; the second consumer MUST plan as a reuse of the first
+    // (one lineitem scan + one fact exchange total).
+    assert(p.contains("ReusedExchange"),
+      "fact exchange not reused — two lineitem scans:\n" + p)
+    assert("FileScan parquet \\[l_orderkey".r.findAllIn(p).size == 1,
+      "expected exactly one lineitem scan in the final plan:\n" + p)
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible
