@@ -28,6 +28,17 @@ import org.apache.spark.sql.SparkSession
   * warm-up per variant (memo/codegen) and `reps` timed runs; medians
   * printed as one JSON line per key plus a `spotab_total` trailer.
   *
+  * Measurement caveat (round-17, learned on q21): for a spill-heavy
+  * key the FIRST variant's timed reps can read 2-3× high even after
+  * the untimed warm-up — residual cold state (page-cache fill of the
+  * key's column chunks, spill paths, C2) decays over several
+  * executions, not one. A flag from this probe where the first-listed
+  * variant is the slow one is NOT yet attribution: re-run the key
+  * through [[SpotPlan]] (variants worst-expected-first, AQE-final plan
+  * captured) before concluding anything. q21's "auto 104.9 vs shuf
+  * 34.7" inverted under position control; the REAL defect was visible
+  * only in the captured plan (a doubled fact exchange).
+  *
   * Not part of the driver contract — a triage instrument, launched
   * like the scaled benches (raw java on a frozen classpath). */
 object SpotAb {
