@@ -211,7 +211,14 @@ object Bench {
     val abFields =
       if (abKeys.isEmpty) ""
       else s""""ab_first":${row(abFirst, _._2)},"ab_last":${row(abLast, _._2)},"""
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,$abFields"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"queries_cal":${rowCal(results)},"sf":"$sfDir"}"""
+    // Session-memo build counts (r17 verdict item 3): makes memoized
+    // keys' medians auditable — a tag built ONCE per session means its
+    // consumers' per-key numbers are marginal (memo-hit) cost, with the
+    // build paid inside this same timed session (warm-up or first
+    // consumer), never carried across runs.
+    val memoBuilds = graft.ext.Frames.buildCountsSnapshot.toSeq.sorted
+      .map { case (t, n) => s"\"$t\":$n" }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"value_with_init":${r3(total + initTotal)},"calib_sec":${r3(calib)},$calFields,$sentinel,$abFields"memo_builds":$memoBuilds,"stream_init":${row(results.filter(_._5 > 0), _._5)},"errors":$errors,"queries":${row(results, _._2)},"queries_min":${row(results, _._3)},"queries_cal":${rowCal(results)},"sf":"$sfDir"}"""
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo"), "bench_last.json")
     try java.nio.file.Files.writeString(benchOut, fullLine + "\n")

@@ -86,6 +86,16 @@ object Frames {
   private[graft] def buildsOf(tag: String): Int =
     synchronized { buildCounts(tag) }
 
+  /** Immutable snapshot of every memo tag's build count — emitted in
+    * the bench record (r17 verdict item 3) so a memoized key's per-key
+    * median is auditable as first-build vs memo-hit cost: a session
+    * where `builds["bpe_run"] == 1` shows the learn run was paid once
+    * (in the untimed warm-up or the first consumer), and the 0.06 s
+    * medians downstream are marginal cost by design, not a claim that
+    * merge learning is free. */
+  private[graft] def buildCountsSnapshot: Map[String, Int] =
+    synchronized { buildCounts.toMap }
+
   /** Session-scoped shared-frame memo, keyed by (tag, SparkContext,
     * sfDir) — the cross-query seam for an intermediate several gated
     * queries need (cluster labels, the co-purchase graph): within one

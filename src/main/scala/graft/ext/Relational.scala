@@ -931,6 +931,11 @@ object Relational {
       // × ≤1 blame row before the residual — bounded by the basket, as
       // before. Values unchanged: a range pair on never-null keys IS
       // the equality (the gate hash pins it).
+      // DO NOT "simplify" the >= && <= pair back to ===: it is load-
+      // bearing — equality would be extracted as a second equi-key and
+      // re-widen the exchange. PlanSpec's q21 single-key-exchange /
+      // ReusedExchange / single-scan test is the tripwire that fails if
+      // a Spark upgrade ever normalizes the pair into an equality.
       .join(blame, col("l_orderkey") === col("b_orderkey") &&
         col("l_suppkey") >= col("b_suppkey") &&
         col("l_suppkey") <= col("b_suppkey") && col("l_shipdate") > col("m2"))

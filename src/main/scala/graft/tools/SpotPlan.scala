@@ -65,15 +65,23 @@ object SpotPlan {
       ("auto_noaqe", "10485760b", "-1"), // default static, AQE flip off
       ("auto", "10485760b", "10485760b")) // the bench default, LAST
     variants.foreach { case (name, stat, adap) =>
+      // Reset per variant: a variant whose warm-up AND every timed rep
+      // fail must print "no plan captured", not the PREVIOUS variant's
+      // plan under this variant's header (r17 advisory).
+      lastQe = null
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", stat)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", adap)
       try { fn(spark, sfDir).count(); () } // untimed warm-up
       catch { case e: Throwable =>
         System.err.println(s"[spotplan] $name warm-up failed: $e") }
-      val ts = (1 to reps).map { _ =>
+      val ts = (1 to reps).map { i =>
         val t = System.nanoTime()
+        // NonFatal only: an OOM/linkage error must kill the probe loudly,
+        // not be recorded as a silently dropped rep (r17 advisory).
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case scala.util.control.NonFatal(e) =>
+                   System.err.println(s"[spotplan] $name rep $i failed: $e")
+                   false }
         val sec = (System.nanoTime() - t) / 1e9
         if (ok) sec else -1.0
       }.filter(_ >= 0)
@@ -84,7 +92,7 @@ object SpotPlan {
       if (lastQe != null) {
         println(s"----- $name final plan -----")
         println(lastQe.executedPlan.toString)
-      }
+      } else println(s"----- $name: no plan captured -----")
     }
     spark.stop()
   }

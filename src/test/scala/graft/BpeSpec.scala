@@ -150,7 +150,9 @@ class BpeSpec extends SparkSpec {
     val before = graft.ext.Frames.buildsOf("bpe_run")
     Bpe.corpusBpeMerges(spark, sf).count()
     val afterFirst = graft.ext.Frames.buildsOf("bpe_run")
-    assert(afterFirst >= 1 && afterFirst >= before)
+    // buildsOf is monotone, so ">= before" was vacuous (r17 advisory);
+    // pin the memo contract instead: at most ONE build in this test.
+    assert(afterFirst >= 1 && afterFirst - before <= 1)
     // Repeated gate runs (the bench's reps) and the SECOND report must
     // both reuse the learned artifacts, not re-run the merge rounds.
     Bpe.corpusBpeVocab(spark, sf).count()

@@ -4,7 +4,8 @@ its baseline and final r17 medians (calib-scaled comparability noted in
 the doc), its module, and a status word. Usage:
   checklist_r17.py BASELINE.json FINAL.json > appendix.md
 """
-import json, re, sys
+import json
+import pathlib, re, sys
 
 OPT = {
     "corpus_bpe_merges": "OPT memo", "corpus_bpe_vocab": "OPT memo",
@@ -20,7 +21,7 @@ def main():
     base = json.load(open(sys.argv[1]))["queries"]
     fin = json.load(open(sys.argv[2]))["queries"]
     mods = {}
-    for line in open("LEDGER.md"):
+    for line in open(pathlib.Path(__file__).resolve().parent.parent / "LEDGER.md"):
         m = re.match(r"\| `(\w+)` \| `([^`]+)`", line)
         if m:
             mods[m.group(1)] = m.group(2).split(" ")[0]
