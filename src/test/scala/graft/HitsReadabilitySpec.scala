@@ -100,4 +100,18 @@ class HitsReadabilitySpec extends SparkSpec {
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("past-the-gate SHJ round strategy (forced) equals the classic") {
+    // r18: past the fact-row gate, the round joins hint SHUFFLE_HASH on
+    // the node-score side (no edge sorts). Integer HITS is plan-
+    // invariant, so the gated result must equal the below-gate one.
+    val GateKey = "spark.graft.graph.shjRoundRowGate"
+    val plain = Hits.partsHits(spark, sf).localCheckpoint()
+    spark.conf.set(GateKey, "1")
+    try {
+      val gated = Hits.partsHits(spark, sf)
+      assert(plain.exceptAll(gated).count() == 0 &&
+        gated.exceptAll(plain).count() == 0)
+    } finally spark.conf.unset(GateKey)
+  }
 }

@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
       "expected exactly one lineitem scan in the final plan:\n" + p)
   }
 
+  test("q17: one lineitem scan + one fact exchange (window, no join-back)") {
+    // Round-18: the sf30 capture showed q17's self-agg + join-back
+    // scanning and shuffling the fact TWICE — the two fact subtrees
+    // pruned columns differently, so the exchanges could never unify
+    // (plans/r18/q17_small_qty_revenue_sf30_before.txt). The whole-
+    // partition window formulation (the oracle SQL's own shape) must
+    // keep exactly one lineitem scan, one l_partkey fact exchange, and
+    // a Window node instead of a second join.
+    val df = ext.Relational.q17SmallQtyRevenue(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert("FileScan parquet \\[l_partkey".r.findAllIn(p).size == 1,
+      "expected exactly one lineitem scan in the final plan:\n" + p)
+    assert("hashpartitioning\\(l_partkey#\\d+L?, ".r.findAllIn(p).size == 1,
+      "expected exactly one l_partkey fact exchange:\n" + p)
+    assert(p.contains("Window"), "per-part stats must ride a window:\n" + p)
+  }
+
   test("wordcount: whole-stage codegen + map-side partial aggregation") {
     val df = apps.MrApps.wordCount(Tables.documents(spark, sf))
     df.collect() // finalize the adaptive plan so codegen stages are visible
