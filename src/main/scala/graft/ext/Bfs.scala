@@ -32,8 +32,16 @@ object Bfs {
   val MaxHops = 4
   val NumSeeds = 4
 
+  /** Round partitioning is size-adaptive ([[Frames.roundShuffleParts]],
+    * where the sf30 probe evidence lives): each round's partition count
+    * derives from the MEASURED frontier+visited size — the frames are
+    * eagerly checkpointed, so the size is a cheap count, and a 100 TB
+    * frontier (billions of nodes) still spreads to the session's full
+    * width. */
   /** BFS over an arbitrary undirected pair frame (part_a, part_b). */
   private[graft] def bfsHopsOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(pairs.select(col("part_b").as("src"),
@@ -44,24 +52,35 @@ object Bfs {
       .limit(NumSeeds)
     var visited = seeds.select(col("node"), lit(0L).as("hop"))
       .localCheckpoint()
+    var visitedRows = NumSeeds.toLong
     var frontier = visited.select(col("node"))
     var prevNext: Option[DataFrame] = None
-    for (k <- 1 to MaxHops) {
-      val next = edges.join(frontier, edges("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), lit(k.toLong).as("hop"))
-        .localCheckpoint()
-      // `next` is materialized (eager checkpoint): the previous round's
-      // frontier frame has no further consumer — free its blocks now
-      // instead of pinning every round's frontier for the session.
-      prevNext.foreach(Frames.freeCheckpoint)
-      val grown = visited.unionAll(next).localCheckpoint()
-      Frames.freeCheckpoint(visited) // superseded by `grown`
-      visited = grown
-      frontier = next.select(col("node"))
-      prevNext = Some(next)
-    }
+    // Scoped set + restore, the runToParquet discipline: every action in
+    // the loop (the per-round checkpoints) plans under the adaptive
+    // count; the returned frame is a pure projection of the final
+    // checkpoint, so nothing outside the scope re-plans a shuffle.
+    try {
+      for (k <- 1 to MaxHops) {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          Frames.roundShuffleParts(visitedRows, sessionParts))
+        val next = edges.join(frontier, edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(k.toLong).as("hop"))
+          .localCheckpoint()
+        // `next` is materialized (eager checkpoint): the previous round's
+        // frontier frame has no further consumer — free its blocks now
+        // instead of pinning every round's frontier for the session.
+        prevNext.foreach(Frames.freeCheckpoint)
+        val grown = visited.unionAll(next).localCheckpoint()
+        Frames.freeCheckpoint(visited) // superseded by `grown`
+        visited = grown
+        visitedRows += next.count() // block-metadata read on a checkpoint
+        frontier = next.select(col("node"))
+        prevNext = Some(next)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions",
+      sessionParts.toString)
     prevNext.foreach(Frames.freeCheckpoint) // rows live on in `visited`
     visited.select(col("node").as("part"), col("hop"))
   }

@@ -193,35 +193,47 @@ object Communities {
     * with their degree at admission (their degree in the round's
     * surviving subgraph). */
   private[graft] def kcoreOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))
       .localCheckpoint()
+    // Size-adaptive round partitioning ([[Frames.roundShuffleParts]],
+    // where the r18 sf30 probe evidence lives): every per-round frame
+    // here (sub, degree agg, survivor set) is bounded by the edge list,
+    // whose size one cheap count on the fresh checkpoint gives.
+    val edgeRows = edges.count()
     var nodes: DataFrame = null // null ⇒ round 1: survivors = all nodes
     var deg: DataFrame = null
     var prevDeg: DataFrame = null
-    for (_ <- 1 to PeelRounds) {
-      // Round 1's survivor set is every node, so filtering the edge
-      // list against it is the identity — skip the two joins and
-      // compute plain degree (the oracle's s1-over-n0 round is the
-      // same identity, so results are unchanged; at scale this drops
-      // 2 of the 8 edge-list joins).
-      val sub =
-        if (nodes == null) edges
-        else edges
-          .join(nodes.select(col("node").as("sa")), col("src") === col("sa"))
-          .join(nodes.select(col("node").as("sb")), col("dst") === col("sb"))
-      val d = sub.groupBy(col("src")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      prevDeg = deg
-      deg = d
-      val grown = deg.filter(col("c") >= CoreK)
-        .select(col("src").as("node")).localCheckpoint()
-      if (nodes != null) Frames.freeCheckpoint(nodes) // superseded by `grown`
-      if (prevDeg != null) Frames.freeCheckpoint(prevDeg)
-      nodes = grown
-    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Frames.roundShuffleParts(edgeRows, sessionParts))
+      for (_ <- 1 to PeelRounds) {
+        // Round 1's survivor set is every node, so filtering the edge
+        // list against it is the identity — skip the two joins and
+        // compute plain degree (the oracle's s1-over-n0 round is the
+        // same identity, so results are unchanged; at scale this drops
+        // 2 of the 8 edge-list joins).
+        val sub =
+          if (nodes == null) edges
+          else edges
+            .join(nodes.select(col("node").as("sa")), col("src") === col("sa"))
+            .join(nodes.select(col("node").as("sb")), col("dst") === col("sb"))
+        val d = sub.groupBy(col("src")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        prevDeg = deg
+        deg = d
+        val grown = deg.filter(col("c") >= CoreK)
+          .select(col("src").as("node")).localCheckpoint()
+        if (nodes != null) Frames.freeCheckpoint(nodes) // superseded by `grown`
+        if (prevDeg != null) Frames.freeCheckpoint(prevDeg)
+        nodes = grown
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions",
+      sessionParts.toString)
     deg.filter(col("c") >= CoreK)
       .select(col("src").as("part"), col("c").as("core_deg"))
   }

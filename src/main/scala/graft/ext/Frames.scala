@@ -136,6 +136,22 @@ object Frames {
     box.value.asInstanceOf[T]
   }
 
+  /** Size-adaptive shuffle-partition count for an ITERATIVE loop's
+    * round frames (guide §2.2 fewer-larger partitions, made adaptive):
+    * one partition per ~1M rows of the frame the rounds actually
+    * shuffle, floor 8, capped at the session setting. The r18 sf30
+    * probe (tools.GraphScaleProbe) measured the graph loops' runtime
+    * ~LINEAR in the partition count with data held constant (BFS:
+    * 8 parts 6.7 s / 32 parts 17 s / 64 parts 31 s) — per-task fixed
+    * overhead dwarfs per-task data on node-sized round frames, and
+    * AQE's parallelism-first coalescing floor keeps CPU-count
+    * partitions alive however small the data. `cap` is the SESSION
+    * setting read BEFORE the loop mutates it (reading it per round
+    * would ratchet the cap down to the floor). Callers scope the conf
+    * set/restore around their loop (the runToParquet discipline). */
+  private[graft] def roundShuffleParts(rows: Long, cap: Int): String =
+    math.max(8L, math.min(cap.toLong, rows / 1000000L)).toString
+
   private[graft] def sessionMemo(tag: String,
       spark: org.apache.spark.sql.SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame = synchronized {
